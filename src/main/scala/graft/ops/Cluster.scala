@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.ZOrder
+import graft.run.{Lineage, Maintenance, Synth}
+import graft.table.{DataFileMeta, FileIO, GraftTable, Snapshot}
+
+/**
+ * Z-order clustering rewrite: sorts the table by a 64-bit Morton key over
+ * (lang, url-host, warc_ts) and rewrites right-sized files whose per-column
+ * min/max become tight, so predicate scans prune most files — the
+ * generalization of the reference's rowkey-prefix scan pruning
+ * (`sql/HQLEngine.java:136-155`) to multiple dimensions.
+ *
+ * Scale design:
+ *  - ONE range shuffle (`repartitionByRange` on the z-key) + in-partition
+ *    sort; both spill-safe and AQE-compatible;
+ *  - skewed hosts get an explicit salt tiebreaker column before range
+ *    partitioning (the analog of the reference's 1-byte murmur rowkey salt,
+ *    `hbase/RowkeyField.java:139-154`): equal z-keys of a heavy host can
+ *    then be split across partitions;
+ *  - heavy hitters are found with a cheap aggregate over only the host
+ *    column (parquet column pruning makes this scan tiny relative to the
+ *    rewrite itself).
+ */
+object Cluster {
+
+  /** Z-dimension spec for the page table: (lang, host-hash, warc_ts). */
+  final case class ZDims(bitsPerDim: Int = 20, tsMin: Long = 1700000000L, tsMax: Long = 1800000000L)
+
+  /** host extracted from url: "https://host/..." → host */
+  def hostCol(url: Column): Column = regexp_extract(url, "^[a-z]+://([^/]+)/", 1)
+
+  def zkeyCol(d: ZDims): Column = {
+    // all three dims are order-preserving w.r.t. their column's natural
+    // order, so post-cluster per-file min/max bounds are tight and
+    // equality/range/prefix predicates prune (lang =, url startsWith,
+    // warc_ts between)
+    val lang = ZOrder.dictDim(col("lang"), Synth.langs, d.bitsPerDim)
+    val host = ZOrder.prefixDim(hostCol(col("url")), d.bitsPerDim, chars = 8)
+    val ts = ZOrder.rangeDim(col("warc_ts").cast(LongType), d.tsMin, d.tsMax, d.bitsPerDim)
+    ZOrder.zkey(d.bitsPerDim, lang, host, ts)
+  }
+
+  /**
+   * Full-table Z-order rewrite (or of `onlyFiles` if given). Resumable at
+   * the commit boundary: the shuffle+sort+write runs under a staging
+   * directory keyed by runId; a rerun reuses a completed staging dir.
+   */
+  def zorderRewrite(
+      table: GraftTable,
+      dims: ZDims = ZDims(),
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      runId: String = java.util.UUID.randomUUID.toString,
+      saltThresholdRows: Long = 2000000L,
+      nSalts: Int = 16,
+      onlyFiles: Option[Seq[DataFileMeta]] = None): Option[Snapshot] = {
+    val spark = table.spark
+    val t0 = System.nanoTime()
+    var log = Maintenance.start(table, runId, "cluster")
+    log.committedSnapshotId.foreach(id => return table.metadata.snapshot(id))
+    val snap = table.currentSnapshot.getOrElse(return None)
+    val planStep = s"plan@${snap.id}"
+    require(log.doneSteps.isEmpty || log.doneSteps.contains(planStep),
+      s"resume $runId: table advanced past planned snapshot; start a fresh run")
+    log = Maintenance.markDone(table, log, planStep)
+
+    val inputs = onlyFiles.getOrElse(table.files())
+    if (inputs.isEmpty) return None
+    val schema = table.schema
+    val totalBytes = inputs.map(_.bytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val commitUuid = s"cluster-$runId"
+    val dir = s"${table.dataDir}/$commitUuid"
+
+    if (!(log.doneSteps.contains("rewrite") && FileIO.exists(s"$dir/_SUCCESS"))) {
+      FileIO.deleteRecursively(dir)
+      val df = spark.read.schema(schema).parquet(inputs.map(table.absPath): _*)
+
+      // explicit salt-split for skewed hosts (hot-host analog of hot regions)
+      val heavyHosts: Seq[String] = df
+        .select(hostCol(col("url")).as("host"))
+        .groupBy("host").count()
+        .filter(col("count") > saltThresholdRows)
+        .collect().map(_.getString(0)).toSeq
+      val salted = withZKey(df, dims, heavyHosts, nSalts)
+
+      spark.sparkContext.setJobDescription(s"zorder-rewrite $runId (${inputs.size} files, $nOut out)")
+      val sorted = salted
+        .repartitionByRange(nOut, col("_zkey"), col("_salt"))
+        .sortWithinPartitions(col("_zkey"))
+      table.writeDataFiles(sorted, commitUuid) // selects schema cols, dropping _zkey/_salt
+      log = Maintenance.markDone(table, log, "rewrite")
+    }
+    val added = graft.table.StatsCollector.collect(
+      spark, schema, table.root, FileIO.listFiles(dir, ".parquet"), commitUuid)
+    val removed = inputs.map(_.path).toSet
+    val committed = table.replaceFiles(removed, added, "cluster",
+      Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts", "bits" -> dims.bitsPerDim.toString),
+      expectedSnapshotId = Some(snap.id))
+    Maintenance.markCommitted(table, log, committed.id)
+    Lineage.record(spark, table, runId, committed.id, "cluster", added,
+      added.map(o => o.path -> inputs).toMap, (System.nanoTime() - t0) / 1000000)
+    Some(committed)
+  }
+
+  /** Adds `_zkey` and `_salt` (nonzero only for heavy hosts). */
+  def withZKey(df: DataFrame, dims: ZDims, heavyHosts: Seq[String], nSalts: Int): DataFrame = {
+    val saltExpr =
+      if (heavyHosts.isEmpty) lit(0)
+      else when(hostCol(col("url")).isInCollection(heavyHosts),
+        pmod(xxhash64(col("url")), lit(nSalts.toLong)).cast("int")).otherwise(lit(0))
+    df.withColumn("_zkey", zkeyCol(dims)).withColumn("_salt", saltExpr)
+  }
+}

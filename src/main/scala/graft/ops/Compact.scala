@@ -1,0 +1,128 @@
+package graft.ops
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.SparkSession
+
+import graft.run.{Lineage, Maintenance}
+import graft.table.{DataFileMeta, FileIO, GraftTable, Snapshot}
+
+/**
+ * Bin-packing small-file compaction: groups undersized data files and
+ * rewrites each group as one right-sized file, shuffle-free (each group is a
+ * single read→write task; groups run as concurrent Spark jobs so a cluster
+ * keeps all executors busy — the re-imagining of the reference's
+ * partition-parallel row transfer, `job/JobUtil.java:581-607`, where one
+ * HBase region ≈ one task; here one file group ≈ one task).
+ *
+ * Resumable: every group writes to a staging directory keyed by
+ * (runId, group index); a rerun after a crash reuses any group directory
+ * that completed (`_SUCCESS`) and re-executes the rest, then commits once
+ * (checkpoint-resume per the north rule).
+ */
+object Compact {
+
+  final case class Plan(snapshotId: Long, groups: Seq[Seq[DataFileMeta]])
+
+  /**
+   * Deterministic plan against the current snapshot: files smaller than
+   * `smallFileFraction * targetBytes` are bin-packed, in order of their
+   * `orderBy` column min (preserving clustering locality), into groups of
+   * ~targetBytes. Groups of one file are dropped (nothing to gain).
+   */
+  def plan(
+      table: GraftTable,
+      targetBytes: Long,
+      orderBy: Option[String] = None,
+      smallFileFraction: Double = 0.75): Option[Plan] = {
+    val snap = table.currentSnapshot.getOrElse(return None)
+    val all = table.files()
+    val threshold = (targetBytes * smallFileFraction).toLong
+    val small = all.filter(_.bytes < threshold)
+    if (small.size < 2) return None
+    val sortCol = orderBy.getOrElse(table.schema.fields.head.name)
+    val dt = table.schema.fields.find(_.name == sortCol).map(_.dataType)
+    val ordered = (dt match {
+      case Some(t) if graft.table.Bounds.supported(t) =>
+        small.sortWith { (a, b) =>
+          (a.minValues.get(sortCol), b.minValues.get(sortCol)) match {
+            case (Some(x), Some(y)) => graft.table.Bounds.compare(t, x, y) < 0
+            case _                  => a.path < b.path
+          }
+        }
+      case _ => small.sortBy(_.path)
+    })
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[DataFileMeta]]
+    var cur = Vector.empty[DataFileMeta]
+    var curBytes = 0L
+    for (f <- ordered) {
+      if (curBytes > 0 && curBytes + f.bytes > targetBytes) {
+        groups += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur :+= f; curBytes += f.bytes
+    }
+    if (cur.nonEmpty) groups += cur
+    val useful = groups.filter(_.size >= 2).toSeq
+    if (useful.isEmpty) None else Some(Plan(snap.id, useful))
+  }
+
+  /** Execute (or resume) a compaction run. Returns the committed snapshot,
+    * or None if there was nothing to compact. */
+  def run(
+      table: GraftTable,
+      targetBytes: Long = 128L * 1024 * 1024,
+      runId: String = java.util.UUID.randomUUID.toString,
+      orderBy: Option[String] = None,
+      jobParallelism: Int = 8): Option[Snapshot] = {
+    val spark = table.spark
+    val t0 = System.nanoTime()
+    var log = Maintenance.start(table, runId, "compact")
+    log.committedSnapshotId.foreach { id =>
+      return table.metadata.snapshot(id) // already fully committed earlier
+    }
+    val p = plan(table, targetBytes, orderBy).getOrElse(return None)
+    val planStep = s"plan@${p.snapshotId}"
+    require(log.doneSteps.isEmpty || log.doneSteps.contains(planStep),
+      s"resume $runId: table advanced past planned snapshot; start a fresh run")
+    log = Maintenance.markDone(table, log, planStep)
+
+    val schema = table.schema
+    val pool = Executors.newFixedThreadPool(math.min(jobParallelism, math.max(1, p.groups.size)),
+      r => { val t = new Thread(r, "graft-compact"); t.setDaemon(true); t })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results: Seq[Future[(Seq[DataFileMeta], Seq[DataFileMeta])]] =
+      p.groups.zipWithIndex.map { case (group, i) =>
+        Future {
+          val commitUuid = s"compact-$runId-g$i"
+          val dir = s"${table.dataDir}/$commitUuid"
+          val done = log.doneSteps.contains(s"group$i") && FileIO.exists(s"$dir/_SUCCESS")
+          if (!done) {
+            FileIO.deleteRecursively(dir) // partial attempt from a crashed run
+            spark.sparkContext.setJobDescription(s"compact $runId group $i (${group.size} files)")
+            val df = spark.read.schema(schema).parquet(group.map(table.absPath): _*)
+            table.writeDataFiles(df.coalesce(1), commitUuid)
+          }
+          val metas = graft.table.StatsCollector.collect(
+            spark, schema, table.root, FileIO.listFiles(dir, ".parquet"), commitUuid)
+          synchronized { log = Maintenance.markDone(table, log, s"group$i") }
+          (metas, group)
+        }
+      }
+    val finished = Await.result(Future.sequence(results), Duration.Inf)
+    pool.shutdown()
+
+    val added = finished.flatMap(_._1)
+    val removed = p.groups.flatten.map(_.path).toSet
+    val sourcesPerOutput = finished.flatMap { case (outs, srcs) => outs.map(o => o.path -> srcs) }.toMap
+    val snap = table.replaceFiles(removed, added, "compact",
+      Map("run-id" -> runId, "groups" -> p.groups.size.toString),
+      expectedSnapshotId = Some(p.snapshotId))
+    Maintenance.markCommitted(table, log, snap.id)
+    Lineage.record(spark, table, runId, snap.id, "compact", added, sourcesPerOutput,
+      (System.nanoTime() - t0) / 1000000)
+    Some(snap)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.table.{FileIO, GraftTable, Snapshot}
+
+/**
+ * Snapshot expiry with retained-snapshot GC: drops old snapshots from table
+ * metadata, then deletes data files and manifests referenced ONLY by the
+ * dropped snapshots — generalizing the reference's fixed 90-day incremental
+ * lookback (`job/JobUtil.java:557-567`, constant 7776000000 ms) into a
+ * retention policy over real snapshot history.
+ *
+ * Order of operations matters for snapshot isolation: metadata commits
+ * first (readers can no longer pin an expired snapshot), physical deletes
+ * happen after — a reader that already planned files from an old snapshot
+ * before the commit races only with the GC of files that were exclusively
+ * referenced by snapshots it should not have pinned.
+ */
+object Expire {
+
+  final case class Result(
+      removedSnapshots: Seq[Long],
+      deletedDataFiles: Seq[String],
+      deletedManifests: Seq[String])
+
+  def expire(
+      table: GraftTable,
+      retainLast: Int = 1,
+      olderThanMs: Long = Long.MaxValue): Result = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
+    val md = table.metadata
+    val current = md.currentSnapshotId.getOrElse(return Result(Nil, Nil, Nil))
+    val byId = md.snapshots.sortBy(_.id)
+    val keepIds = (byId.takeRight(retainLast).map(_.id) :+ current).toSet ++
+      byId.filter(_.timestampMs >= olderThanMs).map(_.id)
+    val (kept, dropped) = byId.partition(s => keepIds.contains(s.id))
+    if (dropped.isEmpty) return Result(Nil, Nil, Nil)
+
+    val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
+    val keptFiles = kept.flatMap(s => s.manifests.flatMap(m => table.readManifest(m.path)))
+      .map(_.path).toSet
+    val droppedManifests = dropped.flatMap(_.manifests.map(_.path)).distinct
+      .filterNot(keptManifests.contains)
+    val droppedFiles = dropped
+      .flatMap(s => s.manifests.flatMap(m => table.readManifest(m.path)))
+      .map(_.path).distinct
+      .filterNot(keptFiles.contains)
+
+    table.commitMetadataUpdate(cur => cur.copy(snapshots = cur.snapshots.filter(s => keepIds.contains(s.id))))
+
+    droppedFiles.foreach(p => FileIO.delete(s"${table.root}/$p"))
+    droppedManifests.foreach(p => FileIO.delete(s"${table.root}/$p"))
+    Result(dropped.map(_.id), droppedFiles, droppedManifests)
+  }
+}
+
+/**
+ * Manifest rewrite: many small manifests (one per commit) → few right-sized
+ * ones, so scan planning stays O(files) with small constant factors even
+ * after thousands of commits. The data-file set is unchanged — asserted by
+ * the commit summary.
+ */
+object ManifestRewrite {
+
+  def run(table: GraftTable, entriesPerManifest: Int = 100000): Option[Snapshot] = {
+    val snap = table.currentSnapshot.getOrElse(return None)
+    if (snap.manifests.size <= 1) return None
+    val entries = table.files()
+    val groups = entries.grouped(math.max(1, entriesPerManifest)).toSeq
+    val committed = table.commit("rewrite-manifests", Some(snap.id)) { _ =>
+      val manifests = groups.map(table.writeManifest)
+      (manifests, Map(
+        "manifests-before" -> snap.manifests.size.toString,
+        "manifests-after" -> manifests.size.toString,
+        "files" -> entries.size.toString))
+    }
+    Some(committed)
+  }
+}

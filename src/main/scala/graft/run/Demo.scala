@@ -1,0 +1,114 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cluster, Compact, Expire, ManifestRewrite, Merge}
+import graft.table.GraftTable
+
+/**
+ * End-to-end smoke driver for the engine's full maintenance lifecycle:
+ * synth → append (many small files) → compact → z-order cluster → merge →
+ * manifest rewrite → expire, asserting scan equality and pruning at each
+ * step. Run: `sbt "runMain graft.run.Demo [nUrls] [dir]"`.
+ */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val nUrls = args.headOption.map(_.toLong).getOrElse(20000L)
+    val root = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-demo").toString + "/pages")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def check(name: String)(ok: => Boolean): Unit = {
+      val r = ok
+      println(f"[demo] $name%-55s ${if (r) "OK" else "FAIL"}")
+      if (!r) sys.exit(1)
+    }
+
+    println(s"[demo] table at $root")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+
+    // 1. append as many small files (the small-file problem)
+    val pages = Synth.pages(spark, nUrls, hosts = 200, partitions = 64)
+    t.append(pages)
+    val before = t.read()
+    val beforeCount = before.count()
+    val beforeTextHash = before.select(bit_xor(xxhash64(col("url"), col("text")))).first.getLong(0)
+    println(s"[demo] appended $beforeCount rows in ${t.files().size} files")
+    check("append row count")(beforeCount == nUrls)
+
+    // 2. compact
+    val preSnap = t.currentSnapshot.get.id
+    val c = Compact.run(t, targetBytes = 1024L * 1024, orderBy = Some("url"))
+    println(s"[demo] compacted → ${t.files().size} files (snapshot ${c.map(_.id)})")
+    check("compact happened")(c.nonEmpty && t.files().size < 64)
+    check("compact scan equality (count)")(t.read().count() == beforeCount)
+    check("compact text identity (hash)")(
+      t.read().select(bit_xor(xxhash64(col("url"), col("text")))).first.getLong(0) == beforeTextHash)
+    check("old snapshot still readable")(t.readSnapshot(preSnap).count() == beforeCount)
+
+    // 3. z-order cluster + pruning
+    val dims = Cluster.ZDims(tsMin = 1735689600L, tsMax = 1735689600L + 86400L * 80)
+    val cl = Cluster.zorderRewrite(t, dims, targetFileBytes = 192L * 1024,
+      saltThresholdRows = nUrls / 4)
+    val all = t.files().size
+    val pruned = t.planFiles(Some(col("lang") === "de")).size
+    println(s"[demo] clustered → $all files; lang=de plans $pruned")
+    check("cluster commit")(cl.nonEmpty)
+    check("cluster scan equality (count)")(t.read().count() == beforeCount)
+    check("cluster text identity (hash)")(
+      t.read().select(bit_xor(xxhash64(col("url"), col("text")))).first.getLong(0) == beforeTextHash)
+    check("z-order pruning prunes")(all > 1 && pruned < all)
+    check("pruned scan equality")(
+      t.read(Some(col("lang") === "de")).count() ==
+        t.read().filter(col("lang") === "de").count())
+
+    // 4. merge: updates (newer version), inserts (new urls), deletes
+    val preMerge = t.currentSnapshot.get.id
+    val updates = Synth.pages(spark, nUrls / 10, versions = 2, hosts = 200, partitions = 4)
+      .filter(col("url").isNotNull) // 2 versions: v1 rows are strictly newer
+    val newerOnly = updates.withColumn("_v",
+        row_number().over(org.apache.spark.sql.expressions.Window.partitionBy("url").orderBy(col("warc_ts").desc)))
+      .filter(col("_v") === 1).drop("_v")
+    val deletes = t.read().select("url", "warc_ts", "html", "text", "lang")
+      .orderBy("url").limit(500).withColumn("_deleted", lit(true))
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1000 DAYS"))
+    val source = newerOnly.withColumn("_deleted", lit(false)).unionByName(deletes)
+    val m = Merge.into(t, source)
+    val afterMerge = t.read().count()
+    println(s"[demo] merged → snapshot ${m.id}, $afterMerge rows")
+    check("merge row count plausible")(afterMerge < beforeCount + nUrls / 10 && afterMerge > 0)
+    check("merge snapshot isolation")(t.readSnapshot(preMerge).count() == beforeCount)
+
+    // 5. manifest rewrite (after two more appends → several small manifests)
+    t.append(Synth.pages(spark, 100, partitions = 1, seed = 101))
+    t.append(Synth.pages(spark, 100, partitions = 1, seed = 102))
+    val afterAppends = afterMerge + 200
+    val manifestsBefore = t.currentSnapshot.get.manifests.size
+    val mr = ManifestRewrite.run(t)
+    check("manifest rewrite")(mr.nonEmpty && manifestsBefore > 1 &&
+      t.currentSnapshot.get.manifests.size == 1)
+    check("post-rewrite scan equality")(t.read().count() == afterAppends)
+    val ex = Expire.expire(t, retainLast = 1)
+    println(s"[demo] expired ${ex.removedSnapshots.size} snapshots, " +
+      s"GC'd ${ex.deletedDataFiles.size} data files, ${ex.deletedManifests.size} manifests")
+    check("expire removed snapshots")(ex.removedSnapshots.nonEmpty && ex.deletedDataFiles.nonEmpty)
+    check("post-expire scan equality")(t.read().count() == afterAppends)
+
+    // 6. lineage/metrics table
+    val metrics = Lineage.metrics(spark, t)
+    metrics.groupBy("op").count().show()
+    check("lineage rows exist")(metrics.count() > 0)
+
+    println("[demo] ALL OK")
+    spark.stop()
+  }
+}

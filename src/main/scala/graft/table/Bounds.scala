@@ -1,0 +1,85 @@
+package graft.table
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical string encoding + ordered comparison for per-file column bounds.
+ *
+ * Files carry `minValues`/`maxValues` as strings (JSON-friendly); comparisons
+ * parse them with the table schema. Timestamps are epoch micros, dates epoch
+ * days, so lexicographic issues never arise — everything numeric is compared
+ * numerically, strings by UTF-8 order (matching Parquet's unsigned binary
+ * comparator for UTF-8 strings).
+ */
+object Bounds {
+
+  /** Compare two canonical bound strings under the given Spark type.
+    * Returns negative/zero/positive like compareTo. */
+  def compare(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType |
+        TimestampNTZType | DateType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case BooleanType   => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case StringType    =>
+      // unsigned byte-wise compare of UTF-8, = Parquet binary stats ordering
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(ab(i) & 0xff, bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(ab.length, bb.length)
+    case _ => throw new IllegalArgumentException(s"no bound ordering for $dt")
+  }
+
+  /** Whether `dt` supports bounds at all (binary/nested columns do not). */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType |
+        TimestampNTZType | DateType | FloatType | DoubleType | BooleanType |
+        StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Canonical string for a literal value of Catalyst-internal representation
+    * (what `Literal.value` holds): UTF8String, Long micros for timestamps,
+    * Int days for dates, etc. */
+  def fromCatalystLiteral(dt: DataType, v: Any): Option[String] =
+    if (v == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType |
+          TimestampNTZType | DateType | FloatType | DoubleType | BooleanType =>
+        Some(v.toString)
+      case _: DecimalType => Some(v.toString)
+      case StringType     => Some(v.toString) // UTF8String.toString
+      case _              => None
+    }
+
+  /** min of two canonical strings */
+  def min(dt: DataType, a: String, b: String): String = if (compare(dt, a, b) <= 0) a else b
+  def max(dt: DataType, a: String, b: String): String = if (compare(dt, a, b) >= 0) a else b
+
+  /** Decode a Parquet statistics generic value (as produced by
+    * parquet-mr `Statistics.genericGetMin/Max`) to canonical string. */
+  def fromParquetStat(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (_, null) => None
+    case (StringType, b: org.apache.parquet.io.api.Binary) => Some(b.toStringUsingUTF8)
+    case (_: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+      Some(new java.math.BigDecimal(new BigInteger(b.getBytes)).toString)
+    case (_: DecimalType, n: java.lang.Number) => Some(n.toString)
+    case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+    case (DateType, i: java.lang.Integer) => Some(i.toString)
+    case (TimestampType | TimestampNTZType, l: java.lang.Long) => Some(l.toString)
+    case (ByteType | ShortType | IntegerType | LongType, n: java.lang.Number) =>
+      Some(n.longValue.toString)
+    case (FloatType | DoubleType, n: java.lang.Number) => Some(n.doubleValue.toString)
+    case _ => None
+  }
+}

@@ -1,0 +1,264 @@
+package graft.table
+
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * The graft table: Parquet data files under an immutable snapshot/manifest
+ * metadata layer with optimistic-concurrency commits.
+ *
+ * This is the engine's answer to the reference's whole pipeline: where
+ * HBase-To-Hive moves rows between live stores with a checkpoint row
+ * (`util/TimeStampUtil.java:53-109`) and commits by DROP/RENAME
+ * (`hive/HiveTableIR.java:296-299`), here every maintenance pass writes new
+ * immutable files and atomically swaps a metadata pointer, so concurrent
+ * readers are snapshot-isolated by construction.
+ *
+ * Scale notes (designed for ~10^5 data files / 100 TB):
+ *  - data reads go through Spark's vectorized Parquet reader with
+ *    whole-stage codegen; this class only plans which files to read;
+ *  - file pruning is driver-side over in-memory `DataFileMeta` (a few
+ *    hundred bytes per file — 10^5 files ≈ tens of MB);
+ *  - footer stats collection is distributed (see [[StatsCollector]]).
+ */
+class GraftTable private (val root: String, val spark: SparkSession) {
+
+  private def metadataDir = s"$root/metadata"
+  private def hintPath = s"$metadataDir/version-hint.text"
+  def dataDir = s"$root/data"
+  def metricsDir = s"$root/metrics"
+
+  // ---- metadata access -----------------------------------------------------
+
+  /** Latest committed version number (source of truth: max vN.json present). */
+  def currentVersion: Int = {
+    val hint = if (FileIO.exists(hintPath)) FileIO.readString(hintPath).trim.toInt else 1
+    var v = math.max(hint, 1)
+    while (FileIO.exists(s"$metadataDir/v${v + 1}.json")) v += 1
+    v
+  }
+
+  def metadata: TableMetadata = metadataAt(currentVersion)
+
+  def metadataAt(version: Int): TableMetadata =
+    MetaJson.readTableMetadata(FileIO.readString(s"$metadataDir/v$version.json"))
+
+  def schema: StructType = StructType.fromDDL(metadata.schemaDdl)
+
+  def currentSnapshot: Option[Snapshot] = metadata.currentSnapshot
+
+  /** All data files of a snapshot (current if unspecified). */
+  def files(snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
+    val md = metadata
+    val snap = snapshotId match {
+      case Some(id) => md.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $id"))
+      case None => md.currentSnapshot.getOrElse(return Seq.empty)
+    }
+    snap.manifests.flatMap(m => readManifest(m.path))
+  }
+
+  def readManifest(relPath: String): Seq[DataFileMeta] =
+    FileIO.readString(s"$root/$relPath").linesIterator
+      .filter(_.nonEmpty).map(MetaJson.readDataFileMeta).toVector
+
+  /** Write a manifest for `metas`; returns its ManifestMeta. */
+  def writeManifest(metas: Seq[DataFileMeta]): ManifestMeta = {
+    val rel = s"metadata/manifest-${UUID.randomUUID}.json"
+    FileIO.writeString(s"$root/$rel", metas.map(MetaJson.write).mkString("\n"))
+    ManifestMeta(rel, metas.size, metas.map(_.rows).sum, metas.map(_.bytes).sum)
+  }
+
+  // ---- scan planning -------------------------------------------------------
+
+  /** Files that may contain rows matching `predicate` — min/max pruning. */
+  def planFiles(predicate: Option[Column], snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
+    val all = files(snapshotId)
+    predicate match {
+      case Some(p) => PredicatePrune.prune(schema, all, p)
+      case None    => all
+    }
+  }
+
+  /**
+   * Snapshot-isolated read. File-level pruning happens here (metadata only);
+   * row-group pruning and residual filtering are Catalyst + Parquet pushdown
+   * on the returned DataFrame.
+   */
+  def read(predicate: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
+    val sch = schema
+    val planned = planFiles(predicate, snapshotId)
+    val df =
+      if (planned.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+      else
+        spark.read.schema(sch).parquet(planned.map(f => s"$root/${f.path}"): _*)
+    predicate match {
+      case Some(p) => df.filter(p)
+      case None    => df
+    }
+  }
+
+  def readSnapshot(snapshotId: Long): DataFrame = read(None, Some(snapshotId))
+
+  // ---- writes --------------------------------------------------------------
+
+  /**
+   * Write `df` as new data files under a fresh commit directory and collect
+   * their footer stats. Does NOT commit — callers build the snapshot.
+   * Partitioning/file count is the caller's responsibility (e.g.
+   * `repartitionByRange` before calling).
+   */
+  def writeDataFiles(df: DataFrame, commitUuid: String = UUID.randomUUID.toString): Seq[DataFileMeta] = {
+    val dir = s"$dataDir/$commitUuid"
+    // INT96 (Spark's legacy parquet timestamp) carries no min/max stats;
+    // micros are required for warc_ts pruning bounds
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // select in schema order so files are column-identical across commits
+    val cols = schema.fieldNames.map(df.col).toSeq
+    df.select(cols: _*).write.mode("errorifexists").parquet(dir)
+    val written = FileIO.listFiles(dir, ".parquet")
+    StatsCollector.collect(spark, schema, root, written, commitUuid)
+  }
+
+  /** Append-only commit: parent manifests + one new manifest. */
+  def append(df: DataFrame, summary: Map[String, String] = Map.empty): Snapshot = {
+    val metas = writeDataFiles(df)
+    commit("append") { parent =>
+      val mf = writeManifest(metas)
+      (parent.map(_.manifests).getOrElse(Seq.empty) :+ mf,
+        summary ++ Map(
+          "added-files" -> metas.size.toString,
+          "added-rows" -> metas.map(_.rows).sum.toString,
+          "added-bytes" -> metas.map(_.bytes).sum.toString))
+    }
+  }
+
+  /**
+   * Replace-files commit (compaction / clustering / merge): removes
+   * `removedPaths`, adds `added`, keeps untouched manifests as-is and
+   * rewrites only manifests that lost files.
+   */
+  def replaceFiles(
+      removedPaths: Set[String],
+      added: Seq[DataFileMeta],
+      op: String,
+      summary: Map[String, String] = Map.empty,
+      expectedSnapshotId: Option[Long] = None): Snapshot =
+    commit(op, expectedSnapshotId) { parent =>
+      val parentManifests = parent.map(_.manifests).getOrElse(Seq.empty)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[ManifestMeta]
+      var removedCount = 0
+      for (m <- parentManifests) {
+        val entries = readManifest(m.path)
+        val (gone, stay) = entries.partition(e => removedPaths.contains(e.path))
+        removedCount += gone.size
+        if (gone.isEmpty) kept += m
+        else if (stay.nonEmpty) kept += writeManifest(stay)
+      }
+      require(removedCount == removedPaths.size,
+        s"$op: ${removedPaths.size - removedCount} files to remove not present in current snapshot (concurrent rewrite?)")
+      val manifests = if (added.nonEmpty) kept.toSeq :+ writeManifest(added) else kept.toSeq
+      (manifests, summary ++ Map(
+        "removed-files" -> removedPaths.size.toString,
+        "added-files" -> added.size.toString,
+        "added-rows" -> added.map(_.rows).sum.toString,
+        "added-bytes" -> added.map(_.bytes).sum.toString))
+    }
+
+  /**
+   * Optimistic-concurrency commit loop. `build` receives the parent snapshot
+   * and returns (manifest list, summary). On a lost race: appends re-apply
+   * against the new parent; rewrites require the parent they planned against
+   * (`expectedSnapshotId`) and fail fast otherwise — the caller replans.
+   */
+  def commit(op: String, expectedSnapshotId: Option[Long] = None)(
+      build: Option[Snapshot] => (Seq[ManifestMeta], Map[String, String])): Snapshot = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val v = currentVersion
+      val md = metadataAt(v)
+      val parent = md.currentSnapshot
+      for (expected <- expectedSnapshotId)
+        require(parent.map(_.id).contains(expected),
+          s"$op planned against snapshot $expected but current is ${parent.map(_.id)}: concurrent commit, replan required")
+      val (manifests, summary) = build(parent)
+      val snap = Snapshot(
+        id = md.lastSnapshotId + 1,
+        parentId = parent.map(_.id),
+        timestampMs = System.currentTimeMillis(),
+        operation = op,
+        manifests = manifests,
+        summary = summary)
+      val next = md.copy(
+        currentSnapshotId = Some(snap.id),
+        snapshots = md.snapshots :+ snap,
+        lastSnapshotId = snap.id)
+      if (FileIO.putIfAbsent(s"$metadataDir/v${v + 1}.json", MetaJson.write(next))) {
+        FileIO.writeString(hintPath, (v + 1).toString)
+        return snap
+      }
+      // lost the race; loop re-reads and (for appends) re-applies
+    }
+    throw new IllegalStateException(s"$op: commit failed after 10 attempts")
+  }
+
+  /** Rewrite the full snapshot list (snapshot expiry). */
+  def commitMetadataUpdate(f: TableMetadata => TableMetadata): TableMetadata = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val v = currentVersion
+      val next = f(metadataAt(v))
+      if (FileIO.putIfAbsent(s"$metadataDir/v${v + 1}.json", MetaJson.write(next))) {
+        FileIO.writeString(hintPath, (v + 1).toString)
+        return next
+      }
+    }
+    throw new IllegalStateException("metadata update failed after 10 attempts")
+  }
+
+  def absPath(f: DataFileMeta): String = s"$root/${f.path}"
+}
+
+object GraftTable {
+
+  /** Create a new empty table at `root`. */
+  def create(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    require(!FileIO.exists(s"$root/metadata/v1.json"), s"table already exists at $root")
+    val md = TableMetadata(
+      formatVersion = 1,
+      tableUuid = UUID.randomUUID.toString,
+      schemaDdl = schema.toDDL,
+      currentSnapshotId = None,
+      snapshots = Seq.empty,
+      lastSnapshotId = 0L,
+      properties = properties)
+    FileIO.mkdirs(s"$root/data")
+    require(FileIO.putIfAbsent(s"$root/metadata/v1.json", MetaJson.write(md)),
+      s"concurrent create at $root")
+    FileIO.writeString(s"$root/metadata/version-hint.text", "1")
+    new GraftTable(root, spark)
+  }
+
+  def load(spark: SparkSession, root: String): GraftTable = {
+    require(FileIO.exists(s"$root/metadata/v1.json"), s"no graft table at $root")
+    new GraftTable(root, spark)
+  }
+
+  def createOrReplace(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      properties: Map[String, String] = Map.empty): GraftTable = {
+    FileIO.deleteRecursively(root)
+    create(spark, root, schema, properties)
+  }
+}

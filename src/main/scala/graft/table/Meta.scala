@@ -1,0 +1,89 @@
+package graft.table
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+
+/**
+ * Metadata model of the graft table format — a from-scratch, Iceberg-style
+ * snapshot/manifest layer over Parquet data files.
+ *
+ * Re-imagines the reference's schema-mediated table abstraction
+ * (HBase-To-Hive `hbase/HBaseTableIR` + checkpoint rows in
+ * `util/TimeStampUtil.java:53-109`) as immutable snapshot metadata with an
+ * atomic version-pointer swap, replacing the reference's DROP/RENAME table
+ * swap (`hive/HiveTableIR.java:296-299`).
+ *
+ * Layout under a table root:
+ * {{{
+ *   data/<commit-uuid>/part-*.parquet        immutable data files
+ *   metadata/v<N>.json                       full table metadata, version N
+ *   metadata/manifest-<uuid>.json            list of DataFileMeta (JSON lines)
+ *   metrics/                                 lineage/metrics parquet table
+ *   maintenance/<runId>.json                 resumable step logs
+ * }}}
+ *
+ * All values in `minValues`/`maxValues` are stored as canonical strings and
+ * compared after parsing with the table schema (see [[Bounds]]); timestamps
+ * are epoch micros, dates epoch days.
+ */
+final case class DataFileMeta(
+    path: String, // relative to table root
+    rows: Long,
+    bytes: Long,
+    minValues: Map[String, String],
+    maxValues: Map[String, String],
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    nullCounts: Map[String, Long],
+    commitUuid: String)
+
+final case class ManifestMeta(
+    path: String, // relative to table root
+    fileCount: Int,
+    rows: Long,
+    bytes: Long)
+
+final case class Snapshot(
+    id: Long,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // append | compact | cluster | merge | expire | rewrite-manifests
+    manifests: Seq[ManifestMeta],
+    summary: Map[String, String])
+
+final case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    schemaDdl: String, // StructType.toDDL
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot],
+    lastSnapshotId: Long,
+    properties: Map[String, String]) {
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
+  def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+}
+
+object MetaJson {
+  private val mapper: ObjectMapper with ClassTagExtensions = {
+    val m = new ObjectMapper() with ClassTagExtensions
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def write(v: Any): String = mapper.writeValueAsString(v)
+  def readTableMetadata(s: String): TableMetadata = mapper.readValue[TableMetadata](s)
+  def readDataFileMeta(s: String): DataFileMeta = mapper.readValue[DataFileMeta](s)
+  def readStepLog(s: String): StepLog = mapper.readValue[StepLog](s)
+}
+
+/** Resumable maintenance-run step log (checkpoint-resume per north rule). */
+final case class StepLog(
+    runId: String,
+    op: String,
+    startedMs: Long,
+    doneSteps: Seq[String],
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    committedSnapshotId: Option[Long])

@@ -1,0 +1,173 @@
+package graft.table
+
+import scala.util.Try
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+
+/**
+ * Conservative three-valued evaluation of a Catalyst predicate against
+ * per-file min/max bounds — the generalization of the reference's
+ * rowkey-prefix scan pruning (`sql/HQLEngine.java:136-155`,
+ * `sql/SqlBean.java:544-582`) and of its staged 3-valued condition-tree
+ * evaluation (`sql/ConditionTreeManager.java:119-215`): here "null" means
+ * "cannot decide from stats", and a file is scanned unless the predicate is
+ * provably false for every row in it.
+ *
+ * Anything not understood (casts, UDFs, arithmetic) degrades to "unknown" =
+ * keep the file; Parquet row-group pushdown and the residual Catalyst filter
+ * then handle exactness. So pruning is always sound, never required.
+ */
+object PredicatePrune {
+
+  /** Files from `metas` that may contain rows matching `predicate`. */
+  def prune(schema: StructType, metas: Seq[DataFileMeta], predicate: Column): Seq[DataFileMeta] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val expr = Shims.resolvedPredicate(spark, schema, predicate)
+    metas.filter(m => evalFile(expr, m, schema) != Some(false))
+  }
+
+  /** Some(true): every row matches; Some(false): no row can match; None: unknown. */
+  def evalFile(expr: Expression, meta: DataFileMeta, schema: StructType): Option[Boolean] = expr match {
+    case And(l, r) =>
+      (evalFile(l, meta, schema), evalFile(r, meta, schema)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true))            => Some(true)
+        case _                                   => None
+      }
+    case Or(l, r) =>
+      (evalFile(l, meta, schema), evalFile(r, meta, schema)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false))        => Some(false)
+        case _                                 => None
+      }
+    case Not(e) => evalFile(e, meta, schema).map(!_)
+    case Literal(b: Boolean, BooleanType) => Some(b)
+
+    case EqualTo(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
+        if (Bounds.compare(dt, v, lo) < 0 || Bounds.compare(dt, v, hi) > 0) Some(false) else None
+      }
+    case EqualTo(l: Literal, a) => evalFile(EqualTo(a, l), meta, schema)
+
+    case GreaterThan(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
+        if (Bounds.compare(dt, hi, v) <= 0) Some(false)
+        else if (Bounds.compare(dt, lo, v) > 0) allNonNull(a, meta, schema)
+        else None
+      }
+    case GreaterThanOrEqual(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
+        if (Bounds.compare(dt, hi, v) < 0) Some(false)
+        else if (Bounds.compare(dt, lo, v) >= 0) allNonNull(a, meta, schema)
+        else None
+      }
+    case LessThan(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
+        if (Bounds.compare(dt, lo, v) >= 0) Some(false)
+        else if (Bounds.compare(dt, hi, v) < 0) allNonNull(a, meta, schema)
+        else None
+      }
+    case LessThanOrEqual(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
+        if (Bounds.compare(dt, lo, v) > 0) Some(false)
+        else if (Bounds.compare(dt, hi, v) <= 0) allNonNull(a, meta, schema)
+        else None
+      }
+    // commuted literal-first comparisons
+    case GreaterThan(l: Literal, a)        => evalFile(LessThan(a, l), meta, schema)
+    case GreaterThanOrEqual(l: Literal, a) => evalFile(LessThanOrEqual(a, l), meta, schema)
+    case LessThan(l: Literal, a)           => evalFile(GreaterThan(a, l), meta, schema)
+    case LessThanOrEqual(l: Literal, a)    => evalFile(GreaterThanOrEqual(a, l), meta, schema)
+
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      val results = list.map(l => evalFile(EqualTo(a, l.asInstanceOf[Literal]), meta, schema))
+      if (results.forall(_ == Some(false))) Some(false) else None
+    case InSet(a, set) =>
+      val results = set.toSeq.map { v =>
+        attrName(a).flatMap(n => schema.fields.find(_.name == n)).map { f =>
+          evalFile(EqualTo(a, Literal.create(v, f.dataType)), meta, schema)
+        }.getOrElse(None)
+      }
+      if (results.nonEmpty && results.forall(_ == Some(false))) Some(false) else None
+
+    case IsNull(a) =>
+      forColumn(a, meta, schema) { (_, n) =>
+        meta.nullCounts.get(n) match {
+          case Some(0)                        => Some(false)
+          case Some(c) if c == meta.rows      => Some(true)
+          case _                              => None
+        }
+      }
+    case IsNotNull(a) => evalFile(IsNull(a), meta, schema).map(!_)
+
+    case StartsWith(a, Literal(p, StringType)) if p != null =>
+      forColumn(a, meta, schema) { (dt, n) =>
+        if (dt != StringType) None
+        else (meta.minValues.get(n), meta.maxValues.get(n)) match {
+          case (Some(lo), Some(hi)) =>
+            val prefix = p.toString
+            val t = Try {
+              if (Bounds.compare(StringType, hi, prefix) < 0 && !hi.startsWith(prefix)) Some(false)
+              else successor(prefix) match {
+                case Some(succ) if Bounds.compare(StringType, lo, succ) >= 0 => Some(false)
+                case _ => None
+              }
+            }
+            t.getOrElse(None)
+          case _ => None
+        }
+      }
+
+    case _ => None
+  }
+
+  /** True for the whole file only if column is never null in it. */
+  private def allNonNull(a: Expression, meta: DataFileMeta, schema: StructType): Option[Boolean] =
+    forColumn(a, meta, schema) { (_, n) =>
+      meta.nullCounts.get(n) match {
+        case Some(0) => Some(true)
+        case _       => None
+      }
+    }
+
+  private def cmpBounds(a: Expression, l: Expression, meta: DataFileMeta, schema: StructType)(
+      f: (DataType, String, String, String) => Option[Boolean]): Option[Boolean] =
+    l match {
+      case Literal(v, lt) if v != null =>
+        forColumn(a, meta, schema) { (dt, n) =>
+          (meta.minValues.get(n), meta.maxValues.get(n), Bounds.fromCatalystLiteral(lt, v)) match {
+            case (Some(lo), Some(hi), Some(value)) => Try(f(dt, lo, hi, value)).getOrElse(None)
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
+  private def forColumn(a: Expression, meta: DataFileMeta, schema: StructType)(
+      f: (DataType, String) => Option[Boolean]): Option[Boolean] =
+    attrName(a).flatMap { n =>
+      schema.fields.find(_.name == n) match {
+        case Some(field) if Bounds.supported(field.dataType) => f(field.dataType, n)
+        case _ => None
+      }
+    }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    case _ => None
+  }
+
+  /** Smallest string greater than every string with this prefix, if any. */
+  private[table] def successor(prefix: String): Option[String] = {
+    val chars = prefix.toCharArray
+    var i = chars.length - 1
+    while (i >= 0) {
+      if (chars(i) != Char.MaxValue) {
+        chars(i) = (chars(i) + 1).toChar
+        return Some(new String(chars, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+}

@@ -1,0 +1,76 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.run.Synth
+
+class TableSpec extends SparkSuite {
+
+  test("create → append → read roundtrip with stats") {
+    val root = tmpDir("graft-table")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    val pages = Synth.pages(spark, nUrls = 2000, partitions = 8)
+    val snap = t.append(pages)
+    assert(snap.id == 1 && snap.operation == "append")
+    assert(t.read().count() == 2000)
+    val files = t.files()
+    assert(files.nonEmpty && files.map(_.rows).sum == 2000)
+    // every file carries url/lang/warc_ts bounds from parquet footers
+    assert(files.forall(f => f.minValues.contains("url") && f.maxValues.contains("lang")
+      && f.minValues.contains("warc_ts")))
+    assert(files.forall(_.bytes > 0))
+  }
+
+  test("snapshot isolation across appends") {
+    val root = tmpDir("graft-iso")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    val s1 = t.append(Synth.pages(spark, 500, partitions = 2))
+    val s2 = t.append(Synth.pages(spark, 500, partitions = 2, seed = 43))
+    assert(t.readSnapshot(s1.id).count() == 500)
+    assert(t.readSnapshot(s2.id).count() == 1000)
+    assert(t.read().count() == 1000)
+    assert(t.metadata.snapshot(s2.id).get.parentId.contains(s1.id))
+  }
+
+  test("optimistic commit: putIfAbsent CAS loses exactly one of two racers") {
+    val root = tmpDir("graft-cas")
+    FileIO.mkdirs(root)
+    val a = FileIO.putIfAbsent(s"$root/v2.json", "winner")
+    val b = FileIO.putIfAbsent(s"$root/v2.json", "loser")
+    assert(a && !b)
+    assert(FileIO.readString(s"$root/v2.json") == "winner")
+  }
+
+  test("file pruning: equality and range predicates prune by min/max") {
+    val root = tmpDir("graft-prune")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    // write lang-sorted files so lang bounds are tight per file
+    val pages = Synth.pages(spark, 4000, partitions = 8)
+      .repartitionByRange(8, col("lang")).sortWithinPartitions("lang")
+    t.append(pages)
+    val all = t.files()
+    val de = t.planFiles(Some(col("lang") === "de"))
+    assert(de.size < all.size, s"lang=de should prune: ${de.size} vs ${all.size}")
+    // correctness: pruned read returns exactly the filter result
+    val viaTable = t.read(Some(col("lang") === "de"))
+    val full = t.read().filter(col("lang") === "de")
+    assertSameRows(viaTable, full, "pruned scan")
+    // impossible predicate prunes everything
+    assert(t.planFiles(Some(col("lang") === "zz-nope")).isEmpty)
+    // unknown predicate shapes keep all files (sound)
+    assert(t.planFiles(Some(length(col("text")) > 10)).size == all.size)
+  }
+
+  test("startsWith (rowkey-prefix analog) pruning is sound") {
+    val root = tmpDir("graft-prefix")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    val pages = Synth.pages(spark, 4000, partitions = 8)
+      .repartitionByRange(8, col("url")).sortWithinPartitions("url")
+    t.append(pages)
+    val pred = col("url").startsWith("https://host-1.")
+    val planned = t.planFiles(Some(pred))
+    assert(planned.size < t.files().size)
+    assertSameRows(t.read(Some(pred)), t.read().filter(pred), "prefix scan")
+  }
+}
