@@ -28,20 +28,36 @@ import graft.table.{DataFileMeta, FileIO, GraftTable, Snapshot}
  */
 object Cluster {
 
-  /** Z-dimension spec for the page table: (lang, host-hash, warc_ts). */
-  final case class ZDims(bitsPerDim: Int = 20, tsMin: Long = 1700000000L, tsMax: Long = 1800000000L)
+  /** Z-dimension spec for the page table: (lang, url-host, warc_ts). */
+  final case class ZDims(bitsPerDim: Int = 20)
+
+  /** Observed per-dim bounds — measured from the data in one cheap
+    * column-pruned aggregate so each dim uses its FULL bit range (a host
+    * domain sharing the "host-"/"www." prefix would otherwise leave the
+    * dim's top bits constant and never split files). */
+  final case class ZBounds(hostMin: Long, hostMax: Long, tsMin: Long, tsMax: Long)
 
   /** host extracted from url: "https://host/..." → host */
   def hostCol(url: Column): Column = regexp_extract(url, "^[a-z]+://([^/]+)/", 1)
 
-  def zkeyCol(d: ZDims): Column = {
+  private def hostPacked: Column = ZOrder.packedPrefix(hostCol(col("url")), chars = 8)
+
+  def computeBounds(df: DataFrame): ZBounds = {
+    val r = df.select(
+      min(hostPacked).as("h0"), max(hostPacked).as("h1"),
+      min(col("warc_ts").cast(LongType)).as("t0"),
+      max(col("warc_ts").cast(LongType)).as("t1")).first()
+    ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  def zkeyCol(d: ZDims, b: ZBounds): Column = {
     // all three dims are order-preserving w.r.t. their column's natural
     // order, so post-cluster per-file min/max bounds are tight and
     // equality/range/prefix predicates prune (lang =, url startsWith,
     // warc_ts between)
     val lang = ZOrder.dictDim(col("lang"), Synth.langs, d.bitsPerDim)
-    val host = ZOrder.prefixDim(hostCol(col("url")), d.bitsPerDim, chars = 8)
-    val ts = ZOrder.rangeDim(col("warc_ts").cast(LongType), d.tsMin, d.tsMax, d.bitsPerDim)
+    val host = ZOrder.rangeDim(hostPacked, b.hostMin, b.hostMax, d.bitsPerDim)
+    val ts = ZOrder.rangeDim(col("warc_ts").cast(LongType), b.tsMin, b.tsMax, d.bitsPerDim)
     ZOrder.zkey(d.bitsPerDim, lang, host, ts)
   }
 
@@ -86,7 +102,8 @@ object Cluster {
         .groupBy("host").count()
         .filter(col("count") > saltThresholdRows)
         .collect().map(_.getString(0)).toSeq
-      val salted = withZKey(df, dims, heavyHosts, nSalts)
+      val bounds = computeBounds(df)
+      val salted = withZKey(df, dims, bounds, heavyHosts, nSalts)
 
       spark.sparkContext.setJobDescription(s"zorder-rewrite $runId (${inputs.size} files, $nOut out)")
       val sorted = salted
@@ -108,11 +125,12 @@ object Cluster {
   }
 
   /** Adds `_zkey` and `_salt` (nonzero only for heavy hosts). */
-  def withZKey(df: DataFrame, dims: ZDims, heavyHosts: Seq[String], nSalts: Int): DataFrame = {
+  def withZKey(df: DataFrame, dims: ZDims, bounds: ZBounds,
+      heavyHosts: Seq[String], nSalts: Int): DataFrame = {
     val saltExpr =
       if (heavyHosts.isEmpty) lit(0)
       else when(hostCol(col("url")).isInCollection(heavyHosts),
         pmod(xxhash64(col("url")), lit(nSalts.toLong)).cast("int")).otherwise(lit(0))
-    df.withColumn("_zkey", zkeyCol(dims)).withColumn("_salt", saltExpr)
+    df.withColumn("_zkey", zkeyCol(dims, bounds)).withColumn("_salt", saltExpr)
   }
 }

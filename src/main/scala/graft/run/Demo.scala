@@ -56,8 +56,7 @@ object Demo {
     check("old snapshot still readable")(t.readSnapshot(preSnap).count() == beforeCount)
 
     // 3. z-order cluster + pruning
-    val dims = Cluster.ZDims(tsMin = 1735689600L, tsMax = 1735689600L + 86400L * 80)
-    val cl = Cluster.zorderRewrite(t, dims, targetFileBytes = 192L * 1024,
+    val cl = Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = 192L * 1024,
       saltThresholdRows = nUrls / 4)
     val all = t.files().size
     val pruned = t.planFiles(Some(col("lang") === "de")).size

