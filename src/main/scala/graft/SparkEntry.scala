@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.textops.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * Driver contract: one query per implemented operator family (SURVEY.md §2)
+ * plus the training-data pipeline ops, each with a DuckDB-equivalent oracle
+ * where ANSI SQL can express it. Queries read the driver's TPC-H-ish
+ * parquet (TESTDATA.md); the engine's own table format is exercised by
+ * `sbt test` + `graft.run.Demo` (DuckDB cannot read it).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ clones of doc_id<100 (id+1000000, same text): plants exact
+    * duplicates so dedup operators have guaranteed work. Mirrored in SQL. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+  private val plantedSql =
+    "SELECT * FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 100"
+
+  /** deterministic 64-dim query vector, mirrored as a SQL literal */
+  private val queryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 3.0f)
+  private val queryVecSql = queryVec.map(v => f"${v.toDouble}%.10f").mkString("[", ", ", "]")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_recon_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (reference operator mappings) ---------------------
+    // A1/A2: recon aggregates (count/sum per group) — ReconEntity.java:94-137
+    "q01_recon_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count("l_partkey").as("n_parts"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // S2/S3: predicate scan + projection pushdown — HQLEngine.java:136-262
+    "q02_predicate_scan" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))),
+
+    // S2: rowkey-prefix scan analog (LIKE 'prefix%') — SqlBean.java:544-582
+    "q03_prefix_scan" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").startsWith("1-"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))),
+
+    // S5: time-range scan — JobUtil.java:543-577
+    "q04_timerange_scan" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts").between(
+          lit("2024-01-05 00:00:00").cast("timestamp"),
+          lit("2024-01-10 00:00:00").cast("timestamp")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))),
+
+    // J1: delete-merge as anti-join — HiveTableIR.java:234-302
+    "q05_antijoin_delete" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+      val deletes = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      base.join(deletes, Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    // §2.6: latest-version-per-key window dedup (HBase latest-cell analog)
+    "q06_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // J3: MERGE INTO semantics expressed relationally (full-outer latest-wins)
+    "q07_merge_fullouter" -> ((s, dir) => {
+      val base = t(s, dir, "orders").alias("b")
+      val changes = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 100.0).as("new_price"))
+        .alias("c")
+      base.join(changes, col("b.o_orderkey") === col("c.o_orderkey"), "full_outer")
+        .select(
+          coalesce(col("b.o_orderkey"), col("c.o_orderkey")).as("o_orderkey"),
+          coalesce(col("c.new_price"), col("b.o_totalprice")).as("price"))
+    }),
+
+    // J2: set-based lookup join replacing per-row point re-scans
+    "q08_join_enrich" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // R1: wide→tall unpivot (dynamic-column melt analog)
+    "q09_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(4, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount, 'tax', l_tax) as (measure, value)"))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))),
+
+    // R2: JSON shredding — JsonAdapter.java:62-263
+    "q10_json_shred" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))),
+
+    // §2.6: global sort + top-k
+    "q21_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")),
+
+    // sessionization (gap > 30 min) — window lag + running sum
+    "q22_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id")
+        .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // distinct aggregate (recon count-distinct)
+    "q24_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))),
+
+    // ---- training-data pipeline ops ---------------------------------------
+    // exact dedup (hash groupBy, min-id survivor)
+    "q11_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(plantedDocs(s, dir), col("text"), col("doc_id"))
+        .agg(count(lit(1)).as("n_unique"), sum("doc_id").as("id_sum"))),
+
+    // token counting
+    "q12_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))),
+
+    // quality scoring (arithmetic-only mirror; richer variant in TextAnalysis)
+    "q13_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          round(length(col("text")).cast("double") /
+            greatest(size(split(col("text"), " ")), lit(1)).cast("double"), 6).as("avg_tok_len"))),
+
+    // language-ID heuristic (marker-word votes; no SQL oracle — heuristic)
+    "q14_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))),
+
+    // MinHash+LSH near-dup pairs over the planted-duplicate corpus
+    "q15_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDups(plantedDocs(s, dir), "doc_id", "text", threshold = 0.9)
+        .agg(count(lit(1)).as("n_pairs"), round(sum("jaccard"), 2).as("jac_sum"))),
+
+    // SimHash near-dup pairs
+    "q16_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+          plantedDocs(s, dir).filter(col("doc_id") % 5 === 0 || col("doc_id") >= 1000000),
+          "doc_id", "text", maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"), sum("hamming").as("ham_sum"))),
+
+    // exact n-gram Jaccard between consecutive doc ids
+    "q17_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b = d.withColumn("doc_id", col("doc_id") - 1)
+        .withColumnRenamed("text", "text_next")
+      d.join(b, "doc_id")
+        .select(col("doc_id"),
+          round(Dedup.ngramJaccard(col("text"), col("text_next"), 3), 6).as("jaccard"))
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline); rounded BEFORE the
+    // top-k cut so the oracle's ordering ties identically
+    "q18_embed_topk" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding").cast("array<double>"),
+            typedLit(queryVec.map(_.toDouble))), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(20)),
+
+    // LSH-bucketed embedding near-dup (scale path; planted clones guarantee pairs)
+    "q19_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val planted = e.unionByName(e.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.lshNearNeighbors(planted, "embedding", "vec_id", threshold = 0.95)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // winnowing fingerprint
+    "q20_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.winnowingFingerprint(col("text"))).as("fp_size"),
+          TextAnalysis.winnowingFingerprint(col("text")).getItem(0).as("fp_min"))),
+
+    // multimodal stub: binary column + arithmetic metadata (plumbing mirror;
+    // batched Dataset path exercised in MultimodalSpec)
+    "q23_multimodal_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .select(col("doc_id"),
+          octet_length(col("media")).cast("long").as("media_bytes"),
+          (lit(64) + pmod(octet_length(col("media")), lit(1216))).cast("int").as("fake_width"),
+          (lit(64) + pmod(octet_length(col("media")) * 7, lit(656))).cast("int").as("fake_height"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_recon_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_predicate_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount > 0.05""".stripMargin,
+    "q03_prefix_scan" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderpriority LIKE '1-%' GROUP BY 1""".stripMargin,
+    "q04_timerange_scan" ->
+      """SELECT event_type, count(*) AS n, round(avg("value"), 4) AS avg_value
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q05_antijoin_delete" ->
+      """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderstatus = 'F' AND o.o_orderkey = l.l_orderkey)""".stripMargin,
+    "q06_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, "value" FROM (
+        |  SELECT user_id, event_id, event_type, "value",
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q07_merge_fullouter" ->
+      """SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |       coalesce(c.new_price, b.o_totalprice) AS price
+        |FROM orders b FULL OUTER JOIN
+        |  (SELECT o_orderkey, o_totalprice + 100.0 AS new_price
+        |   FROM orders WHERE o_orderkey % 7 = 0) c
+        |ON b.o_orderkey = c.o_orderkey""".stripMargin,
+    "q08_join_enrich" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q09_unpivot" ->
+      """SELECT measure, count(*) AS n, round(sum("value"), 2) AS total FROM (
+        |  SELECT 'qty' AS measure, l_quantity AS "value" FROM lineitem
+        |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'disc', l_discount FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem) GROUP BY 1""".stripMargin,
+    "q10_json_shred" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q21_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q22_sessionize" ->
+      """SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id, event_id,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 * 1000000
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM events))
+        |GROUP BY 1""".stripMargin,
+    "q24_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "q11_dedup_exact" ->
+      s"""SELECT count(*) AS n_unique, sum(doc_id) AS id_sum FROM (
+         |  SELECT min(doc_id) AS doc_id FROM ($plantedSql) GROUP BY text)""".stripMargin,
+    "q12_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    "q13_quality_score" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       round(CAST(strlen(text) AS DOUBLE) /
+        |             greatest(len(string_split(text, ' ')), 1), 6) AS avg_tok_len
+        |FROM documents""".stripMargin,
+    "q18_embed_topk" ->
+      s"""SELECT vec_id, cosine FROM (
+         |  SELECT vec_id,
+         |    round(list_dot_product(embedding::DOUBLE[], $queryVecSql) /
+         |          greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         |                   sqrt(list_dot_product($queryVecSql, $queryVecSql)), 1e-12), 6) AS cosine
+         |  FROM embeddings)
+         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "q23_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS media_bytes,
+        |       CAST(64 + strlen(text) % 1216 AS INT) AS fake_width,
+        |       CAST(64 + (strlen(text) * 7) % 656 AS INT) AS fake_height
+        |FROM documents""".stripMargin)
 }

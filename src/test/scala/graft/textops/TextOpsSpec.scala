@@ -1,0 +1,116 @@
+package graft.textops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different text about spark engines and parquet files"),
+    (5L, "der schnelle braune fuchs springt ueber den faulen hund und der hund ist")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor per text") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not distinct docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair must surface")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "doc 4 has no near dups")
+    // jaccard of the exact pair is 1.0
+    val j = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs have distance 0; blocked pairs verified") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngram jaccard: 1.0 for identical, in (0,1) for near dup, low for distinct") {
+    val j = docs.alias("a").join(docs.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.2 && j((1L, 3L)) < 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("winnowing fingerprint overlaps heavily for near-dup, not for distinct") {
+    val fps = docs.select(col("doc_id"), TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Seq[Long], b: Seq[Long]) =
+      a.toSet.intersect(b.toSet).size.toDouble / math.max(1, a.toSet.union(b.toSet).size)
+    assert(overlap(fps(1L), fps(2L)) == 1.0)
+    assert(overlap(fps(1L), fps(3L)) > 0.3)
+    assert(overlap(fps(1L), fps(4L)) == 0.0)
+  }
+
+  test("language id heuristic: en vs de markers") {
+    val preds = docs.select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(preds(1L) == "en")
+    assert(preds(5L) == "de")
+  }
+
+  test("token counts and quality columns") {
+    val row = docs.filter(col("doc_id") === 1)
+      .select(TextAnalysis.tokenCount(col("text")).as("n") +: TextAnalysis.qualityColumns(col("text")): _*)
+      .collect().head
+    assert(row.getLong(0) == 9)
+    assert(row.getLong(row.fieldIndex("n_words")) == 9)
+    assert(row.getDouble(row.fieldIndex("stopword_ratio")) > 0.2) // "the" x2, "over"
+  }
+
+  test("cosine brute-force top-k: self-similarity ranks first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", Seq(1.0f, 0.0f, 0.0f), 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("hyperplane LSH: identical vectors collide, neighbors found") {
+    val base = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat)))
+    val planted = base ++ Seq((1000L, base(5)._2)) // clone of vec 5
+    val df = planted.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearNeighbors(df, "embedding", "vec_id", threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 1000L)))
+  }
+
+  test("multimodal batched feature extraction plumbing") {
+    implicit val s = spark
+    val df = docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+    val rows = Multimodal.withMeta(df, "doc_id", "media", "image")
+    val feats = Multimodal.extractFeatures(rows, batchSize = 2).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(_.features.length == 16))
+    // determinism: same bytes → same features
+    val f1 = feats.find(_.id == 1L).get.features.toSeq
+    val f2 = feats.find(_.id == 2L).get.features.toSeq
+    assert(f1 == f2)
+    // meta is populated
+    val meta = rows.collect().find(_.id == 1L).get.meta
+    assert(meta.bytes == docs.filter(col("doc_id") === 1).select(length(col("text"))).head().getInt(0))
+    assert(meta.width >= 64 && meta.height >= 64)
+  }
+}
