@@ -69,6 +69,20 @@ object ZOrder {
     coalesce(element_at(m, c).cast(LongType), pmod(xxhash64(c), lit(1L << bits)))
   }
 
+  /** Driver-side mirror of [[packedPrefix]] — MUST stay bit-identical to
+    * the column expression (used to derive host bounds from file metadata
+    * without scanning data). */
+  def packPrefixScala(s: String, chars: Int = 8): Long = {
+    val padded = (if (s == null) "" else s).padTo(chars, ' ')
+    var out = 0L
+    var i = 0
+    while (i < chars) {
+      out = (out << 7) | math.min(padded.charAt(i).toLong, 127L)
+      i += 1
+    }
+    out
+  }
+
   /** Order-preserving string dim, unscaled (top `bits` of the packed
     * prefix). Only discriminates when the domain has no long shared
     * prefix; prefer `rangeDim(packedPrefix(c), observedMin, observedMax,

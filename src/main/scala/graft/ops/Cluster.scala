@@ -15,16 +15,20 @@ import graft.table.{DataFileMeta, FileIO, GraftTable, Snapshot}
  * generalization of the reference's rowkey-prefix scan pruning
  * (`sql/HQLEngine.java:136-155`) to multiple dimensions.
  *
- * Scale design:
- *  - ONE range shuffle (`repartitionByRange` on the z-key) + in-partition
- *    sort; both spill-safe and AQE-compatible;
- *  - skewed hosts get an explicit salt tiebreaker column before range
- *    partitioning (the analog of the reference's 1-byte murmur rowkey salt,
- *    `hbase/RowkeyField.java:139-154`): equal z-keys of a heavy host can
- *    then be split across partitions;
- *  - heavy hitters are found with a cheap aggregate over only the host
- *    column (parquet column pruning makes this scan tiny relative to the
- *    rewrite itself).
+ * Scale design — the rewrite is exactly TWO jobs over the data:
+ *  1. a key-only sample scan (column-pruned: url/lang/warc_ts, never
+ *     html/text) that yields BOTH the equi-depth range boundaries and the
+ *     heavy-host set (sample frequency × 1/fraction estimates row counts);
+ *  2. the real pass: z-key + salt computed in codegen, ONE steered hash
+ *     exchange ([[RangeShuffle]] — no repartitionByRange double-scan),
+ *     in-partition sort, parquet write.
+ * Per-dim bounds come free from file metadata (min/max of url → host
+ * prefix, warc_ts), so no bounds aggregate runs at all.
+ *
+ * Skewed hosts get a salt XORed into the z-key's low bits before range
+ * partitioning (the analog of the reference's 1-byte murmur rowkey salt,
+ * `hbase/RowkeyField.java:139-154`): a heavy host's identical keys become
+ * nSalts distinct keys that equi-depth boundaries can split.
  */
 object Cluster {
 
@@ -48,6 +52,30 @@ object Cluster {
       min(col("warc_ts").cast(LongType)).as("t0"),
       max(col("warc_ts").cast(LongType)).as("t1")).first()
     ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  private def hostOf(url: String): String = {
+    val m = "^[a-z]+://([^/]+)/".r.findFirstMatchIn(if (url == null) "" else url)
+    m.map(_.group(1)).getOrElse("")
+  }
+
+  /** ZBounds derived from file metadata alone (no scan): url min/max give
+    * host-prefix bounds because url = scheme + host + path and the packer
+    * only looks at the first 8 host chars; warc_ts bounds are in micros in
+    * the metadata, while `cast(timestamp as long)` yields seconds — hence
+    * the division. Falls back to a data scan when metadata is missing. */
+  def boundsFromMeta(df: DataFrame, inputs: Seq[DataFileMeta]): ZBounds = {
+    val urlsOk = inputs.forall(f => f.minValues.contains("url") && f.maxValues.contains("url"))
+    val tsOk = inputs.forall(f => f.minValues.contains("warc_ts") && f.maxValues.contains("warc_ts"))
+    val schemes = inputs.flatMap(f => Seq(f.minValues.get("url"), f.maxValues.get("url")).flatten)
+      .map(u => u.takeWhile(_ != ':')).distinct
+    if (inputs.isEmpty || !urlsOk || !tsOk || schemes.size != 1) return computeBounds(df)
+    val hostLos = inputs.map(f => ZOrder.packPrefixScala(hostOf(f.minValues("url"))))
+    val hostHis = inputs.map(f => ZOrder.packPrefixScala(hostOf(f.maxValues("url"))))
+    ZBounds(
+      hostLos.min, hostHis.max,
+      inputs.map(_.minValues("warc_ts").toLong).min / 1000000L,
+      inputs.map(_.maxValues("warc_ts").toLong).max / 1000000L)
   }
 
   def zkeyCol(d: ZDims, b: ZBounds): Column = {
@@ -95,21 +123,39 @@ object Cluster {
     if (!(log.doneSteps.contains("rewrite") && FileIO.exists(s"$dir/_SUCCESS"))) {
       FileIO.deleteRecursively(dir)
       val df = spark.read.schema(schema).parquet(inputs.map(table.absPath): _*)
+      val rowsTotal = inputs.map(_.rows).sum
+      val bounds = boundsFromMeta(df, inputs) // no scan in the common case
 
-      // explicit salt-split for skewed hosts (hot-host analog of hot regions)
-      val heavyHosts: Seq[String] = df
-        .select(hostCol(col("url")).as("host"))
-        .groupBy("host").count()
-        .filter(col("count") > saltThresholdRows)
-        .collect().map(_.getString(0)).toSeq
-      val bounds = computeBounds(df)
+      // ONE key-only sample scan yields both range boundaries and the
+      // heavy-host set (an exact groupBy(host) would mean collecting every
+      // distinct host — unbounded at web scale; the sample estimate is
+      // rows ≈ sampleCount / fraction and only needs the heavy tail)
+      val fraction = math.min(1.0,
+        (nOut.toLong * 400).toDouble / math.max(1L, rowsTotal))
+      val sampled = df
+        .select(zkeyCol(dims, bounds).as("z"), hostCol(col("url")).as("host"))
+        .sample(withReplacement = false, fraction, seed = 42)
+        .collect()
+      val heavyHosts: Seq[String] = sampled.groupBy(_.getString(1))
+        .collect { case (h, rows) if rows.length / fraction > saltThresholdRows => h }
+        .toSeq.sorted
+      val zSample = sampled.map(_.getLong(0)).sorted
+      val bds: Array[Long] =
+        if (nOut <= 1 || zSample.isEmpty) Array.empty
+        else (1 until nOut)
+          .map(i => zSample(math.min(zSample.length - 1, i * zSample.length / nOut)))
+          .distinct.toArray
+
+      // salt-perturbed key: XOR flips only the low bits (noise bits of the
+      // ts dimension), so heavy-host ties get up to nSalts distinct keys
+      // that equi-depth boundaries can split, without hurting clustering
       val salted = withZKey(df, dims, bounds, heavyHosts, nSalts)
+        .withColumn("_zs", col("_zkey").bitwiseXOR(col("_salt").cast("long")))
 
       spark.sparkContext.setJobDescription(s"zorder-rewrite $runId (${inputs.size} files, $nOut out)")
-      val sorted = salted
-        .repartitionByRange(nOut, col("_zkey"), col("_salt"))
-        .sortWithinPartitions(col("_zkey"))
-      table.writeDataFiles(sorted, commitUuid) // selects schema cols, dropping _zkey/_salt
+      val sorted = RangeShuffle.byRange(salted, col("_zs"), bds)
+        .sortWithinPartitions(col("_zs"))
+      table.writeDataFiles(sorted, commitUuid) // selects schema cols, dropping _zkey/_salt/_zs
       log = Maintenance.markDone(table, log, "rewrite")
     }
     val added = graft.table.StatsCollector.collect(

@@ -73,10 +73,13 @@ object Synth {
         element_at(lit(langs.toArray),
           (floor(pow(u(col("urlId"), 2, seed), 2.2) * langs.size) + 1).cast(IntegerType)))
       .withColumn("text", textExpr(col("url"), col("version")))
+      // html: DISTINCT 32-byte sha blocks, unhexed → incompressible binary
+      // (a repeat() of one block would RLE away and make GB/s meaningless)
       .withColumn("html",
-        repeat(sha2(concat(col("url"), lit("#"), col("version"), lit("#html")), 256),
-          (pmod(xxhash64(col("id"), lit(3), lit(seed)), lit(htmlRepeatMax.toLong - 4)) + 4).cast(IntegerType))
-          .cast(BinaryType))
+        unhex(array_join(transform(
+          sequence(lit(1),
+            (pmod(xxhash64(col("id"), lit(3), lit(seed)), lit(htmlRepeatMax.toLong - 4)) + 4).cast(IntegerType)),
+          i => sha2(concat(col("url"), lit("#"), col("version"), lit("#"), i), 256)), "")))
     df.select("url", "warc_ts", "html", "text", "lang")
   }
 

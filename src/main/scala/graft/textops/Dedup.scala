@@ -21,15 +21,22 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_k", "_rn")
 
-  /** MinHash signature: H independent permutations approximated by seeded
-    * xxhash64; sig[j] = min over shingles of hash_j(shingle). Pure column
-    * expressions → whole-stage codegen. */
-  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 32): Column = {
-    val sh = TextAnalysis.shingles(text, shingleN)
+  /** 64-bit hashes of the distinct shingles — computed ONCE per document;
+    * everything downstream (signature, jaccard) re-hashes these cheap longs
+    * instead of re-hashing strings. */
+  def shingleHashes(text: Column, shingleN: Int = 3): Column =
+    array_distinct(transform(TextAnalysis.shingles(text, shingleN), s => xxhash64(s)))
+
+  /** MinHash signature over pre-hashed shingles: sig[j] = min over shingles
+    * of hash_j, with hash_j(h) = xxhash64(h, j). Pure column expressions →
+    * whole-stage codegen. */
+  def minhashSigFromHashes(shHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => xxhash64(s, lit(j))))
+      array_min(transform(shHashes, h => xxhash64(h, lit(j))))
     }: _*)
-  }
+
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 32): Column =
+    minhashSigFromHashes(shingleHashes(text, shingleN), numHashes)
 
   /**
    * MinHash-LSH near-duplicate candidate pairs: band the signature
@@ -49,13 +56,19 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("_sig", minhashSignature(col("text"), shingleN, numHashes))
-      .withColumn("_sh", array_distinct(TextAnalysis.shingles(col("text"), shingleN)))
-    val banded = withSig.select(col("id"), col("_sh"),
+    // shingle hashing happens once; the banded relation is persisted because
+    // the self-join would otherwise recompute signatures for both sides (and
+    // once per band) — the standard LSH-join materialization point
+    val withSh = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleN).as("_sh"))
+      .withColumn("_sig", minhashSigFromHashes(col("_sh"), numHashes))
+    val banded = withSh.select(col("id"), col("_sh"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(to_json(slice(col("_sig"), b * r + 1, r))).as("bh"))
+        struct(lit(b).as("band"),
+          aggregate(slice(col("_sig"), b * r + 1, r), lit(17L),
+            (acc, x) => xxhash64(acc, x)).as("bh"))
       }: _*)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val pairs = a.join(b,
@@ -98,6 +111,7 @@ object Dedup {
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), shiftright(col("sh"), c * 16).bitwiseAND(0xffffL).as("ck"))
       }: _*)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = blocked.alias("a"); val b = blocked.alias("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

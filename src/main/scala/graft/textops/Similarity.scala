@@ -69,6 +69,7 @@ object Similarity {
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), shiftright(col("_sig"), b * r).bitwiseAND(mask).as("bh"))
       }: _*)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.alias("a"); val b2 = banded.alias("b")
     a.join(b2, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

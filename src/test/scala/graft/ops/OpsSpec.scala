@@ -36,7 +36,8 @@ class CompactSpec extends SparkSuite {
     assert(t.readSnapshot(preSnap).count() == preCount)
     // (e) lineage rows: every output file accounted, with its source files
     val lin = Lineage.metrics(spark, t).filter(col("op") === "compact" && col("out_path") =!= "")
-    assert(lin.count() == t.files().size)
+    val compactOutputs = t.files().count(_.commitUuid.startsWith("compact-"))
+    assert(lin.count() == compactOutputs)
     assert(lin.filter(size(col("source_files")) < 2).count() == 0)
   }
 
