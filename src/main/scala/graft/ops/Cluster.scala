@@ -32,8 +32,12 @@ import graft.table.{DataFileMeta, FileIO, GraftTable, Snapshot}
  */
 object Cluster {
 
-  /** Z-dimension spec for the page table: (lang, url-host, warc_ts). */
-  final case class ZDims(bitsPerDim: Int = 20)
+  /** Z-dimension spec for the page table: (lang, url-host, warc_ts).
+    * `curve`: "zorder" (Morton) or "hilbert" (better locality, ~2x the
+    * key-compute cost — both codegen'd). */
+  final case class ZDims(bitsPerDim: Int = 20, curve: String = "zorder") {
+    require(curve == "zorder" || curve == "hilbert", s"unknown curve $curve")
+  }
 
   /** Observed per-dim bounds — measured from the data in one cheap
     * column-pruned aggregate so each dim uses its FULL bit range (a host
@@ -86,7 +90,8 @@ object Cluster {
     val lang = ZOrder.dictDim(col("lang"), Synth.langs, d.bitsPerDim)
     val host = ZOrder.rangeDim(hostPacked, b.hostMin, b.hostMax, d.bitsPerDim)
     val ts = ZOrder.rangeDim(col("warc_ts").cast(LongType), b.tsMin, b.tsMax, d.bitsPerDim)
-    ZOrder.zkey(d.bitsPerDim, lang, host, ts)
+    if (d.curve == "hilbert") graft.functions.Hilbert.key(d.bitsPerDim, lang, host, ts)
+    else ZOrder.zkey(d.bitsPerDim, lang, host, ts)
   }
 
   /**
@@ -162,7 +167,8 @@ object Cluster {
       spark, schema, table.root, FileIO.listFiles(dir, ".parquet"), commitUuid)
     val removed = inputs.map(_.path).toSet
     val committed = table.replaceFiles(removed, added, "cluster",
-      Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts", "bits" -> dims.bitsPerDim.toString),
+      Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts",
+        "bits" -> dims.bitsPerDim.toString, "curve" -> dims.curve),
       expectedSnapshotId = Some(snap.id))
     Maintenance.markCommitted(table, log, committed.id)
     Lineage.record(spark, table, runId, committed.id, "cluster", added,

@@ -103,6 +103,8 @@ object Merge {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
 
+    val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(s"no column $keyCol"))
     val touched = touchedFiles(table, src.select(keyCol), keyCol)
     val base =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -129,7 +131,18 @@ object Merge {
     if (!(log.doneSteps.contains("rewrite") && graft.table.FileIO.exists(s"$dir/_SUCCESS"))) {
       graft.table.FileIO.deleteRecursively(dir)
       spark.sparkContext.setJobDescription(s"merge $runId (${touched.size} touched files)")
-      val out = if (nOut > 1) merged.repartitionByRange(nOut, col(keyCol)) else merged
+      // range-partition the merged output on the key WITHOUT sampling the
+      // child (repartitionByRange would re-execute the full-outer join just
+      // to pick boundaries): equi-depth boundaries come from the touched
+      // files' key bounds weighted by row counts — free, from metadata
+      val out =
+        if (nOut > 1 && dt == StringType) {
+          val bds = RangeShuffle.boundariesFromFileMeta(touched, keyCol, nOut,
+            s => graft.functions.ZOrder.packPrefixScala(s))
+          RangeShuffle.byRange(merged,
+            graft.functions.ZOrder.packedPrefix(col(keyCol), 8), bds)
+        } else if (nOut > 1) merged.repartition(nOut, col(keyCol))
+        else merged
       table.writeDataFiles(out, commitUuid)
       Maintenance.markDone(table, log, "rewrite")
     }

@@ -65,6 +65,36 @@ object RangeShuffle {
   }
 
   /**
+   * Equi-depth boundaries WITHOUT any scan: per-file [min,max] key bounds
+   * from table metadata, each file contributing row-weighted interpolated
+   * points. Approximate (assumes roughly uniform keys within a file) but
+   * free — right for cases where even a key-only sample would re-execute
+   * an expensive child (e.g. the MERGE full-outer join).
+   */
+  def boundariesFromFileMeta(
+      files: Seq[graft.table.DataFileMeta],
+      colName: String,
+      n: Int,
+      key: String => Long,
+      pointsPerFile: Int = 8): Array[Long] = {
+    if (n <= 1) return Array.empty
+    val pts = files.flatMap { f =>
+      for {
+        lo <- f.minValues.get(colName)
+        hi <- f.maxValues.get(colName)
+      } yield (key(lo), key(hi), f.rows)
+    }
+    if (pts.isEmpty) return Array.empty
+    val avgRows = math.max(1L, pts.map(_._3).sum / pts.length)
+    val samples = pts.flatMap { case (lo, hi, rows) =>
+      val k = math.max(2, (pointsPerFile * rows / avgRows).toInt)
+      (0 until k).map(i => lo + ((hi - lo).toDouble * i / (k - 1)).toLong)
+    }.sorted.toIndexedSeq
+    (1 until n).map(i => samples(math.min(samples.length - 1, i * samples.length / n)))
+      .distinct.toArray
+  }
+
+  /**
    * Range-repartition `df` into (boundaries.length + 1) partitions by `key`
    * and sort each partition by `sortKey`. Rows with equal keys stay
    * together (ties are not split — use a salted key for pathological skew).

@@ -33,19 +33,24 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where h_j is a
-    * deterministic pseudo-random hyperplane derived from (j, dim index).
-    * Cosine-similar vectors agree on most bits (Charikar, STOC 2002). */
-  def hyperplaneSig(emb: Column, bits: Int, seed: Long = 42L): Column = {
+  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)). The
+    * hyperplanes are deterministic ±1 matrices PRECOMPUTED on the driver
+    * and inlined as literals — the per-row work is bits×dim multiply-adds
+    * with zero hash calls (hashing (j,i) per row per bit would cost 1000+
+    * hash evaluations per vector). Cosine-similar vectors agree on most
+    * bits (Charikar, STOC 2002). */
+  def hyperplaneSig(emb: Column, bits: Int, seed: Long = 42L, maxDim: Int = 512): Column = {
     val v = emb.cast("array<double>")
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bits)(Seq.fill(maxDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
     aggregate(
       sequence(lit(0), lit(bits - 1)),
       lit(0L),
       (acc, j) => {
-        // h_j[i] in {-1, +1} from a hash of (seed, j, i)
-        val d = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * when(pmod(xxhash64(lit(seed), j, i), lit(2L)) === 0, 1.0).otherwise(-1.0)),
+        // slice to the vector's length: zip_with null-pads the shorter side
+        val plane = slice(element_at(typedLit(planes), j.cast("int") + 1), lit(1), size(v))
+        val d = aggregate(zip_with(v, plane, (x, s) => x * s),
           lit(0.0d), (a, x) => a + x)
         acc.bitwiseOR(when(d > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L)))
       })
