@@ -222,7 +222,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val planted = e.unionByName(e.filter(col("vec_id") < 50)
         .withColumn("vec_id", col("vec_id") + 1000000L))
-      Similarity.lshNearNeighbors(planted, "embedding", "vec_id", threshold = 0.95)
+      Similarity.lshNearNeighbors(planted, "embedding", "vec_id", sigBits = 64, bands = 4, threshold = 0.95)
         .agg(count(lit(1)).as("n_pairs"))
     }),
 

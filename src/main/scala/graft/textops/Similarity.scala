@@ -64,7 +64,7 @@ object Similarity {
    */
   def lshNearNeighbors(
       df: DataFrame, embCol: String, idCol: String,
-      sigBits: Int = 16, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      sigBits: Int = 32, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     require(sigBits % bands == 0)
     val r = sigBits / bands
     val mask = (1L << r) - 1
