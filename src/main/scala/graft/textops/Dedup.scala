@@ -21,11 +21,20 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_k", "_rn")
 
-  /** 64-bit hashes of the distinct shingles — computed ONCE per document;
-    * everything downstream (signature, jaccard) re-hashes these cheap longs
-    * instead of re-hashing strings. */
-  def shingleHashes(text: Column, shingleN: Int = 3): Column =
-    array_distinct(transform(TextAnalysis.shingles(text, shingleN), s => xxhash64(s)))
+  /** 64-bit hashes of the distinct shingles — computed ONCE per document.
+    * Tokens are hashed individually and n-gram hashes combine the token
+    * hashes (no n-gram string materialization), so the per-doc cost is
+    * one string hash per token + one long-combine per shingle. */
+  def shingleHashes(text: Column, shingleN: Int = 3): Column = {
+    val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val windowed = transform(
+      sequence(lit(0), greatest(size(th) - shingleN, lit(0))),
+      i => xxhash64((0 until shingleN).map(k => element_at(th, i + k + 1)): _*))
+    array_distinct(
+      when(size(th) < shingleN, array(xxhash64((0 until shingleN).map(k =>
+        coalesce(try_element_at(th, lit(k + 1)), lit(0L))): _*)))
+        .otherwise(windowed))
+  }
 
   /** MinHash signature over pre-hashed shingles: sig[j] = min over shingles
     * of hash_j, with hash_j(h) = xxhash64(h, j). Pure column expressions →
