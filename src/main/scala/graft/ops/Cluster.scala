@@ -176,6 +176,24 @@ object Cluster {
     Some(committed)
   }
 
+  /**
+   * Incremental clustering: rewrites only files appended since the last
+   * clustering pass (those not produced by a cluster commit), leaving
+   * already-clustered files untouched — the steady-state maintenance mode
+   * at 100 TB, where re-sorting the whole table per ingest cycle is
+   * impossible. Periodic full rewrites restore global order.
+   */
+  def incremental(
+      table: GraftTable,
+      dims: ZDims = ZDims(),
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      runId: String = java.util.UUID.randomUUID.toString,
+      minFiles: Int = 2): Option[Snapshot] = {
+    val unclustered = table.files().filterNot(_.commitUuid.startsWith("cluster-"))
+    if (unclustered.size < minFiles) None
+    else zorderRewrite(table, dims, targetFileBytes, runId, onlyFiles = Some(unclustered))
+  }
+
   /** Adds `_zkey` and `_salt` (nonzero only for heavy hosts). */
   def withZKey(df: DataFrame, dims: ZDims, bounds: ZBounds,
       heavyHosts: Seq[String], nSalts: Int): DataFrame = {

@@ -45,9 +45,11 @@ object Demo {
     println(s"[demo] appended $beforeCount rows in ${t.files().size} files")
     check("append row count")(beforeCount == nUrls)
 
-    // 2. compact
+    // 2. compact (targets scale with table size: ~16 compacted files,
+    // ~32 clustered files regardless of nUrls)
+    val tableBytes = t.files().map(_.bytes).sum
     val preSnap = t.currentSnapshot.get.id
-    val c = Compact.run(t, targetBytes = 1024L * 1024, orderBy = Some("url"))
+    val c = Compact.run(t, targetBytes = math.max(256L * 1024, tableBytes / 16), orderBy = Some("url"))
     println(s"[demo] compacted → ${t.files().size} files (snapshot ${c.map(_.id)})")
     check("compact happened")(c.nonEmpty && t.files().size < 64)
     check("compact scan equality (count)")(t.read().count() == beforeCount)
@@ -56,7 +58,8 @@ object Demo {
     check("old snapshot still readable")(t.readSnapshot(preSnap).count() == beforeCount)
 
     // 3. z-order cluster + pruning
-    val cl = Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = 192L * 1024,
+    val cl = Cluster.zorderRewrite(t, Cluster.ZDims(),
+      targetFileBytes = math.max(128L * 1024, tableBytes / 32),
       saltThresholdRows = nUrls / 4)
     val all = t.files().size
     val pruned = t.planFiles(Some(col("lang") === "de")).size

@@ -85,6 +85,27 @@ class ClusterSpec extends SparkSuite {
     assertSameRows(t.read(), pre, "cluster full scan")
   }
 
+  test("incremental clustering rewrites only unclustered files") {
+    val root = tmpDir("graft-incr")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 8000, partitions = 8))
+    Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = 256L * 1024)
+    val clustered = t.files().map(_.path).toSet
+    // new appends arrive unsorted
+    t.append(Synth.pages(spark, 2000, partitions = 4, seed = 99))
+    val pre = t.read()
+    val preCount = pre.count()
+    val snap = Cluster.incremental(t, Cluster.ZDims(), targetFileBytes = 256L * 1024)
+    assert(snap.nonEmpty)
+    // previously clustered files survive untouched; appended files are gone
+    val after = t.files().map(_.path).toSet
+    assert(clustered.subsetOf(after), "clustered files must not be rewritten")
+    assert(t.read().count() == preCount)
+    assertSameRows(t.read(), pre, "incremental cluster")
+    // nothing left to do → no-op
+    assert(Cluster.incremental(t, Cluster.ZDims(), targetFileBytes = 256L * 1024).isEmpty)
+  }
+
   test("salting splits a pathologically hot host across partitions") {
     import spark.implicits._
     // one host dominating: without salt all its rows share a zkey prefix
