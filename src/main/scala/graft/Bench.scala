@@ -117,17 +117,18 @@ object Bench {
         .write.parquet(stagedDir)
       spark.stop()
 
-      maintenancePass(8, stagedDir) // untimed warmup (JIT + page cache)
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+      val warmup = 8 -> maintenancePass(8, stagedDir) // JIT + page cache; still counted below
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
       // alternate to spread host-noise evenly across levels; per-op mins
       // (steal storms hit individual passes, not individual ops equally)
-      val passes = (1 to rounds).flatMap(_ => Seq(2, 8)).map(c => c -> maintenancePass(c, stagedDir))
+      val passes = warmup +:
+        (1 to rounds).flatMap(_ => Seq(2, 8)).map(c => c -> maintenancePass(c, stagedDir))
       def best(level: Int): Pass = {
         val ps = passes.filter(_._1 == level).map(_._2)
         Pass(ps.head.gb, ps.head.docs, ps.map(_.tCompact).min, ps.map(_.tCluster).min)
       }
       val p2 = best(2); val p8 = best(8)
-      val p32 = (1 to rounds).map(_ => maintenancePass(32, stagedDir))
+      val p32 = (1 to math.min(2, rounds)).map(_ => maintenancePass(32, stagedDir))
         .reduce((a, b) => Pass(a.gb, a.docs,
           math.min(a.tCompact, b.tCompact), math.min(a.tCluster, b.tCluster)))
       def thr(p: Pass) = p.gb / p.sec
