@@ -125,10 +125,12 @@ object SparkEntry {
         .groupBy("measure")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))),
 
-    // R2: JSON shredding — JsonAdapter.java:62-263
+    // R2: JSON shredding — JsonAdapter.java:62-263 (via the JsonShred op)
     "q10_json_shred" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", LongType)))).getField("k"))
+      graft.textops.JsonShred.shred(
+          t(s, dir, "events"), col("props"),
+          StructType(Seq(StructField("k", LongType))), Seq("k"),
+          keep = Seq(col("event_type")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))),
 

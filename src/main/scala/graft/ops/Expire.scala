@@ -51,6 +51,51 @@ object Expire {
     droppedManifests.foreach(p => FileIO.delete(s"${table.root}/$p"))
     Result(dropped.map(_.id), droppedFiles, droppedManifests)
   }
+
+  /**
+   * Remove orphan data files: files on disk under `data/` referenced by NO
+   * snapshot — leftovers of crashed maintenance runs that staged output but
+   * never committed. Only files older than `olderThanMs` are touched, so an
+   * IN-FLIGHT run's staging is never deleted (the same grace window
+   * real-world orphan cleanup uses against racing writers).
+   */
+  def removeOrphans(table: GraftTable, olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val referenced: Set[String] = table.metadata.snapshots
+      .flatMap(s => s.manifests.flatMap(m => table.readManifest(m.path)))
+      .map(f => s"${table.root}/${f.path}").toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dataRoot = java.nio.file.Paths.get(table.dataDir)
+    if (java.nio.file.Files.isDirectory(dataRoot)) {
+      val stream = java.nio.file.Files.walk(dataRoot)
+      try {
+        stream.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            val abs = p.toString
+            val isData = abs.endsWith(".parquet")
+            if (isData && !referenced.contains(abs) &&
+                java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+              orphans += abs
+            }
+          }
+        }
+      } finally stream.close()
+    }
+    orphans.foreach(FileIO.delete)
+    // prune now-empty commit directories
+    FileIO.listFiles(table.dataDir) // no-op touch; directories cleaned below
+    val dirStream = java.nio.file.Files.list(dataRoot)
+    try {
+      dirStream.forEach { d =>
+        if (java.nio.file.Files.isDirectory(d)) {
+          val ls = java.nio.file.Files.list(d)
+          val empty = try !ls.findFirst().isPresent finally ls.close()
+          if (empty) java.nio.file.Files.deleteIfExists(d)
+        }
+      }
+    } finally dirStream.close()
+    orphans.toSeq
+  }
 }
 
 /**

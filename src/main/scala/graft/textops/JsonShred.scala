@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 object JsonShred {
 
   /** Shred `jsonCol` (string JSON) of `df` into columns for `paths`,
-    * exploding every array segment along each path. */
-  def shred(df: DataFrame, jsonCol: Column, schema: DataType, paths: Seq[String]): DataFrame = {
+    * exploding every array segment along each path. `keep` columns of the
+    * source row are carried through (duplicated into each exploded record,
+    * like the reference duplicates the rest of the row). */
+  def shred(df: DataFrame, jsonCol: Column, schema: DataType, paths: Seq[String],
+      keep: Seq[Column] = Seq.empty): DataFrame = {
     val parsed = df.withColumn("_j", from_json(jsonCol, schema))
 
     // collect array prefixes in schema order of appearance across all paths
@@ -58,7 +61,7 @@ object JsonShred {
       aliasOf(prefix) = alias
     }
 
-    val outCols = paths.map { p =>
+    val outCols = keep ++ paths.map { p =>
       val segs = p.split('.').toSeq
       resolve(col("_j"), segs, aliasOf).as(segs.mkString("#"))
     }

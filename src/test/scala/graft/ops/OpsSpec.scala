@@ -241,6 +241,24 @@ class ExpireSpec extends SparkSuite {
     assert(t.metadata.snapshots.size == 1)
   }
 
+  test("orphan cleanup deletes unreferenced staging, spares live files and fresh staging") {
+    val root = tmpDir("graft-orphan")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 500, partitions = 2))
+    // crashed run: staged parquet that never committed
+    val staged = s"${t.dataDir}/compact-crashed-g0"
+    Synth.pages(spark, 100, partitions = 1).write.parquet(staged)
+    val stagedFiles = graft.table.FileIO.listFiles(staged, ".parquet")
+    assert(stagedFiles.nonEmpty)
+    // fresh staging is spared by the grace window
+    assert(Expire.removeOrphans(t, olderThanMs = 3600 * 1000).isEmpty)
+    // past the window it is GC'd; live files survive
+    val removed = Expire.removeOrphans(t, olderThanMs = -1000)
+    assert(removed.toSet == stagedFiles.toSet)
+    assert(t.read().count() == 500)
+    assert(t.files().forall(f => graft.table.FileIO.exists(t.absPath(f))))
+  }
+
   test("manifest rewrite preserves the file set exactly") {
     val root = tmpDir("graft-mrw")
     val t = GraftTable.create(spark, root, Synth.pageSchema)
