@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.graftshim.GraftRelation
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+import graft.table.{FileIO, GraftTable}
+
+/**
+ * `spark.read.format("graft").load(root)` — the SQL-facing front door of the
+ * table format (registered via META-INF/services). Options:
+ *
+ *   - `snapshot-id`: time travel — read a historical snapshot (the engine's
+ *     answer to the reference's active/DR timestamp fencing,
+ *     `util/TimeStampUtil.java:111-152`: readers only ever see committed
+ *     snapshots, and any retained one is addressable).
+ *
+ * The returned relation is a [[org.apache.spark.sql.graftshim.GraftFileIndex]]-backed
+ * HadoopFsRelation, so WHERE clauses in SQL over this source prune data
+ * files from snapshot min/max metadata before the scan is planned.
+ */
+class GraftDataSource extends RelationProvider with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  /**
+   * `df.write.format("graft").mode(...).save(root)`:
+   *   - Append    → append snapshot (creates the table on first write);
+   *   - Overwrite → single atomic replace-files commit (all previous files
+   *     out, new files in) — readers holding the old snapshot keep reading
+   *     it, the reference's DROP/RENAME swap (`hive/HiveTableIR.java:296-299`)
+   *     done as a metadata pointer move.
+   */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft sink requires a path: df.write.format(\"graft\").save(<table root>)"))
+    val spark = sqlContext.sparkSession
+    val exists = FileIO.exists(s"$root/metadata/v1.json")
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $root")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        val tbl = if (exists) GraftTable.load(spark, root)
+                  else GraftTable.create(spark, root, data.schema)
+        tbl.append(data)
+      case SaveMode.Overwrite =>
+        val tbl = if (exists) GraftTable.load(spark, root)
+                  else GraftTable.create(spark, root, data.schema)
+        val old = tbl.files().map(_.path).toSet
+        val added = tbl.writeDataFiles(data)
+        tbl.replaceFiles(old, added, "overwrite")
+    }
+    val tbl = GraftTable.load(spark, root)
+    GraftRelation.relation(spark, tbl.schema, root, tbl.files())
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft source requires a path: spark.read.format(\"graft\").load(<table root>)"))
+    val spark = sqlContext.sparkSession
+    val table = GraftTable.load(spark, root)
+    val snapshotId = parameters.get("snapshot-id").map(_.toLong)
+    GraftRelation.relation(spark, table.schema, root, table.files(snapshotId))
+  }
+}

@@ -2,7 +2,7 @@ package graft.table
 
 import java.util.UUID
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -83,18 +83,18 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   }
 
   /**
-   * Snapshot-isolated read. File-level pruning happens here (metadata only);
-   * row-group pruning and residual filtering are Catalyst + Parquet pushdown
-   * on the returned DataFrame.
+   * Snapshot-isolated read via a [[org.apache.spark.sql.graftshim.GraftFileIndex]]-backed
+   * relation: Catalyst pushes the query's own data filters into `listFiles`,
+   * so min/max file skipping happens for ANY predicate later applied to the
+   * returned DataFrame (including through SQL views) — not only the optional
+   * `predicate` argument, which is kept as an eager pre-prune plus residual
+   * filter for callers that want plan-time file counts. Row-group pruning and
+   * residual filtering remain Catalyst + Parquet pushdown.
    */
   def read(predicate: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
     val sch = schema
     val planned = planFiles(predicate, snapshotId)
-    val df =
-      if (planned.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
-      else
-        spark.read.schema(sch).parquet(planned.map(f => s"$root/${f.path}"): _*)
+    val df = org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, planned)
     predicate match {
       case Some(p) => df.filter(p)
       case None    => df
