@@ -93,7 +93,12 @@ object Bench {
 
     // ---- part 1: contract queries ----------------------------------------
     var spark = mkSession(cpus)
-    spark.range(1).count() // JIT/session warmup
+    // JIT/session warmup: exercise the vectorized parquet reader, hash
+    // aggregate and codegen once so q01 (alphabetically first) doesn't pay
+    // the JVM's first-query compile cost in its reported number
+    spark.range(1).count()
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = time {
         try fn(spark, sfDir).count()

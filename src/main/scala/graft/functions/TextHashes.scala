@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native single-pass implementations of the text-hashing hot path (shingle
+ * hashes, MinHash signatures, SimHash) as codegen'd Catalyst expressions.
+ *
+ * The pure-column formulations (see git history of `textops/Dedup.scala`)
+ * were built from `transform`/`aggregate` higher-order functions, which
+ * Spark evaluates INTERPRETED (no doGenCode) with a boxed array allocation
+ * per lambda application — measured at ~18 s for MinHash over a 10k-doc
+ * corpus where this one-pass version runs in well under a second. This is
+ * SURVEY.md §7.4's "promote to a codegen Expression only if hot", exercised.
+ *
+ * Semantics are bit-identical to the column versions they replace:
+ * tokens = `split(lower(trim(text)), "\\s+")` (Spark split keeps leading
+ * and trailing empty fields at limit -1), token hash = `xxhash64(tok)`
+ * (seed 42), shingle hash = `xxhash64(h_1..h_n)` chain, per-function
+ * MinHash hash = `xxhash64(shingleHash, j)`.
+ */
+object TextHash {
+
+  private val SEED = 42L
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** xxhash64 of each whitespace token of lower(trim(text)), in order —
+    * including the empty leading/trailing fields Spark's split emits. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val b = text.trim().toLowerCase().getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[Long]()
+    if (n == 0) return Array(XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, 0, SEED))
+    var i = 0
+    if (isWs(b(0))) { // leading separator → leading empty field
+      out.add(XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, 0, SEED))
+      while (i < n && isWs(b(i))) i += 1
+    }
+    while (i < n) {
+      val start = i
+      while (i < n && !isWs(b(i))) i += 1
+      out.add(XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + start, i - start, SEED))
+      if (i < n) {
+        while (i < n && isWs(b(i))) i += 1
+        if (i == n) // trailing separator → trailing empty field (limit -1)
+          out.add(XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, 0, SEED))
+      }
+    }
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    arr
+  }
+
+  /** Distinct n-gram shingle hashes in first-occurrence order. Shorter-than-n
+    * documents yield one shingle of the tokens padded with 0L. */
+  def shingleHashes(text: UTF8String, shingleN: Int): Array[Long] = {
+    val th = tokenHashes(text)
+    if (th.length < shingleN) {
+      var acc = SEED
+      var k = 0
+      while (k < shingleN) {
+        acc = XXH64.hashLong(if (k < th.length) th(k) else 0L, acc)
+        k += 1
+      }
+      return Array(acc)
+    }
+    val nSh = th.length - shingleN + 1
+    val out = new Array[Long](nSh)
+    var count = 0
+    // open-addressing set for first-occurrence dedup (values are already
+    // uniform 64-bit hashes; 0 tracked separately as the empty sentinel)
+    var cap = java.lang.Integer.highestOneBit(math.max(4, nSh * 2) - 1) << 1
+    val table = new Array[Long](cap)
+    var zeroSeen = false
+    var i = 0
+    while (i < nSh) {
+      var acc = SEED
+      var k = 0
+      while (k < shingleN) { acc = XXH64.hashLong(th(i + k), acc); k += 1 }
+      if (acc == 0L) {
+        if (!zeroSeen) { zeroSeen = true; out(count) = 0L; count += 1 }
+      } else {
+        var slot = (acc ^ (acc >>> 32)).toInt & (cap - 1)
+        while (table(slot) != 0L && table(slot) != acc) slot = (slot + 1) & (cap - 1)
+        if (table(slot) == 0L) {
+          table(slot) = acc
+          out(count) = acc
+          count += 1
+        }
+      }
+      i += 1
+    }
+    if (count == nSh) out else java.util.Arrays.copyOf(out, count)
+  }
+
+  /** MinHash signature over shingle hashes: sig[j] = min_h xxhash64(h, j). */
+  def minhashSig(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val base = XXH64.hashLong(shingles(i), SEED)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashInt(j, base)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash: per-bit majority vote of the token hashes. */
+  def simhash64(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var bit = 0
+      while (bit < 64) {
+        votes(bit) += (if (((h >>> bit) & 1L) == 1L) 1 else -1)
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** Marker-word language vote over token hashes (hash membership ≡ string
+    * membership up to 64-bit collisions). Returns the argmax language —
+    * ties break toward the lexicographically greatest language code,
+    * matching the original `array_max(struct(votes, lang))` column
+    * formulation — or "und" when no marker matched. */
+  def langId(
+      text: UTF8String,
+      markerHashes: Array[Array[Long]],
+      langs: Array[UTF8String],
+      und: UTF8String): UTF8String = {
+    val th = tokenHashes(text)
+    var bestVotes = 0
+    var best: UTF8String = null
+    var l = 0
+    while (l < markerHashes.length) {
+      val ms = markerHashes(l)
+      var votes = 0
+      var i = 0
+      while (i < th.length) {
+        var m = 0
+        while (m < ms.length) {
+          if (ms(m) == th(i)) { votes += 1; m = ms.length }
+          else m += 1
+        }
+        i += 1
+      }
+      if (votes > bestVotes ||
+          (votes == bestVotes && best != null && langs(l).compareTo(best) > 0)) {
+        bestVotes = votes
+        best = langs(l)
+      }
+      l += 1
+    }
+    if (bestVotes > 0) best else und
+  }
+
+  // ---- column builders -----------------------------------------------------
+
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    Shims.column(ShingleHashesExpr(Shims.expression(text), shingleN))
+
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    Shims.column(MinHashSigExpr(Shims.expression(shingleHashes), numHashes))
+
+  def simhash64(text: Column): Column =
+    Shims.column(SimHash64Expr(Shims.expression(text)))
+
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    Shims.column(LangIdExpr(Shims.expression(text), markers))
+}
+
+/** `shingle_hashes(text)` → array<long>: distinct token-n-gram hashes. */
+case class ShingleHashesExpr(child: Expression, shingleN: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.shingleHashes(input.asInstanceOf[UTF8String], shingleN))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.TextHash.shingleHashes($c, $shingleN))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(array<long>)` → array<long>(numHashes). Input must be a
+  * null-free array of shingle hashes (the output of [[ShingleHashesExpr]]). */
+case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.minhashSig(input.asInstanceOf[ArrayData].toLongArray(), numHashes))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.TextHash.minhashSig($c.toLongArray(), $numHashes))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `lang_id(text)` → string: marker-word language vote (argmax, "und" when
+  * no marker hits). `markers` = (langCode, marker words) pairs. */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+  extends UnaryExpression {
+
+  @transient private lazy val markerHashes: Array[Array[Long]] =
+    markers.map { case (_, ws) =>
+      ws.map(w => TextHash.tokenHashes(UTF8String.fromString(w)).head).toArray
+    }.toArray
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map { case (l, _) => UTF8String.fromString(l) }.toArray
+  @transient private lazy val und: UTF8String = UTF8String.fromString("und")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.langId(input.asInstanceOf[UTF8String], markerHashes, langs, und)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mh = ctx.addReferenceObj("langMarkerHashes", markerHashes, "long[][]")
+    val ls = ctx.addReferenceObj("langCodes", langs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val u = ctx.addReferenceObj("langUnd", und,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.langId($c, $mh, $ls, $u)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` → long. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -8,10 +8,12 @@ object QProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (q <- args) {
-      graft.SparkEntry.queries(q)(spark, dir).count() // warm
+      val c0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir).count() // cold (codegen+JIT)
+      val cold = (System.nanoTime() - c0) / 1e9
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir).count()
-      println(f"[qprobe] $q ${(System.nanoTime()-t0)/1e9}%.2f")
+      println(f"[qprobe] $q cold=$cold%.2f warm=${(System.nanoTime()-t0)/1e9}%.2f")
     }
     spark.stop()
   }

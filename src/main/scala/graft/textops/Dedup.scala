@@ -21,28 +21,19 @@ object Dedup {
       .filter(col("_rn") === 1)
       .drop("_k", "_rn")
 
-  /** 64-bit hashes of the distinct shingles — computed ONCE per document.
-    * Tokens are hashed individually and n-gram hashes combine the token
-    * hashes (no n-gram string materialization), so the per-doc cost is
-    * one string hash per token + one long-combine per shingle. */
-  def shingleHashes(text: Column, shingleN: Int = 3): Column = {
-    val th = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val windowed = transform(
-      sequence(lit(0), greatest(size(th) - shingleN, lit(0))),
-      i => xxhash64((0 until shingleN).map(k => element_at(th, i + k + 1)): _*))
-    array_distinct(
-      when(size(th) < shingleN, array(xxhash64((0 until shingleN).map(k =>
-        coalesce(try_element_at(th, lit(k + 1)), lit(0L))): _*)))
-        .otherwise(windowed))
-  }
+  /** 64-bit hashes of the distinct shingles — computed ONCE per document by
+    * the codegen'd [[graft.functions.ShingleHashesExpr]] (tokens hashed
+    * individually, n-gram hashes combine token hashes; no n-gram string
+    * materialization). Originally a `transform`/`aggregate` column
+    * composition — higher-order functions evaluate interpreted, which made
+    * this the corpus-dedup bottleneck (see TextHashes.scala scaladoc). */
+  def shingleHashes(text: Column, shingleN: Int = 3): Column =
+    graft.functions.TextHash.shingleHashes(text, shingleN)
 
   /** MinHash signature over pre-hashed shingles: sig[j] = min over shingles
-    * of hash_j, with hash_j(h) = xxhash64(h, j). Pure column expressions →
-    * whole-stage codegen. */
+    * of xxhash64(h, j) — one codegen'd pass ([[graft.functions.MinHashSigExpr]]). */
   def minhashSigFromHashes(shHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shHashes, h => xxhash64(h, lit(j))))
-    }: _*)
+    graft.functions.TextHash.minhashSig(shHashes, numHashes)
 
   def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 32): Column =
     minhashSigFromHashes(shingleHashes(text, shingleN), numHashes)
@@ -65,27 +56,28 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // shingle hashing happens once; the banded relation is persisted because
-    // the self-join would otherwise recompute signatures for both sides (and
-    // once per band) — the standard LSH-join materialization point
-    val withSh = df.select(col(idCol).as("id"),
+    // Shingle hashing + signatures happen ONCE, persisted one-row-per-doc.
+    // The banded self-join then carries only (id, band-key) — exploding the
+    // per-doc shingle arrays ×bands through the join exchange would amplify
+    // shuffle bytes by the band count (measured ~3× wall-clock on this op);
+    // the heavy arrays are joined back only for surviving candidate pairs.
+    val base = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleN).as("_sh"))
       .withColumn("_sig", minhashSigFromHashes(col("_sh"), numHashes))
-    val banded = withSh.select(col("id"), col("_sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           aggregate(slice(col("_sig"), b * r + 1, r), lit(17L),
             (acc, x) => xxhash64(acc, x)).as("bh"))
       }: _*)).as("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val pairs = a.join(b,
+    val cand = banded.alias("a").join(banded.alias("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a._sh").as("sh_a"), col("b._sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
-    pairs
+    cand
+      .join(base.select(col("id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("_sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
@@ -94,22 +86,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit weighted vote of token
-    * hashes. Near-dups have small Hamming distance. */
-  def simhash64(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    val votes = aggregate(
-      t,
-      array_repeat(lit(0L), 64),
-      (acc, tok) => {
-        val h = xxhash64(tok)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, bit) => a + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * hashes ([[graft.functions.SimHash64Expr]], codegen'd — the previous
+    * `aggregate`+`zip_with` formulation allocated a 64-element array per
+    * token, interpreted). Near-dups have small Hamming distance. */
+  def simhash64(text: Column): Column = graft.functions.TextHash.simhash64(text)
 
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (any chunk equal →
     * candidate, catches all pairs with Hamming distance ≤ 3 by pigeonhole),

@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** dot(a, b) as a column expression (zip_with + aggregate — codegen'd). */
+  /** dot(a, b) as a column expression (zip_with + aggregate; fine for
+    * one-off uses — hot paths use the codegen'd kernels below). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** cosine via the single-pass codegen'd kernel
+    * ([[graft.functions.CosineSimExpr]]); inputs must be array<double>. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
+    graft.functions.VectorOps.cosine(a, b)
 
   /** Exact top-k by cosine against a fixed query vector. */
   def bruteForceTopK(
@@ -39,22 +42,8 @@ object Similarity {
     * with zero hash calls (hashing (j,i) per row per bit would cost 1000+
     * hash evaluations per vector). Cosine-similar vectors agree on most
     * bits (Charikar, STOC 2002). */
-  def hyperplaneSig(emb: Column, bits: Int, seed: Long = 42L, maxDim: Int = 512): Column = {
-    val v = emb.cast("array<double>")
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(bits)(Seq.fill(maxDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, j) => {
-        // slice to the vector's length: zip_with null-pads the shorter side
-        val plane = slice(element_at(typedLit(planes), j.cast("int") + 1), lit(1), size(v))
-        val d = aggregate(zip_with(v, plane, (x, s) => x * s),
-          lit(0.0d), (a, x) => a + x)
-        acc.bitwiseOR(when(d > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L)))
-      })
-  }
+  def hyperplaneSig(emb: Column, bits: Int, seed: Long = 42L, maxDim: Int = 512): Column =
+    graft.functions.VectorOps.hyperplaneSig(emb.cast("array<double>"), bits, seed, maxDim)
 
   /**
    * Approximate nearest neighbors of every vector: bucket by the top
@@ -68,18 +57,24 @@ object Similarity {
     require(sigBits % bands == 0)
     val r = sigBits / bands
     val mask = (1L << r) - 1
-    val withSig = df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+    // one persisted row per vector; the banded self-join carries only
+    // (id, band-key) — exploding the embedding ×bands through the join
+    // exchange would multiply shuffle bytes by the band count — and the
+    // vectors are joined back only for surviving candidate pairs
+    val base = df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .withColumn("_sig", hyperplaneSig(col("v"), sigBits))
-    val banded = withSig.select(col("id"), col("v"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), shiftright(col("_sig"), b * r).bitwiseAND(mask).as("bh"))
       }: _*)).as("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.alias("a"); val b2 = banded.alias("b")
-    a.join(b2, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

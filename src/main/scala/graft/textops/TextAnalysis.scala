@@ -55,14 +55,8 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "est", "une"),
     "it" -> Seq("il", "che", "di", "per", "con"))
 
-  def langIdHeuristic(text: Column): Column = {
-    val t = tokens(text)
-    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(filter(t, w => w.isInCollection(markers))).as("votes"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scores: _*))
-    when(best.getField("votes") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langIdHeuristic(text: Column): Column =
+    graft.functions.TextHash.langId(text, langMarkers.toSeq.sortBy(_._1))
 
   /** Word n-gram shingles. */
   def shingles(text: Column, n: Int): Column = {
