@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{HilbertKeyExpr, RangeBucketExpr, ZOrderKey}
+import graft.functions.{CosineSimExpr, HilbertKeyExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, RangeBucketExpr, ShingleHashesExpr, SimHash64Expr, ZOrderKey}
 
 /**
  * SparkSessionExtensions registration for the engine's custom Catalyst
@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RangeBucketExpr].getName, "range_bucket"),
       rangeBucketBuilder))
+    textVectorBuilders.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz, name),
+        builder))
+    }
   }
 }
 
@@ -65,6 +71,38 @@ object GraftExtensions {
       }.toArray)
   }
 
+  /** name, implementing class (for ExpressionInfo), builder — the text /
+    * vector kernels of `functions/TextHashes.scala` + `VectorOps.scala`. */
+  private[graft] val textVectorBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("shingle_hashes", classOf[ShingleHashesExpr].getName, {
+      case Seq(text) => ShingleHashesExpr(text, 3)
+      case Seq(text, n) => ShingleHashesExpr(text, intLit(n, "shingle_hashes"))
+      case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
+    }),
+    ("minhash_sig", classOf[MinHashSigExpr].getName, {
+      case Seq(sh) => MinHashSigExpr(sh, 32)
+      case Seq(sh, k) => MinHashSigExpr(sh, intLit(k, "minhash_sig"))
+      case _ => throw new IllegalArgumentException("minhash_sig(shingle_hashes[, numHashes])")
+    }),
+    ("simhash64", classOf[SimHash64Expr].getName, {
+      case Seq(text) => SimHash64Expr(text)
+      case _ => throw new IllegalArgumentException("simhash64(text)")
+    }),
+    ("lang_id", classOf[LangIdExpr].getName, {
+      case Seq(text) =>
+        LangIdExpr(text, graft.textops.TextAnalysis.langMarkers.toSeq.sortBy(_._1))
+      case _ => throw new IllegalArgumentException("lang_id(text)")
+    }),
+    ("hyperplane_sig", classOf[HyperplaneSigExpr].getName, {
+      case Seq(v) => HyperplaneSigExpr(v, 64, 42L, 512)
+      case Seq(v, bits) => HyperplaneSigExpr(v, intLit(bits, "hyperplane_sig"), 42L, 512)
+      case _ => throw new IllegalArgumentException("hyperplane_sig(array<double>[, bits])")
+    }),
+    ("cosine_sim", classOf[CosineSimExpr].getName, {
+      case Seq(a, b) => CosineSimExpr(a, b)
+      case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
+    }))
+
   /** Register into an already-built session (builder extensions only apply
     * to sessions created with them). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -74,5 +112,8 @@ object GraftExtensions {
     fr.createOrReplaceTempFunction("hilbert_key",
       args => HilbertKeyExpr(args.tail, intLit(args.head, "hilbert_key")), "built-in")
     fr.createOrReplaceTempFunction("range_bucket", rangeBucketBuilder, "built-in")
+    textVectorBuilders.foreach { case (name, _, builder) =>
+      fr.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

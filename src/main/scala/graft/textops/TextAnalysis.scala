@@ -48,7 +48,7 @@ object TextAnalysis {
   /** Marker-word language vote: per language a small marker set; predicted
     * lang = argmax votes, default "und". N-gram-free heuristic that stays
     * in codegen (map_filter/argmax via array sort). */
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  private[graft] val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "es" -> Seq("el", "los", "una", "por", "es"),

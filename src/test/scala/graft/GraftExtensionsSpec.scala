@@ -23,4 +23,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getInt(0)
     assert(b == 1)
   }
+
+  test("text/vector kernels are SQL-callable") {
+    val spark = SparkSuite.session.newSession()
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT lang_id('der hund und die katze ist') AS l")
+      .head().getString(0) == "de")
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d e', 3)) AS n")
+      .head().getInt(0) == 3)
+    assert(spark.sql("SELECT size(minhash_sig(shingle_hashes('a b c d e', 3), 16)) AS n")
+      .head().getInt(0) == 16)
+    assert(spark.sql("SELECT simhash64('x y z') = simhash64('x y z') AS eq")
+      .head().getBoolean(0))
+    assert(math.abs(spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c")
+      .head().getDouble(0) - 1.0) < 1e-9)
+    val s = spark.sql("SELECT hyperplane_sig(array(0.5d, -0.25d, 1.0d), 16) AS s")
+      .head().getLong(0)
+    assert(s == spark.sql("SELECT hyperplane_sig(array(0.5d, -0.25d, 1.0d), 16) AS s")
+      .head().getLong(0))
+  }
 }

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSuite
+
+/**
+ * The native text/vector kernels must (a) stay inside whole-stage codegen
+ * (their whole reason to exist — the column formulations they replaced were
+ * interpreted), and (b) agree between codegen'd and interpreted eval paths,
+ * and with independently-computed reference values.
+ */
+class TextVectorKernelsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def wholeStageProject(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString()
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the plan string
+    assert(plan.contains("*(1) Project"), s"kernel must not break codegen:\n$plan")
+  }
+
+  test("kernels stay inside whole-stage codegen") {
+    // spark.range leaf: a local Seq would be constant-folded to
+    // LocalTableScan by ConvertToLocalRelation before codegen is planned
+    val df = spark.range(4)
+      .select(concat(lit("the quick brown fox jumps over dog "), col("id")).as("text"))
+    wholeStageProject(df.select(TextHash.shingleHashes(col("text"), 3).as("sh")))
+    wholeStageProject(df.select(TextHash.simhash64(col("text")).as("s")))
+    wholeStageProject(df.select(
+      TextHash.langId(col("text"), graft.textops.TextAnalysis.langMarkers.toSeq.sortBy(_._1))))
+    val vdf = spark.range(4)
+      .select(array(col("id") * 0.5, col("id") * -0.25, lit(1.0)).as("v"))
+    wholeStageProject(vdf.select(VectorOps.hyperplaneSig(col("v"), 16, 42L, 512).as("h")))
+    wholeStageProject(vdf.select(VectorOps.cosine(col("v"), col("v")).as("c")))
+  }
+
+  test("token/shingle hashes match the equivalent column expressions") {
+    val texts = Seq(
+      "the quick brown fox", "  padded  with   spaces ", "", "one",
+      "a b", "tab\tand\nnewline separated tokens here", "ÜPPER Case Mixed")
+    val df = texts.toDF("text")
+    val native = df.select(TextHash.shingleHashes(col("text"), 3).as("x")).collect()
+    val columnar = df.select(array_distinct(when(
+        size(split(lower(trim(col("text"))), "\\s+")) < 3,
+        array(xxhash64((0 until 3).map(k => coalesce(
+          try_element_at(transform(split(lower(trim(col("text"))), "\\s+"), t => xxhash64(t)), lit(k + 1)),
+          lit(0L))): _*)))
+      .otherwise(transform(
+        sequence(lit(0), greatest(size(split(lower(trim(col("text"))), "\\s+")) - 3, lit(0))),
+        i => xxhash64((0 until 3).map(k => element_at(
+          transform(split(lower(trim(col("text"))), "\\s+"), t => xxhash64(t)), i + k + 1)): _*)))).as("x"))
+      .collect()
+    native.zip(columnar).zip(texts).foreach { case ((n, c), t) =>
+      assert(n.getSeq[Long](0) === c.getSeq[Long](0), s"shingle mismatch for '$t'")
+    }
+  }
+
+  test("interpreted eval agrees with codegen (spot values)") {
+    // driver-side (interpreted static impl) vs executed (codegen) results
+    val text = "der schnelle braune fuchs und der faule hund und der rest"
+    val sh = TextHash.shingleHashes(UTF8String.fromString(text), 3)
+    val fromSpark = Seq(text).toDF("text")
+      .select(TextHash.shingleHashes(col("text"), 3)).head().getSeq[Long](0)
+    assert(fromSpark === sh.toSeq)
+    val sig = TextHash.minhashSig(sh, 16)
+    val sigSpark = Seq(text).toDF("text")
+      .select(TextHash.minhashSig(TextHash.shingleHashes(col("text"), 3), 16))
+      .head().getSeq[Long](0)
+    assert(sigSpark === sig.toSeq)
+    assert(Seq(text).toDF("text").select(TextHash.simhash64(col("text"))).head().getLong(0)
+      === TextHash.simhash64(UTF8String.fromString(text)))
+  }
+
+  test("lang_id votes match marker counting, ties break to greatest code") {
+    val rows = Seq(
+      "the cat and the hat of doom" -> "en",
+      "der hund und die katze ist da" -> "de",
+      "el gato por la casa es grande una vez" -> "es",
+      "xyzzy plugh" -> "und",
+      // tie: one en marker ("the"), one fr marker ("le") → max lang code wins
+      "the le" -> "fr")
+    val got = rows.map(_._1).toDF("text")
+      .select(graft.textops.TextAnalysis.langIdHeuristic(col("text")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === rows.map(_._2))
+  }
+
+  test("cosine kernel matches plain arithmetic") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(-1.0, 0.5, 2.0)
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.max(math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("hyperplane signature is deterministic and splits space") {
+    val vs = (0 until 32).map(i => (i.toLong, Seq.tabulate(8)(d => math.sin(i * 3 + d).toDouble)))
+    val df = vs.toDF("id", "v")
+    val sigs = df.select(col("id"), VectorOps.hyperplaneSig(col("v"), 32, 42L, 512).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = df.select(col("id"), VectorOps.hyperplaneSig(col("v"), 32, 42L, 512).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === again)
+    assert(sigs.values.toSet.size > 8, "signatures should spread across buckets")
+    // identical vectors → identical signatures (the LSH contract)
+    assert(sigs(0L) === again(0L))
+  }
+}
