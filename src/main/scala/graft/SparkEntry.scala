@@ -319,6 +319,40 @@ object SparkEntry {
          |  SELECT min(doc_id) AS doc_id FROM ($plantedSql) GROUP BY text)""".stripMargin,
     "q12_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+    // exact mirror of the marker-vote heuristic: per-lang token votes,
+    // argmax with ties to the lexicographically greatest lang code
+    "q14_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+        |), v AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS v_de,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS v_en,
+        |    len(list_filter(toks, x -> x IN ('el','los','una','por','es'))) AS v_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','est','une'))) AS v_fr,
+        |    len(list_filter(toks, x -> x IN ('il','che','di','per','con'))) AS v_it
+        |  FROM t)
+        |SELECT CASE
+        |    WHEN greatest(v_de,v_en,v_es,v_fr,v_it) = 0 THEN 'und'
+        |    WHEN v_it = greatest(v_de,v_en,v_es,v_fr,v_it) THEN 'it'
+        |    WHEN v_fr = greatest(v_de,v_en,v_es,v_fr) THEN 'fr'
+        |    WHEN v_es = greatest(v_de,v_en,v_es) THEN 'es'
+        |    WHEN v_en = greatest(v_de,v_en) THEN 'en'
+        |    ELSE 'de' END AS lang_pred, count(*) AS n
+        |FROM v GROUP BY 1""".stripMargin,
+    "q17_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-1),
+        |                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END AS sh
+        |  FROM t)
+        |SELECT a.doc_id, round(
+        |  len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x)))::DOUBLE /
+        |  greatest(len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+        |           len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))), 1), 6) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q13_quality_score" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
