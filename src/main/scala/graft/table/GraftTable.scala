@@ -255,6 +255,38 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     throw new IllegalStateException(s"$op: commit failed after 10 attempts")
   }
 
+  /**
+   * Move the current-snapshot pointer back to a retained snapshot — an
+   * instant, data-free undo of any maintenance pass (the reference's only
+   * recourse was re-running the job; its DROP/RENAME swap destroyed the old
+   * table). Abandoned snapshots stay in the log (redo is another rollback)
+   * until expiry ages them out; snapshot ids remain monotonic, so a
+   * post-rollback commit never reuses an id.
+   */
+  def rollback(toSnapshotId: Long): TableMetadata =
+    commitMetadataUpdate { md =>
+      require(md.snapshot(toSnapshotId).nonEmpty,
+        s"cannot roll back to unknown or expired snapshot $toSnapshotId")
+      md.copy(currentSnapshotId = Some(toSnapshotId))
+    }
+
+  /**
+   * Add-only schema evolution: append a nullable column. Existing data
+   * files simply lack the Parquet column — the by-name vectorized reader
+   * yields NULL, and stats pruning treats absent bounds as "unknown", so
+   * scans over old files stay sound. Rename/drop are deliberately not
+   * offered: column resolution is by name, so a rename would silently
+   * detach old files' data.
+   */
+  def addColumn(field: org.apache.spark.sql.types.StructField): TableMetadata = {
+    require(field.nullable, s"new column ${field.name} must be nullable (old files have no values)")
+    commitMetadataUpdate { md =>
+      val cur = StructType.fromDDL(md.schemaDdl)
+      require(!cur.fieldNames.contains(field.name), s"column ${field.name} already exists")
+      md.copy(schemaDdl = StructType(cur.fields :+ field).toDDL)
+    }
+  }
+
   /** Rewrite the full snapshot list (snapshot expiry). */
   def commitMetadataUpdate(f: TableMetadata => TableMetadata): TableMetadata = {
     var attempts = 0
