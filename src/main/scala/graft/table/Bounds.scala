@@ -66,6 +66,37 @@ object Bounds {
   def min(dt: DataType, a: String, b: String): String = if (compare(dt, a, b) <= 0) a else b
   def max(dt: DataType, a: String, b: String): String = if (compare(dt, a, b) >= 0) a else b
 
+  /** Stats truncation length for string bounds (Iceberg truncates at 16; 32
+    * keeps url prefixes discriminating). At 10^5 files, storing full `text`
+    * values would put GBs of document bodies into manifests — bounds must be
+    * O(bytes) per entry, and WIDER bounds are always sound for pruning. */
+  val StatsTruncateLen = 32
+
+  /** Lower bound truncation: a prefix is ≤ every string extending it. */
+  def truncatedMin(dt: DataType, v: String, len: Int = StatsTruncateLen): String = dt match {
+    case StringType if v.length > len => v.substring(0, len)
+    case _ => v
+  }
+
+  /** Upper bound truncation: prefix with its last ASCII char incremented is
+    * > every string sharing the untouched prefix (UTF-8 byte order; the
+    * increment stays single-byte). Falls back to the full value when no
+    * char < 0x7F exists to increment — sound either way. */
+  def truncatedMax(dt: DataType, v: String, len: Int = StatsTruncateLen): String = dt match {
+    case StringType if v.length > len =>
+      val p = v.substring(0, len).toCharArray
+      var i = p.length - 1
+      while (i >= 0) {
+        if (p(i) < 0x7f) {
+          p(i) = (p(i) + 1).toChar
+          return new String(p, 0, i + 1)
+        }
+        i -= 1
+      }
+      v
+    case _ => v
+  }
+
   /** Decode a Parquet statistics generic value (as produced by
     * parquet-mr `Statistics.genericGetMin/Max`) to canonical string. */
   def fromParquetStat(dt: DataType, v: Any): Option[String] = (dt, v) match {

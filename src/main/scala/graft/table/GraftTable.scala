@@ -167,7 +167,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // select in schema order so files are column-identical across commits
     val cols = schema.fieldNames.map(df.col).toSeq
-    df.select(cols: _*).write.mode("errorifexists").parquet(dir)
+    df.select(cols: _*).write
+      // parquet drops chunk stats entirely once min+max exceed ~4 KB, which
+      // silences pruning for document-sized string columns; truncating at
+      // write time (sound: prefix min, incremented-prefix max) keeps bounds
+      // for every string column at any value size
+      .option("parquet.statistics.truncate.length", "64")
+      .mode("errorifexists").parquet(dir)
     val written = FileIO.listFiles(dir, ".parquet")
     StatsCollector.collect(spark, schema, root, written, commitUuid)
   }

@@ -96,7 +96,11 @@ object StatsCollector {
       }
       val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(absPath))
       val rel = relativize(root, absPath)
-      DataFileMeta(rel, rows, bytes, mins, maxs, nulls, commitUuid)
+      // truncate string bounds AFTER accumulation (full-precision min/max
+      // across blocks, O(bytes) in the manifest entry; widening is sound)
+      val tMins = mins.map { case (k, v) => k -> Bounds.truncatedMin(byName(k), v) }
+      val tMaxs = maxs.map { case (k, v) => k -> Bounds.truncatedMax(byName(k), v) }
+      DataFileMeta(rel, rows, bytes, tMins, tMaxs, nulls, commitUuid)
     } finally reader.close()
   }
 
