@@ -82,6 +82,34 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: deterministic byte subsampling to the target pixel count
+    * (real impl: bilinear/Lanczos). Output meta reflects the new geometry;
+    * output bytes are a strided sample so downstream hashing/dedup of the
+    * "resized" media stays deterministic. */
+  def resizeStub(row: MediaRow, maxW: Int, maxH: Int): MediaRow = {
+    val m = row.meta
+    if (m.width <= maxW && m.height <= maxH) return row
+    val scale = math.min(maxW.toDouble / m.width, maxH.toDouble / m.height)
+    val (w, h) = (math.max(1, (m.width * scale).toInt), math.max(1, (m.height * scale).toInt))
+    val keepRatio = (w.toLong * h) / math.max(1.0, m.width.toLong * m.height)
+    val src = if (row.media == null) Array.emptyByteArray else row.media
+    val stride = math.max(1, (1.0 / math.max(keepRatio, 1e-9)).toInt)
+    val out = new Array[Byte]((src.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = src(i * stride); i += 1 }
+    MediaRow(row.id, out, m.copy(bytes = out.length.toLong, width = w, height = h))
+  }
+
+  /** Batched per-partition resize — same mapPartitions batch shape as
+    * [[extractFeatures]]; real decoders amortize setup per batch. */
+  def resize(ds: Dataset[MediaRow], maxW: Int, maxH: Int, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(resizeStub(_, maxW, maxH)))
+    }
+  }
+
   /** Attach a typed metadata struct to a raw (id, binary) DataFrame using
     * only deterministic byte-level columns (length) + the stub probe. */
   def withMeta(df: DataFrame, idCol: String, mediaCol: String, kind: String)(

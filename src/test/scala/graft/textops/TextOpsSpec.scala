@@ -112,5 +112,15 @@ class TextOpsSpec extends SparkSuite {
     val meta = rows.collect().find(_.id == 1L).get.meta
     assert(meta.bytes == docs.filter(col("doc_id") === 1).select(length(col("text"))).head().getInt(0))
     assert(meta.width >= 64 && meta.height >= 64)
+    // batched resize: geometry within bounds, aspect-ish preserved, bytes shrink
+    val resized = Multimodal.resize(rows, maxW = 64, maxH = 64, batchSize = 2).collect()
+    assert(resized.length == 5)
+    for (r <- resized) {
+      assert(r.meta.width <= 64 && r.meta.height <= 64)
+      assert(r.meta.bytes <= rows.collect().find(_.id == r.id).get.meta.bytes)
+    }
+    // determinism: resizing twice gives identical bytes
+    val again = Multimodal.resize(rows, maxW = 64, maxH = 64, batchSize = 2).collect()
+    assert(resized.map(_.media.toSeq).toSeq == again.map(_.media.toSeq).toSeq)
   }
 }
