@@ -161,6 +161,25 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))),
 
+    // grouping sets (beyond the reference, which has none): rollup totals
+    "q25_rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))),
+
+    // window frame aggregation: 7-row moving average per user
+    "q26_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(avg("value").over(w), 6).as("mavg"))
+    }),
+
     // ---- training-data pipeline ops ---------------------------------------
     // exact dedup (hash groupBy, min-id survivor)
     "q11_dedup_exact" -> ((s, dir) =>
@@ -314,6 +333,15 @@ object SparkEntry {
     "q24_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    "q25_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q26_moving_avg" ->
+      """SELECT user_id, event_id,
+        |       round(avg("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS mavg
+        |FROM events""".stripMargin,
     "q11_dedup_exact" ->
       s"""SELECT count(*) AS n_unique, sum(doc_id) AS id_sum FROM (
          |  SELECT min(doc_id) AS doc_id FROM ($plantedSql) GROUP BY text)""".stripMargin,

@@ -103,6 +103,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def readSnapshot(snapshotId: Long): DataFrame = read(None, Some(snapshotId))
 
+  /** Typed read: the snapshot-isolated scan as a `Dataset[T]` (per the
+    * engine contract: typed Dataset/DataFrame APIs end-to-end, no RDDs). */
+  def readAs[T: org.apache.spark.sql.Encoder](
+      predicate: Option[Column] = None,
+      snapshotId: Option[Long] = None): org.apache.spark.sql.Dataset[T] =
+    read(predicate, snapshotId).as[T]
+
   /**
    * Incremental (CDC-style) read: rows APPENDED after `fromSnapshotId`
    * (exclusive) up to `toSnapshotId` (inclusive; default current) — the

@@ -79,6 +79,15 @@ object MetaJson {
   def readStepLog(s: String): StepLog = mapper.readValue[StepLog](s)
 }
 
+/** Typed row of the web-page table (field names/order = the canonical
+  * `(url, warc_ts, html, text, lang)` schema; see `Synth.pageSchema`). */
+final case class PageRow(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
 /** Resumable maintenance-run step log (checkpoint-resume per north rule). */
 final case class StepLog(
     runId: String,
