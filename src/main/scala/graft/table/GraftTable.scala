@@ -103,6 +103,30 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def readSnapshot(snapshotId: Long): DataFrame = read(None, Some(snapshotId))
 
+  // ---- metadata tables (Iceberg-style observability) ------------------------
+
+  /** The snapshot log as a DataFrame (id, parent, ts, op, manifest/file/row/
+    * byte counts + summary) — `SELECT`-able table history. */
+  def snapshotsDf: DataFrame = {
+    import spark.implicits._
+    metadata.snapshots.map { s =>
+      (s.id, s.parentId, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.manifests.size, s.manifests.map(_.fileCount.toLong).sum,
+        s.manifests.map(_.rows).sum, s.manifests.map(_.bytes).sum,
+        s.summary)
+    }.toDF("snapshot_id", "parent_id", "committed_at", "operation",
+      "manifests", "files", "rows", "bytes", "summary")
+  }
+
+  /** The current (or a pinned) snapshot's file inventory as a DataFrame —
+    * per-file rows, bytes, and min/max bounds for planning introspection. */
+  def filesDf(snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    files(snapshotId).map { f =>
+      (f.path, f.rows, f.bytes, f.commitUuid, f.minValues, f.maxValues, f.nullCounts)
+    }.toDF("path", "rows", "bytes", "commit_uuid", "min_values", "max_values", "null_counts")
+  }
+
   /** Typed read: the snapshot-isolated scan as a `Dataset[T]` (per the
     * engine contract: typed Dataset/DataFrame APIs end-to-end, no RDDs). */
   def readAs[T: org.apache.spark.sql.Encoder](
