@@ -200,7 +200,8 @@ object SparkEntry {
           round(length(col("text")).cast("double") /
             greatest(size(split(col("text"), " ")), lit(1)).cast("double"), 6).as("avg_tok_len"))),
 
-    // language-ID heuristic (marker-word votes; no SQL oracle — heuristic)
+    // language-ID heuristic (marker-word votes; DuckDB oracle mirrors the
+    // vote + tie-break exactly)
     "q14_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))

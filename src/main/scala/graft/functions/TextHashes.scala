@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -45,6 +45,8 @@ object TextHash {
     if (isWs(b(0))) { // leading separator → leading empty field
       out.add(XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, 0, SEED))
       while (i < n && isWs(b(i))) i += 1
+      if (i == n) // all-whitespace: the run is ALSO trailing → second empty
+        out.add(XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, 0, SEED))
     }
     while (i < n) {
       val start = i
@@ -197,7 +199,9 @@ object TextHash {
 }
 
 /** `shingle_hashes(text)` → array<long>: distinct token-n-gram hashes. */
-case class ShingleHashesExpr(child: Expression, shingleN: Int) extends UnaryExpression {
+case class ShingleHashesExpr(child: Expression, shingleN: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
   override protected def nullSafeEval(input: Any): Any =
@@ -213,7 +217,9 @@ case class ShingleHashesExpr(child: Expression, shingleN: Int) extends UnaryExpr
 
 /** `minhash_sig(array<long>)` → array<long>(numHashes). Input must be a
   * null-free array of shingle hashes (the output of [[ShingleHashesExpr]]). */
-case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType, containsNull = false))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
@@ -230,7 +236,8 @@ case class MinHashSigExpr(child: Expression, numHashes: Int) extends UnaryExpres
 /** `lang_id(text)` → string: marker-word language vote (argmax, "und" when
   * no marker hits). `markers` = (langCode, marker words) pairs. */
 case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   @transient private lazy val markerHashes: Array[Array[Long]] =
     markers.map { case (_, ws) =>
@@ -257,7 +264,9 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
 }
 
 /** `simhash64(text)` → long. */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(input: Any): Any =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shims
@@ -51,7 +51,9 @@ object VectorOps {
   }
 
   /** Deterministic ±1 hyperplanes — same Random(seed) draw order as the
-    * original column formulation, so signatures are bit-identical. */
+    * original column formulation, so signatures are bit-identical for
+    * vectors of ≤ maxDim dims (see [[HyperplaneSigExpr]] for the longer
+    * case, where the old formulation was degenerate). */
   def planes(bits: Int, seed: Long, maxDim: Int): Array[Double] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(bits * maxDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
@@ -66,10 +68,15 @@ object VectorOps {
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
 }
 
-/** `hyperplane_sig(array<double>)` → long. */
+/** `hyperplane_sig(array<double>)` → long. Inputs coerce to array<double>
+  * (float/int embeddings cast automatically). Vectors longer than `maxDim`
+  * hash their first `maxDim` dims — deliberately saner than the replaced
+  * column formulation, whose zip_with null-padding collapsed every >maxDim
+  * vector to signature 0. */
 case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long, maxDim: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
   require(bits >= 1 && bits <= 64)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType, containsNull = false))
 
   @transient private lazy val planes: Array[Double] = VectorOps.planes(bits, seed, maxDim)
 
@@ -86,8 +93,13 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long, maxDim: I
     copy(child = newChild)
 }
 
-/** `cosine_sim(array<double>, array<double>)` → double. */
-case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+/** `cosine_sim(array<double>, array<double>)` → double. Inputs coerce to
+  * array<double>; length-mismatched arrays use the common prefix (the
+  * replaced zip_with formulation null-poisoned to NULL instead). */
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), ArrayType(DoubleType, containsNull = false))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =

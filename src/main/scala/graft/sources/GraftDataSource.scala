@@ -51,9 +51,19 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider wi
       case SaveMode.Overwrite =>
         val tbl = if (exists) GraftTable.load(spark, root)
                   else GraftTable.create(spark, root, data.schema)
+        val expected = tbl.currentSnapshot.map(_.id)
         val old = tbl.files().map(_.path).toSet
-        val added = tbl.writeDataFiles(data)
-        tbl.replaceFiles(old, added, "overwrite")
+        if (old.isEmpty) {
+          // nothing to replace: commit as a plain append so the genesis
+          // snapshot stays incremental-read-friendly
+          tbl.append(data)
+        } else {
+          val added = tbl.writeDataFiles(data)
+          // pin the planned-against snapshot: a concurrent append between
+          // files() and commit must force a replan, not silently survive
+          // inside the "overwritten" table
+          tbl.replaceFiles(old, added, "overwrite", expectedSnapshotId = expected)
+        }
     }
     val tbl = GraftTable.load(spark, root)
     GraftRelation.relation(spark, tbl.schema, root, tbl.files())

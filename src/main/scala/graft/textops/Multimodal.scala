@@ -106,7 +106,10 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.iterator.map(resizeStub(_, maxW, maxH)))
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would go here (decoder init, buffer reuse)
+        batch.iterator.map(resizeStub(_, maxW, maxH))
+      }
     }
   }
 

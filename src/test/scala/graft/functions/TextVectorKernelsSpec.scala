@@ -73,6 +73,43 @@ class TextVectorKernelsSpec extends SparkSuite {
       === TextHash.simhash64(UTF8String.fromString(text)))
   }
 
+  test("whitespace-only text keeps Spark split semantics (two empty fields)") {
+    // "\t".split("\\s+", -1) == ["", ""] — trim only strips 0x20, so the
+    // tab survives and the run is both leading AND trailing separator
+    assert(TextHash.tokenHashes(UTF8String.fromString("\t")).length === 2)
+    assert(TextHash.tokenHashes(UTF8String.fromString("")).length === 1)
+    assert(!java.util.Arrays.equals(
+      TextHash.shingleHashes(UTF8String.fromString("\t"), 3),
+      TextHash.shingleHashes(UTF8String.fromString(""), 3)),
+      "'\\t' and '' must not collide as near-duplicates")
+    // and both agree with the live column path
+    val fromSpark = Seq("\t", "", " x\ny ").toDF("text")
+      .select(size(split(lower(trim(col("text"))), "\\s+"))).collect().map(_.getInt(0))
+    val native = Seq("\t", "", " x\ny ")
+      .map(s => TextHash.tokenHashes(UTF8String.fromString(s)).length)
+    assert(fromSpark.toSeq === native)
+  }
+
+  test("mis-typed inputs are rejected at analysis, never misread") {
+    // BEFORE inputTypes were declared, an array<float> was accepted and
+    // ArrayData.getDouble read 8 bytes per 4-byte element — silent garbage.
+    // ANSI coercion won't widen array element types implicitly, so the
+    // contract is a clean analysis error instead.
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(VectorOps.cosine(
+        array(lit(1.0f), lit(2.0f)).cast("array<float>"),
+        array(lit(1.0d), lit(2.0d)))).collect()
+    }
+    assert(ex.getMessage.contains("ARRAY<DOUBLE>"), ex.getMessage)
+    // explicit cast keeps working
+    val c = spark.range(1)
+      .select(VectorOps.cosine(
+        array(lit(1.0f), lit(2.0f)).cast("array<double>"),
+        array(lit(1.0d), lit(2.0d))))
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
   test("lang_id votes match marker counting, ties break to greatest code") {
     val rows = Seq(
       "the cat and the hat of doom" -> "en",

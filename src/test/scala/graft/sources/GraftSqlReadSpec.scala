@@ -120,6 +120,18 @@ class GraftSqlReadSpec extends SparkSuite {
     assert(old.count() === 200)
   }
 
+  test("overwrite-creating a table commits as append (incremental-read friendly)") {
+    val root = tmpDir("graft-ow-create")
+    spark.range(20).select(
+        concat(lit("https://o/"), col("id")).as("url"),
+        timestamp_seconds(lit(1700000000L)).as("warc_ts"),
+        col("id").cast("string").as("text"), lit("en").as("lang"))
+      .write.format("graft").mode("overwrite").save(root)
+    val tbl = GraftTable.load(spark, root)
+    assert(tbl.currentSnapshot.map(_.operation).contains("append"))
+    assert(tbl.incrementalRead(0).count() === 20)
+  }
+
   test("graft scan equals direct parquet scan (row sets)") {
     val root = tmpDir("graft-parity")
     val tbl = mkTable(root)
