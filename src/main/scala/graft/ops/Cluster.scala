@@ -127,7 +127,10 @@ object Cluster {
 
     if (!(log.doneSteps.contains("rewrite") && FileIO.exists(s"$dir/_SUCCESS"))) {
       FileIO.deleteRecursively(dir)
-      val df = spark.read.schema(schema).parquet(inputs.map(table.absPath): _*)
+      // MoR tombstones are applied during the rewrite; a FULL rewrite
+      // (onlyFiles empty) then clears them at commit — materialization
+      val df = table.applyTombstones(
+        spark.read.schema(schema).parquet(inputs.map(table.absPath): _*))
       val rowsTotal = inputs.map(_.rows).sum
       val bounds = boundsFromMeta(df, inputs) // no scan in the common case
 
@@ -169,7 +172,9 @@ object Cluster {
     val committed = table.replaceFiles(removed, added, "cluster",
       Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts",
         "bits" -> dims.bitsPerDim.toString, "curve" -> dims.curve),
-      expectedSnapshotId = Some(snap.id))
+      expectedSnapshotId = Some(snap.id),
+      // a full rewrite read every file with tombstones applied → clear them
+      clearDeletes = onlyFiles.isEmpty)
     Maintenance.markCommitted(table, log, committed.id)
     Lineage.record(spark, table, runId, committed.id, "cluster", added,
       added.map(o => o.path -> inputs).toMap, (System.nanoTime() - t0) / 1000000)

@@ -102,7 +102,10 @@ object Compact {
           if (!done) {
             FileIO.deleteRecursively(dir) // partial attempt from a crashed run
             spark.sparkContext.setJobDescription(s"compact $runId group $i (${group.size} files)")
-            val df = spark.read.schema(schema).parquet(group.map(table.absPath): _*)
+            // apply live MoR tombstones to the rewritten rows (kept in the
+            // commit — other files may still hold tombstoned keys)
+            val df = table.applyTombstones(
+              spark.read.schema(schema).parquet(group.map(table.absPath): _*))
             table.writeDataFiles(df.coalesce(1), commitUuid)
           }
           val metas = graft.table.StatsCollector.collect(

@@ -35,13 +35,15 @@ object Expire {
     val (kept, dropped) = byId.partition(s => keepIds.contains(s.id))
     if (dropped.isEmpty) return Result(Nil, Nil, Nil)
 
-    val keptManifests = kept.flatMap(_.manifests.map(_.path)).toSet
-    val keptFiles = kept.flatMap(s => s.manifests.flatMap(m => table.readManifest(m.path)))
+    // data AND merge-on-read tombstone manifests both pin their files
+    def allManifests(s: Snapshot) = s.manifests ++ s.deleteManifestList
+    val keptManifests = kept.flatMap(allManifests(_).map(_.path)).toSet
+    val keptFiles = kept.flatMap(s => allManifests(s).flatMap(m => table.readManifest(m.path)))
       .map(_.path).toSet
-    val droppedManifests = dropped.flatMap(_.manifests.map(_.path)).distinct
+    val droppedManifests = dropped.flatMap(allManifests(_).map(_.path)).distinct
       .filterNot(keptManifests.contains)
     val droppedFiles = dropped
-      .flatMap(s => s.manifests.flatMap(m => table.readManifest(m.path)))
+      .flatMap(s => allManifests(s).flatMap(m => table.readManifest(m.path)))
       .map(_.path).distinct
       .filterNot(keptFiles.contains)
 
@@ -61,7 +63,7 @@ object Expire {
    */
   def removeOrphans(table: GraftTable, olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val referenced: Set[String] = table.metadata.snapshots
-      .flatMap(s => s.manifests.flatMap(m => table.readManifest(m.path)))
+      .flatMap(s => (s.manifests ++ s.deleteManifestList).flatMap(m => table.readManifest(m.path)))
       .map(f => s"${table.root}/${f.path}").toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]

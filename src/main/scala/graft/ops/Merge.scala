@@ -88,6 +88,8 @@ object Merge {
       runId: String = java.util.UUID.randomUUID.toString): Snapshot = {
     val spark = table.spark
     val t0 = System.nanoTime()
+    require(table.tombstones().isEmpty,
+      "table has live merge-on-read tombstones; materialize them first (Cluster.zorderRewrite) — equality deletes apply to future rows and would silently suppress merged keys")
     val log = Maintenance.start(table, runId, "merge")
     log.committedSnapshotId.foreach(id => return table.metadata.snapshot(id).get)
     val snap = table.currentSnapshot

@@ -77,6 +77,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider wi
     val spark = sqlContext.sparkSession
     val table = GraftTable.load(spark, root)
     val snapshotId = parameters.get("snapshot-id").map(_.toLong)
+    require(table.tombstones(snapshotId).isEmpty,
+      "snapshot has live merge-on-read tombstones, which a raw file relation cannot apply; " +
+        "read via GraftTable.read (applies them) or materialize with Cluster.zorderRewrite")
     GraftRelation.relation(spark, table.schema, root, table.files(snapshotId))
   }
 }

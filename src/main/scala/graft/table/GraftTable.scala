@@ -94,7 +94,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def read(predicate: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
     val sch = schema
     val planned = planFiles(predicate, snapshotId)
-    val df = org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, planned)
+    val df = applyTombstones(
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, planned),
+      snapshotId)
     predicate match {
       case Some(p) => df.filter(p)
       case None    => df
@@ -133,6 +135,70 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       predicate: Option[Column] = None,
       snapshotId: Option[Long] = None): org.apache.spark.sql.Dataset[T] =
     read(predicate, snapshotId).as[T]
+
+  // ---- merge-on-read equality deletes (tombstones) ---------------------------
+
+  /** Tombstone (equality-delete) file metas of a snapshot. */
+  def tombstones(snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
+    val md = metadata
+    val snap = snapshotId match {
+      case Some(id) => md.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $id"))
+      case None => md.currentSnapshot.getOrElse(return Seq.empty)
+    }
+    snap.deleteManifestList.flatMap(m => readManifest(m.path))
+  }
+
+  /** Anti-join `df` against the snapshot's tombstone keys (broadcast — the
+    * tombstone set is small by design; large deletes should use the
+    * copy-on-write path). No-op when no tombstones exist. */
+  def applyTombstones(df: DataFrame, snapshotId: Option[Long] = None): DataFrame = {
+    val dels = tombstones(snapshotId)
+    if (dels.isEmpty) df
+    else {
+      val delDf = spark.read.parquet(dels.map(absPath): _*)
+      val key = delDf.columns.head
+      df.join(org.apache.spark.sql.functions.broadcast(delDf.distinct()), Seq(key), "left_anti")
+    }
+  }
+
+  /**
+   * Merge-on-read equality delete: record the keys as a tombstone file and
+   * commit WITHOUT rewriting any data file — at 100 TB you do not rewrite a
+   * 1 GB file to delete three rows. Every read path anti-joins the
+   * tombstones; compaction applies them to the files it rewrites; the
+   * full-table cluster rewrite materializes and clears them.
+   *
+   * Semantics (equality delete, no sequence numbers): a tombstoned key is
+   * suppressed in ALL data — including rows appended later — until the
+   * tombstones are materialized away. MERGE refuses to run while tombstones
+   * are live for this reason.
+   *
+   * `keys` must have exactly one column, named as the key column.
+   */
+  def deleteByKeysMoR(keys: DataFrame, summary: Map[String, String] = Map.empty): Snapshot = {
+    require(keys.columns.length == 1,
+      s"tombstone frame must have exactly the key column, got ${keys.columns.mkString(",")}")
+    val key = keys.columns.head
+    require(schema.fieldNames.contains(key), s"unknown key column $key")
+    for (existing <- tombstones().headOption) {
+      val existingKey = spark.read.parquet(absPath(existing)).columns.head
+      require(existingKey == key,
+        s"table already has tombstones on '$existingKey'; materialize them (cluster rewrite) before deleting on '$key'")
+    }
+    val uuid = UUID.randomUUID.toString
+    val dir = s"$dataDir/$uuid"
+    keys.distinct().write.mode("errorifexists").parquet(dir)
+    val written = FileIO.listFiles(dir, ".parquet")
+    val metas = StatsCollector.collect(
+      spark, StructType(Seq(schema(schema.fieldIndex(key)))), root, written, uuid)
+    commitFull("delete-mor") { parent =>
+      (parent.map(_.manifests).getOrElse(Seq.empty),
+        Some(parent.map(_.deleteManifestList).getOrElse(Seq.empty) :+ writeManifest(metas)),
+        summary ++ Map("delete-key" -> key,
+          "tombstones-added" -> metas.map(_.rows).sum.toString))
+    }
+  }
 
   /**
    * Incremental (CDC-style) read: rows APPENDED after `fromSnapshotId`
@@ -232,8 +298,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       added: Seq[DataFileMeta],
       op: String,
       summary: Map[String, String] = Map.empty,
-      expectedSnapshotId: Option[Long] = None): Snapshot =
-    commit(op, expectedSnapshotId) { parent =>
+      expectedSnapshotId: Option[Long] = None,
+      clearDeletes: Boolean = false): Snapshot =
+    commitFull(op, expectedSnapshotId) { parent =>
       val parentManifests = parent.map(_.manifests).getOrElse(Seq.empty)
       val kept = scala.collection.mutable.ArrayBuffer.empty[ManifestMeta]
       var removedCount = 0
@@ -247,11 +314,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       require(removedCount == removedPaths.size,
         s"$op: ${removedPaths.size - removedCount} files to remove not present in current snapshot (concurrent rewrite?)")
       val manifests = if (added.nonEmpty) kept.toSeq :+ writeManifest(added) else kept.toSeq
-      (manifests, summary ++ Map(
-        "removed-files" -> removedPaths.size.toString,
-        "added-files" -> added.size.toString,
-        "added-rows" -> added.map(_.rows).sum.toString,
-        "added-bytes" -> added.map(_.bytes).sum.toString))
+      // clearDeletes: ONLY sound when the rewrite read every current data
+      // file with tombstones applied (full-table cluster rewrite)
+      (manifests,
+        if (clearDeletes) None else parent.flatMap(_.deleteManifests),
+        summary ++ Map(
+          "removed-files" -> removedPaths.size.toString,
+          "added-files" -> added.size.toString,
+          "added-rows" -> added.map(_.rows).sum.toString,
+          "added-bytes" -> added.map(_.bytes).sum.toString))
     }
 
   /**
@@ -259,9 +330,20 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * and returns (manifest list, summary). On a lost race: appends re-apply
    * against the new parent; rewrites require the parent they planned against
    * (`expectedSnapshotId`) and fail fast otherwise — the caller replans.
+   * Parent tombstones are carried forward unchanged; use [[commitFull]] to
+   * alter them.
    */
   def commit(op: String, expectedSnapshotId: Option[Long] = None)(
-      build: Option[Snapshot] => (Seq[ManifestMeta], Map[String, String])): Snapshot = {
+      build: Option[Snapshot] => (Seq[ManifestMeta], Map[String, String])): Snapshot =
+    commitFull(op, expectedSnapshotId) { parent =>
+      val (manifests, summary) = build(parent)
+      (manifests, parent.flatMap(_.deleteManifests), summary)
+    }
+
+  /** [[commit]] with explicit control of the delete-manifest (tombstone)
+    * list of the new snapshot. */
+  def commitFull(op: String, expectedSnapshotId: Option[Long] = None)(
+      build: Option[Snapshot] => (Seq[ManifestMeta], Option[Seq[ManifestMeta]], Map[String, String])): Snapshot = {
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
@@ -271,14 +353,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       for (expected <- expectedSnapshotId)
         require(parent.map(_.id).contains(expected),
           s"$op planned against snapshot $expected but current is ${parent.map(_.id)}: concurrent commit, replan required")
-      val (manifests, summary) = build(parent)
+      val (manifests, deleteManifests, summary) = build(parent)
       val snap = Snapshot(
         id = md.lastSnapshotId + 1,
         parentId = parent.map(_.id),
         timestampMs = System.currentTimeMillis(),
         operation = op,
         manifests = manifests,
-        summary = summary)
+        summary = summary,
+        deleteManifests = deleteManifests.filter(_.nonEmpty))
       val next = md.copy(
         currentSnapshotId = Some(snap.id),
         snapshots = md.snapshots :+ snap,

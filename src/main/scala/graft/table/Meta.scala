@@ -48,9 +48,14 @@ final case class Snapshot(
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     parentId: Option[Long],
     timestampMs: Long,
-    operation: String, // append | compact | cluster | merge | expire | rewrite-manifests
+    operation: String, // append | compact | cluster | merge | delete-mor | expire | rewrite-manifests
     manifests: Seq[ManifestMeta],
-    summary: Map[String, String])
+    summary: Map[String, String],
+    // merge-on-read equality-delete (tombstone) manifests; Option so
+    // pre-MoR metadata JSON deserializes as None
+    deleteManifests: Option[Seq[ManifestMeta]] = None) {
+  def deleteManifestList: Seq[ManifestMeta] = deleteManifests.getOrElse(Seq.empty)
+}
 
 final case class TableMetadata(
     formatVersion: Int,

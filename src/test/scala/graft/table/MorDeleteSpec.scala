@@ -1,0 +1,91 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.{Cluster, Compact, Expire, Merge}
+import graft.run.Synth
+
+/**
+ * Merge-on-read equality deletes: tombstone commits rewrite NO data files;
+ * every read path anti-joins the tombstones; compaction applies them
+ * opportunistically; a full cluster rewrite materializes and clears them;
+ * GC tracks tombstone files like data files.
+ */
+class MorDeleteSpec extends SparkSuite {
+
+  private def mk(root: String, n: Long = 400): GraftTable = {
+    val tbl = GraftTable.create(spark, root, Synth.pageSchema)
+    tbl.append(Synth.pages(spark, n, hosts = 6, partitions = 4))
+    tbl
+  }
+
+  test("tombstone delete hides keys without touching data files") {
+    val tbl = mk(tmpDir("mor"))
+    val before = tbl.files().map(_.path).toSet
+    val preSnap = tbl.currentSnapshot.get.id
+    val victims = tbl.read().select("url").orderBy("url").limit(25)
+
+    tbl.deleteByKeysMoR(victims)
+    assert(tbl.files().map(_.path).toSet === before, "no data file may be rewritten")
+    assert(tbl.read().count() === 400 - 25)
+    assert(tbl.read().join(victims, Seq("url"), "inner").count() === 0)
+    // predicate reads apply tombstones too
+    assert(tbl.read(Some(col("lang").isNotNull)).count() === 375)
+    // snapshot isolation: pre-delete snapshot unaffected
+    assert(tbl.readSnapshot(preSnap).count() === 400)
+    // equality-delete semantics: a re-appended tombstoned key stays hidden
+    val resurrect = tbl.readSnapshot(preSnap).join(victims, Seq("url"), "inner").limit(5)
+    tbl.append(resurrect)
+    assert(tbl.read().count() === 375)
+  }
+
+  test("compaction applies tombstones to rewritten files and keeps them") {
+    val tbl = mk(tmpDir("mor-compact"))
+    val victims = tbl.read().select("url").orderBy("url").limit(20)
+    tbl.deleteByKeysMoR(victims)
+    Compact.run(tbl, targetBytes = 1L << 30)
+    assert(tbl.tombstones().nonEmpty, "partial rewrites must keep tombstones")
+    assert(tbl.read().count() === 380)
+    assert(tbl.read().join(victims, Seq("url"), "inner").count() === 0)
+  }
+
+  test("full cluster rewrite materializes and clears tombstones") {
+    val tbl = mk(tmpDir("mor-cluster"))
+    val victims = tbl.read().select("url").orderBy("url").limit(30)
+    tbl.deleteByKeysMoR(victims)
+    Cluster.zorderRewrite(tbl, Cluster.ZDims(), targetFileBytes = 1L << 20)
+    assert(tbl.tombstones().isEmpty, "full rewrite must clear tombstones")
+    assert(tbl.read().count() === 370)
+    // physically gone: raw file scan (no anti-join) agrees
+    val raw = spark.read.schema(tbl.schema).parquet(tbl.files().map(tbl.absPath): _*)
+    assert(raw.count() === 370)
+    // key is deletable again after materialization
+    tbl.deleteByKeysMoR(tbl.read().select("url").limit(1))
+    assert(tbl.read().count() === 369)
+  }
+
+  test("merge refuses while tombstones are live; SQL relation refuses too") {
+    val tbl = mk(tmpDir("mor-merge"))
+    tbl.deleteByKeysMoR(tbl.read().select("url").limit(3))
+    val changes = tbl.read().limit(5).withColumn("text", lit("new"))
+    assert(intercept[IllegalArgumentException](Merge.into(tbl, changes))
+      .getMessage.contains("tombstones"))
+    assert(intercept[IllegalArgumentException](
+      spark.read.format("graft").load(tbl.root).count())
+      .getMessage.contains("tombstones"))
+  }
+
+  test("expire GCs tombstone files of dropped snapshots") {
+    val tbl = mk(tmpDir("mor-expire"), n = 200)
+    tbl.deleteByKeysMoR(tbl.read().select("url").limit(10))
+    val delFile = tbl.tombstones().head
+    Cluster.zorderRewrite(tbl, Cluster.ZDims(), targetFileBytes = 1L << 30) // clears
+    val res = Expire.expire(tbl, retainLast = 1)
+    assert(res.removedSnapshots.nonEmpty)
+    assert(res.deletedDataFiles.contains(delFile.path),
+      "tombstone file must be GC'd once no retained snapshot references it")
+    assert(!FileIO.exists(tbl.absPath(delFile)))
+    assert(tbl.read().count() === 190)
+  }
+}
