@@ -77,6 +77,10 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider wi
     val spark = sqlContext.sparkSession
     val table = GraftTable.load(spark, root)
     val snapshotId = parameters.get("snapshot-id").map(_.toLong)
+      .orElse(parameters.get("as-of-timestamp").map { ts =>
+        table.snapshotAsOf(ts.toLong).getOrElse(throw new IllegalArgumentException(
+          s"no snapshot committed at or before $ts")).id
+      })
     require(table.tombstones(snapshotId).isEmpty,
       "snapshot has live merge-on-read tombstones, which a raw file relation cannot apply; " +
         "read via GraftTable.read (applies them) or materialize with Cluster.zorderRewrite")

@@ -105,6 +105,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def readSnapshot(snapshotId: Long): DataFrame = read(None, Some(snapshotId))
 
+  /** Latest snapshot committed at or before `tsMs` (time travel by wall
+    * clock — pair with [[readSnapshot]]). */
+  def snapshotAsOf(tsMs: Long): Option[Snapshot] =
+    metadata.snapshots.filter(_.timestampMs <= tsMs).sortBy(s => (s.timestampMs, s.id)).lastOption
+
+  def readAsOf(tsMs: Long): DataFrame = {
+    val snap = snapshotAsOf(tsMs).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot committed at or before $tsMs"))
+    readSnapshot(snap.id)
+  }
+
   // ---- metadata tables (Iceberg-style observability) ------------------------
 
   /** The snapshot log as a DataFrame (id, parent, ts, op, manifest/file/row/

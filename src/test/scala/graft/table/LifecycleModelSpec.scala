@@ -1,0 +1,83 @@
+package graft.table
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.{Cluster, Compact, Expire}
+import graft.run.Synth
+
+/**
+ * Model-based lifecycle test: random interleavings of append / MoR-delete /
+ * compact / full-cluster / expire must keep the engine's visible table equal
+ * to a trivial in-memory model after every step (the north rule's
+ * "post-maintenance scans identical", exercised across op interactions
+ * instead of per-op). Seeded Random — scalacheck-style without the plugin.
+ */
+// top-level: Spark encoders cannot synthesize inner-class case classes
+case class MRow(url: String, text: String)
+
+class LifecycleModelSpec extends SparkSuite {
+
+  test("random op sequences match the in-memory model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+
+    for (round <- 0 until 2) {
+      val tbl = GraftTable.create(spark, tmpDir(s"model-$round"), Synth.pageSchema)
+      val rows = mutable.Buffer.empty[MRow] // multiset of live-stored rows
+      val tombstones = mutable.Set.empty[String]
+      var nextBatch = 0
+
+      def appendBatch(): String = {
+        val n = 30 + rnd.nextInt(60)
+        val tag = s"b$nextBatch"
+        nextBatch += 1
+        val df = Synth.pages(spark, n, hosts = 4, partitions = 2, seed = rnd.nextLong())
+          .withColumn("url", concat(lit(s"$tag/"), col("url")))
+        tbl.append(df)
+        rows ++= df.select("url", "text").collect().map(r => MRow(r.getString(0), r.getString(1)))
+        s"append($tag, $n)"
+      }
+      appendBatch() // never start empty
+
+      def visible: Seq[MRow] = rows.filterNot(r => tombstones.contains(r.url)).toSeq
+
+      val steps = 10 + rnd.nextInt(4)
+      val oplog = mutable.Buffer.empty[String]
+      for (_ <- 0 until steps) {
+        val op = rnd.nextInt(6)
+        oplog += (op match {
+          case 0 | 1 => appendBatch()
+          case 2 => // MoR delete a sample of currently-visible keys
+            val candidates = visible.map(_.url).distinct
+            if (candidates.isEmpty) "noop" else {
+              val picked = rnd.shuffle(candidates).take(1 + rnd.nextInt(8))
+              tbl.deleteByKeysMoR(picked.toDF("url"))
+              tombstones ++= picked
+              s"morDelete(${picked.size})"
+            }
+          case 3 =>
+            Compact.run(tbl, targetBytes = 1L << 30)
+            "compact"
+          case 4 =>
+            Cluster.zorderRewrite(tbl, Cluster.ZDims(), targetFileBytes = 1L << 20,
+              runId = s"model-$round-${oplog.size}")
+            // full rewrite materializes: tombstoned rows physically gone
+            val kept = rows.filterNot(r => tombstones.contains(r.url))
+            rows.clear()
+            rows ++= kept
+            tombstones.clear()
+            "clusterFull"
+          case 5 =>
+            Expire.expire(tbl, retainLast = 2)
+            "expire"
+        })
+        val got = tbl.read().select("url", "text").as[MRow]
+        assertSameRows(got.toDF(), visible.toDF(),
+          s"round $round after ${oplog.mkString(" → ")}")
+      }
+    }
+  }
+}
