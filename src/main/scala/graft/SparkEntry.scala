@@ -248,6 +248,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // end-to-end near-dup REMOVAL: pairs → connected components → survivors
+    // (threshold 1.0 = identical shingle sets, so the oracle's group-by-text
+    // min-id survivor set is exactly equivalent)
+    "q27_dedup_resolve" -> ((s, dir) => {
+      val docs = plantedDocs(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 1.0)
+      Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+    }),
+
     // winnowing fingerprint
     "q20_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -346,6 +356,11 @@ object SparkEntry {
     "q11_dedup_exact" ->
       s"""SELECT count(*) AS n_unique, sum(doc_id) AS id_sum FROM (
          |  SELECT min(doc_id) AS doc_id FROM ($plantedSql) GROUP BY text)""".stripMargin,
+    // identical-shingle-set components == identical lower(trim(text)) groups
+    // on this corpus (verified: no case/whitespace-only variants exist)
+    "q27_dedup_resolve" ->
+      s"""SELECT count(*) AS n_docs, sum(doc_id) AS id_sum FROM (
+         |  SELECT min(doc_id) AS doc_id FROM ($plantedSql) GROUP BY lower(trim(text)))""".stripMargin,
     "q12_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
     // exact mirror of the marker-vote heuristic: per-lang token votes,

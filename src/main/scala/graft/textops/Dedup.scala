@@ -119,4 +119,66 @@ object Dedup {
     size(array_intersect(sa, sb)).cast("double") /
       greatest(size(array_union(sa, sb)), lit(1)).cast("double")
   }
+
+  /**
+   * Connected components of a near-duplicate pair graph by min-label
+   * propagation: every vertex starts labeled with itself; each round takes
+   * the min label over itself and its neighbors; converges in O(cluster
+   * diameter) rounds — near-dup clusters are shallow (clones of one
+   * document), so 3–5 rounds in practice. Each round is one equi-join +
+   * one aggregate (no driver-side graph), and the labels relation is
+   * persisted per round with its parent unpersisted, so lineage stays flat
+   * at 10^12-vertex scale.
+   *
+   * Returns (id, component) with component = min id of the cluster.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetric edge list (propagation must flow both ways)
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(lvl)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // candidate label per vertex = min over neighbors' labels
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(min("component").as("nbr"))
+      val next = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .persist(lvl)
+      val changed = next.alias("n").join(labels.alias("o"), "id")
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
+   * End-to-end near-duplicate REMOVAL: candidate pairs → connected
+   * components → keep the min-id survivor of each cluster (plus every
+   * unpaired document). The missing half of "find near-dup pairs" that a
+   * training-data pipeline actually runs.
+   */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val losers = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -97,6 +97,28 @@ class TextOpsSpec extends SparkSuite {
     assert(pairs.contains((5L, 1000L)))
   }
 
+  test("connected components + near-dup removal") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, unpaired 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp(1L) === 1L && comp(2L) === 1L && comp(3L) === 1L)
+    assert(comp(10L) === 10L && comp(11L) === 10L)
+
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 10L, 20L), "min-id survivor per cluster + unpaired docs")
+
+    // end-to-end: planted exact clones vanish, survivors = exact-dedup set
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 3).withColumn("doc_id", col("doc_id") + 100L))
+    val p2 = Dedup.minhashNearDups(planted, "doc_id", "text", threshold = 1.0)
+    val resolved = Dedup.dropNearDuplicates(planted, "doc_id", p2)
+    val exact = Dedup.exact(planted, col("text"), col("doc_id"))
+    assert(resolved.count() === exact.count())
+  }
+
   test("multimodal batched feature extraction plumbing") {
     implicit val s = spark
     val df = docs.select(col("doc_id"), col("text").cast("binary").as("media"))
