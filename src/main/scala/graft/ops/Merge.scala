@@ -88,10 +88,12 @@ object Merge {
       runId: String = java.util.UUID.randomUUID.toString): Snapshot = {
     val spark = table.spark
     val t0 = System.nanoTime()
+    val log = Maintenance.start(table, runId, "merge")
+    // resume short-circuit FIRST: an already-committed merge must stay
+    // idempotently re-runnable even if a MoR delete landed afterwards
+    log.committedSnapshotId.foreach(id => return table.metadata.snapshot(id).get)
     require(table.tombstones().isEmpty,
       "table has live merge-on-read tombstones; materialize them first (Cluster.zorderRewrite) — equality deletes apply to future rows and would silently suppress merged keys")
-    val log = Maintenance.start(table, runId, "merge")
-    log.committedSnapshotId.foreach(id => return table.metadata.snapshot(id).get)
     val snap = table.currentSnapshot
     val schema = table.schema
     val cols = schema.fieldNames.toSeq

@@ -61,11 +61,18 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider wi
           val added = tbl.writeDataFiles(data)
           // pin the planned-against snapshot: a concurrent append between
           // files() and commit must force a replan, not silently survive
-          // inside the "overwritten" table
-          tbl.replaceFiles(old, added, "overwrite", expectedSnapshotId = expected)
+          // inside the "overwritten" table. clearDeletes: every file a
+          // tombstone could apply to is replaced, so carrying tombstones
+          // forward would suppress matching keys in the brand-new data.
+          tbl.replaceFiles(old, added, "overwrite",
+            expectedSnapshotId = expected, clearDeletes = true)
         }
     }
     val tbl = GraftTable.load(spark, root)
+    // no tombstone guard here: Spark's SaveIntoDataSourceCommand discards
+    // this relation (the write already committed; throwing would fail a
+    // successful append) — readers come back through the RelationProvider
+    // path above, which enforces it
     GraftRelation.relation(spark, tbl.schema, root, tbl.files())
   }
 

@@ -192,11 +192,6 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       s"tombstone frame must have exactly the key column, got ${keys.columns.mkString(",")}")
     val key = keys.columns.head
     require(schema.fieldNames.contains(key), s"unknown key column $key")
-    for (existing <- tombstones().headOption) {
-      val existingKey = spark.read.parquet(absPath(existing)).columns.head
-      require(existingKey == key,
-        s"table already has tombstones on '$existingKey'; materialize them (cluster rewrite) before deleting on '$key'")
-    }
     val uuid = UUID.randomUUID.toString
     val dir = s"$dataDir/$uuid"
     keys.distinct().write.mode("errorifexists").parquet(dir)
@@ -204,6 +199,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val metas = StatsCollector.collect(
       spark, StructType(Seq(schema(schema.fieldIndex(key)))), root, written, uuid)
     commitFull("delete-mor") { parent =>
+      // same-key check INSIDE the commit loop: it re-evaluates against the
+      // actual parent on every retry, so two racing deletes on different
+      // columns cannot both land (check-then-act outside the loop would let
+      // applyTombstones silently drop one set — it anti-joins on one key)
+      for (existing <- parent.toSeq.flatMap(_.deleteManifestList)
+             .flatMap(m => readManifest(m.path)).headOption) {
+        val existingKey = spark.read.parquet(absPath(existing)).columns.head
+        require(existingKey == key,
+          s"table already has tombstones on '$existingKey'; materialize them (cluster rewrite) before deleting on '$key'")
+      }
       (parent.map(_.manifests).getOrElse(Seq.empty),
         Some(parent.map(_.deleteManifestList).getOrElse(Seq.empty) :+ writeManifest(metas)),
         summary ++ Map("delete-key" -> key,
@@ -252,13 +257,22 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
       cursor = cursor.parentId.flatMap(md.snapshot).getOrElse {
         if (cursor.parentId.contains(fromSnapshotId) || (cursor.parentId.isEmpty && fromSnapshotId == 0))
-          return org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, schema, root, added.toSeq)
+          return incrementalResult(added.toSeq, to)
         throw new IllegalArgumentException(
           s"snapshot chain from $to to $fromSnapshotId broken (expired snapshot?)")
       }
     }
-    org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, schema, root, added.toSeq)
+    incrementalResult(added.toSeq, to)
   }
+
+  /** Incremental-read result with the `to` snapshot's tombstones applied —
+    * the consumer must see exactly what `read()` at `to` would show for
+    * these rows (a key tombstoned before `from` and re-appended inside the
+    * range is hidden from full reads, so it must be hidden here too). */
+  private def incrementalResult(added: Seq[DataFileMeta], to: Long): DataFrame =
+    applyTombstones(
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, schema, root, added),
+      Some(to))
 
   // ---- writes --------------------------------------------------------------
 

@@ -122,15 +122,17 @@ object Dedup {
 
   /**
    * Connected components of a near-duplicate pair graph by min-label
-   * propagation: every vertex starts labeled with itself; each round takes
-   * the min label over itself and its neighbors; converges in O(cluster
-   * diameter) rounds — near-dup clusters are shallow (clones of one
-   * document), so 3–5 rounds in practice. Each round is one equi-join +
-   * one aggregate (no driver-side graph), and the labels relation is
-   * persisted per round with its parent unpersisted, so lineage stays flat
+   * propagation with pointer doubling: each round every vertex takes the
+   * min label over itself and its neighbors, then shortcuts to its label's
+   * label — reach doubles per round, so convergence is O(log diameter)
+   * (a 10^6-long chain needs ~20 rounds, clone clusters 2–3). Each round
+   * is two equi-joins + one aggregate (no driver-side graph), and each
+   * round's labels are locally checkpointed, keeping the logical plan flat
    * at 10^12-vertex scale.
    *
-   * Returns (id, component) with component = min id of the cluster.
+   * Returns (id, component) with component = min id of the cluster — the
+   * result is persisted; unpersist it when done (dropNearDuplicates does).
+   * Throws if propagation has not converged after `maxIter` rounds.
    */
   def connectedComponents(
       pairs: DataFrame,
@@ -143,9 +145,13 @@ object Dedup {
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(lvl)
+    // localCheckpoint per round, NOT persist: caching keeps the LOGICAL plan
+    // growing one join deeper per round — by ~20 rounds plan
+    // compilation itself OOMs. Checkpointing pins the rows AND truncates
+    // lineage, so plan depth stays constant however long the chain.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -155,10 +161,17 @@ object Dedup {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2"))
         .agg(min("component").as("nbr"))
-      val next = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
+      val propagated = labels.join(viaNeighbors, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
-        .persist(lvl)
+      // pointer doubling: follow component → that vertex's component, so
+      // label reach doubles per round instead of advancing one hop
+      val mapping = propagated.select(col("id").as("cid"), col("component").as("ccomp"))
+      val next = propagated.alias("l")
+        .join(mapping.alias("m"), col("l.component") === col("m.cid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.component"), coalesce(col("ccomp"), col("l.component"))).as("component"))
+        .localCheckpoint(true)
       val changed = next.alias("n").join(labels.alias("o"), "id")
         .filter(col("n.component") =!= col("o.component")).count()
       labels.unpersist()
@@ -166,6 +179,12 @@ object Dedup {
       converged = changed == 0
     }
     edges.unpersist()
+    // no silent caps: truncated propagation would return WRONG components
+    // (dropNearDuplicates would keep extra duplicates with no signal)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a duplicate " +
+          s"cluster has diameter > $maxIter; raise maxIter")
     labels
   }
 
@@ -177,8 +196,14 @@ object Dedup {
    */
   def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
+    // pin the loser set (localCheckpoint truncates the iterative lineage so
+    // downstream actions don't replay the propagation loop), then release
+    // the loop's cached labels — otherwise every invocation leaks one
+    // persisted relation for the session's lifetime
     val losers = comp.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    comp.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -35,9 +35,26 @@ class MorDeleteSpec extends SparkSuite {
     // snapshot isolation: pre-delete snapshot unaffected
     assert(tbl.readSnapshot(preSnap).count() === 400)
     // equality-delete semantics: a re-appended tombstoned key stays hidden
+    val delSnap = tbl.currentSnapshot.get.id
     val resurrect = tbl.readSnapshot(preSnap).join(victims, Seq("url"), "inner").limit(5)
     tbl.append(resurrect)
     assert(tbl.read().count() === 375)
+    // incremental read agrees with read(): the re-appended tombstoned keys
+    // must be hidden from CDC consumers too
+    assert(tbl.incrementalRead(delSnap).count() === 0)
+  }
+
+  test("overwrite replaces every file, so it clears tombstones") {
+    val tbl = mk(tmpDir("mor-overwrite"))
+    val victims = tbl.read().select("url").orderBy("url").limit(10)
+    tbl.deleteByKeysMoR(victims)
+    // fresh data re-using a tombstoned url must be fully visible afterwards
+    val fresh = tbl.readSnapshot(tbl.metadata.snapshots.head.id)
+      .limit(50)
+    fresh.write.format("graft").mode("overwrite").save(tbl.root)
+    assert(tbl.tombstones().isEmpty, "overwrite must clear tombstones")
+    assert(tbl.read().count() === 50)
+    assert(spark.read.format("graft").load(tbl.root).count() === 50)
   }
 
   test("compaction applies tombstones to rewritten files and keeps them") {

@@ -110,6 +110,16 @@ class TextOpsSpec extends SparkSuite {
       .as[Long].collect().toSet
     assert(kept === Set(1L, 10L, 20L), "min-id survivor per cluster + unpaired docs")
 
+    // long chains must converge with the default budget, and a too-small
+    // maxIter must FAIL LOUDLY, not return truncated components
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainComp = Dedup.connectedComponents(chain)
+    assert(chainComp.filter(col("component") === 0L).count() === 25)
+    chainComp.unpersist()
+    assert(intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2))
+      .getMessage.contains("did not converge"))
+
     // end-to-end: planted exact clones vanish, survivors = exact-dedup set
     val planted = docs.unionByName(
       docs.filter(col("doc_id") < 3).withColumn("doc_id", col("doc_id") + 100L))
