@@ -147,24 +147,34 @@ object Bench {
       val adjacent = passes.indices.dropRight(1).collect {
         case i if passes(i)._1 == 2 && passes(i + 1)._1 == 8 => (seq(i), seq(i + 1))
       }
-      // capped at 1.0: a ratio above 4x means the 2-core pass itself was
-      // steal-afflicted, not that scaling is superlinear
-      def pairEff(f: Pass => Double) =
-        if (adjacent.isEmpty) 0.0
-        else math.min(1.0, adjacent.map { case (a, b) => f(a) / f(b) }.max / 4.0)
-      val eff = pairEff(_.sec)
-      val effCluster = pairEff(_.tCluster)
-      val effCompact = pairEff(_.tCompact)
+      // each pair ratio capped at 1.0: a ratio above 4x means the 2-core
+      // pass itself was steal-afflicted, not that scaling is superlinear.
+      // Report the whole DISTRIBUTION (best, median, all pairs) so the ≥0.8
+      // claim doesn't hinge on a single clean host window.
+      def pairEffs(f: Pass => Double): Seq[Double] =
+        adjacent.map { case (a, b) => math.min(1.0, f(a) / f(b) / 4.0) }.sorted
+      def best1(es: Seq[Double]) = if (es.isEmpty) 0.0 else es.max
+      def median1(es: Seq[Double]) = if (es.isEmpty) 0.0 else es(es.size / 2)
+      val effs = pairEffs(_.sec)
+      val eff = best1(effs)
+      val effMedian = median1(effs)
+      val effsCluster = pairEffs(_.tCluster)
+      val effCluster = best1(effsCluster)
+      val effClusterMedian = median1(effsCluster)
+      val effCompact = best1(pairEffs(_.tCompact))
       val effMin = (p2.sec / p8.sec) / 4.0 // conservative cross-window variant
+      def arr(es: Seq[Double]) = es.map(e => f"$e%.3f").mkString("[", ",", "]")
       graft.table.FileIO.deleteRecursively(stagedDir)
       def level(name: String, p: Pass) =
         f""""$name":{"gb":${p.gb}%.3f,"sec":${p.sec}%.2f,"compact_sec":${p.tCompact}%.2f,""" +
           f""""cluster_sec":${p.tCluster}%.2f,"gbps":${thr(p)}%.4f,"docs_per_s":${(p.docs / p.sec).toLong}}"""
       s"""{${level("local2", p2)},${level("local8", p8)},${level("local32", p32)},""" +
         f""""speedup_2_to_8":${thr(p8) / thr(p2)}%.3f,"scaling_efficiency":$eff%.3f,""" +
-        f""""scaling_efficiency_cluster":$effCluster%.3f,"scaling_efficiency_compact":$effCompact%.3f,""" +
+        f""""scaling_efficiency_median":$effMedian%.3f,"scaling_efficiency_pairs":${arr(effs)},""" +
+        f""""scaling_efficiency_cluster":$effCluster%.3f,"scaling_efficiency_cluster_median":$effClusterMedian%.3f,""" +
+        f""""scaling_efficiency_cluster_pairs":${arr(effsCluster)},"scaling_efficiency_compact":$effCompact%.3f,""" +
         f""""scaling_efficiency_minbased":$effMin%.3f,""" +
-        f""""note":"N-to-4N = local[2] vs local[8]: host is 16 physical cores with SMT, shared (CPU steal observed); min of $rounds alternating passes per level per op for throughput; efficiency from the best time-adjacent (2,8) pass pair. Compaction is a byte copy - disk-bound in one box, scales with node count (own disks) on a real cluster; clustering is the CPU-bound op."}"""
+        f""""note":"N-to-4N = local[2] vs local[8]: host is 16 physical cores with SMT, shared (CPU steal observed); min of $rounds alternating passes per level per op for throughput; efficiency reported as best AND median AND full distribution of time-adjacent (2,8) pass-pair ratios (a pair shares one host-weather window), plus the conservative cross-window min-based variant. Compaction is a byte copy - disk-bound in one box, scales with node count (own disks) on a real cluster; clustering is the CPU-bound op."}"""
     }
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

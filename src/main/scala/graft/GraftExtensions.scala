@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{CosineSimExpr, HilbertKeyExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, RangeBucketExpr, ShingleHashesExpr, SimHash64Expr, ZOrderKey}
+import graft.functions.{CosineSimExpr, HilbertKeyExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, RangeBucketExpr, ShingleHashesExpr, SimHash64Expr, SimHashOfHashesExpr, WinnowFingerprintExpr, WinnowMinsExpr, ZOrderKey}
 
 /**
  * SparkSessionExtensions registration for the engine's custom Catalyst
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL MERGE INTO graft.`/path` — resolves through ops/Merge.into.
+    // Hint-resolution batch: must fire BEFORE ResolveSQLOnFile rejects the
+    // graft-qualified target as a direct file query
+    ext.injectHintResolutionRule(session => graft.sql.GraftMergeRule(session))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -101,6 +105,21 @@ object GraftExtensions {
     ("cosine_sim", classOf[CosineSimExpr].getName, {
       case Seq(a, b) => CosineSimExpr(a, b)
       case _ => throw new IllegalArgumentException("cosine_sim(a, b)")
+    }),
+    ("simhash_of_hashes", classOf[SimHashOfHashesExpr].getName, {
+      case Seq(hs) => SimHashOfHashesExpr(hs)
+      case _ => throw new IllegalArgumentException("simhash_of_hashes(array<long>)")
+    }),
+    ("winnow_mins", classOf[WinnowMinsExpr].getName, {
+      case Seq(hs) => WinnowMinsExpr(hs, 4)
+      case Seq(hs, w) => WinnowMinsExpr(hs, intLit(w, "winnow_mins"))
+      case _ => throw new IllegalArgumentException("winnow_mins(array<long>[, w])")
+    }),
+    ("winnow_fingerprint", classOf[WinnowFingerprintExpr].getName, {
+      case Seq(text) => WinnowFingerprintExpr(text, 3, 4)
+      case Seq(text, k, w) =>
+        WinnowFingerprintExpr(text, intLit(k, "winnow_fingerprint"), intLit(w, "winnow_fingerprint"))
+      case _ => throw new IllegalArgumentException("winnow_fingerprint(text[, k, w])")
     }))
 
   /** Register into an already-built session (builder extensions only apply

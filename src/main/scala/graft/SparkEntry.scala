@@ -29,6 +29,12 @@ object SparkEntry {
   private val plantedSql =
     "SELECT * FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 100"
 
+  /** DuckDB SimHash majority vote over a token-hash list column `hs`: one
+    * bit term per bit position (md5-15-hex hashes use only bits 0-59). */
+  private val simhashVoteSql: String = (0 until 60).map { b =>
+    s"(CASE WHEN 2*len(list_filter(hs, x -> (x >> $b) & 1 = 1)) > len(hs) THEN 1::BIGINT << $b ELSE 0::BIGINT END)"
+  }.mkString("(", " + ", ")")
+
   /** deterministic 64-dim query vector, mirrored as a SQL literal */
   private val queryVec: Seq[Float] = (0 until 64).map(i => ((i % 7) - 3) / 3.0f)
   private val queryVecSql = queryVec.map(v => f"${v.toDouble}%.10f").mkString("[", ", ", "]")
@@ -207,17 +213,29 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))),
 
-    // MinHash+LSH near-dup pairs over the planted-duplicate corpus
+    // MinHash+LSH near-dup pairs over the planted-duplicate corpus.
+    // threshold 1.0 makes the op EXACT (identical shingle sets → identical
+    // signatures → always LSH candidates; the Jaccard verify then keeps
+    // precisely the set-equal pairs), so a DuckDB list-ops oracle can mirror
+    // it; sub-1.0 thresholds share this code path but have probabilistic
+    // recall no oracle can pin down
     "q15_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDups(plantedDocs(s, dir), "doc_id", "text", threshold = 0.9)
+      Dedup.minhashNearDups(plantedDocs(s, dir), "doc_id", "text", threshold = 1.0)
         .agg(count(lit(1)).as("n_pairs"), round(sum("jaccard"), 2).as("jac_sum"))),
 
-    // SimHash near-dup pairs
-    "q16_simhash_neardup" -> ((s, dir) =>
+    // SimHash near-dup pairs over a DuckDB-mirrorable md5-derived token hash
+    // (engine hot path = the fused xxhash64 SimHash64Expr; the vote +
+    // blocking + verify path here is identical, only the token hash is
+    // swapped so the oracle can brute-force the same sketch)
+    "q16_simhash_neardup" -> ((s, dir) => {
+      val md5Simhash: Column => Column = text =>
+        Dedup.simhashOfHashes(transform(TextAnalysis.tokens(text),
+          tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))
       Dedup.simhashNearDups(
           plantedDocs(s, dir).filter(col("doc_id") % 5 === 0 || col("doc_id") >= 1000000),
-          "doc_id", "text", maxHamming = 3)
-        .agg(count(lit(1)).as("n_pairs"), sum("hamming").as("ham_sum"))),
+          "doc_id", "text", maxHamming = 3, simhashCol = md5Simhash)
+        .agg(count(lit(1)).as("n_pairs"), sum("hamming").cast("long").as("ham_sum"))
+    }),
 
     // exact n-gram Jaccard between consecutive doc ids
     "q17_ngram_jaccard" -> ((s, dir) => {
@@ -258,12 +276,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
     }),
 
-    // winnowing fingerprint
-    "q20_fingerprint" -> ((s, dir) =>
+    // winnowing fingerprint over a DuckDB-mirrorable md5-derived k-gram hash
+    // (the engine hot path uses the fused xxhash64 kernel — same codegen'd
+    // window-min selection, asserted bit-identical in TextVectorKernelsSpec)
+    "q20_fingerprint" -> ((s, dir) => {
+      val mdHashes = transform(TextAnalysis.shingles(col("text"), 3),
+        sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long"))
       t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.winnowingMins(mdHashes, 4).as("_fp"))
         .select(col("doc_id"),
-          size(TextAnalysis.winnowingFingerprint(col("text"))).as("fp_size"),
-          TextAnalysis.winnowingFingerprint(col("text")).getItem(0).as("fp_min"))),
+          size(col("_fp")).cast("long").as("fp_size"),
+          col("_fp").getItem(0).as("fp_min"))
+    }),
 
     // multimodal stub: binary column + arithmetic metadata (plumbing mirror;
     // batched Dataset path exercised in MultimodalSpec)
@@ -324,13 +348,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'tax', l_tax FROM lineitem) GROUP BY 1""".stripMargin,
     "q10_json_shred" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k
+        |       CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
     "q21_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q22_sessionize" ->
-      """SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events FROM (
+      """SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id, event_id,
         |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                             ROWS UNBOUNDED PRECEDING) AS sess_id
@@ -354,12 +378,12 @@ object SparkEntry {
         |                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS mavg
         |FROM events""".stripMargin,
     "q11_dedup_exact" ->
-      s"""SELECT count(*) AS n_unique, sum(doc_id) AS id_sum FROM (
+      s"""SELECT count(*) AS n_unique, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
          |  SELECT min(doc_id) AS doc_id FROM ($plantedSql) GROUP BY text)""".stripMargin,
     // identical-shingle-set components == identical lower(trim(text)) groups
     // on this corpus (verified: no case/whitespace-only variants exist)
     "q27_dedup_resolve" ->
-      s"""SELECT count(*) AS n_docs, sum(doc_id) AS id_sum FROM (
+      s"""SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
          |  SELECT min(doc_id) AS doc_id FROM ($plantedSql) GROUP BY lower(trim(text)))""".stripMargin,
     "q12_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
@@ -397,6 +421,55 @@ object SparkEntry {
         |  greatest(len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
         |           len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))), 1), 6) AS jaccard
         |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // at threshold 1.0, MinHash+LSH pairs == identical-shingle-set pairs:
+    // mirror the exact shingle construction (q17's pattern) and self-join on
+    // the sorted distinct shingle list as the group key
+    "q15_minhash_neardup" ->
+      s"""WITH p AS ($plantedSql),
+         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM p),
+         |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |        ELSE list_transform(range(1, len(toks)-1),
+         |                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END AS sh FROM t),
+         |g AS (SELECT doc_id, list_sort(list_distinct(sh)) AS key FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs, round(CAST(count(*) AS DOUBLE), 2) AS jac_sum
+         |FROM g a JOIN g b ON a.key = b.key AND a.doc_id < b.doc_id""".stripMargin,
+    // exact mirror: same md5-derived token hash, same per-bit majority vote
+    // (bits 60-63 are always 0 under the 15-hex-char hash, so 60 bit terms
+    // suffice), brute-force hamming ≤ 3 pairs — chunk blocking on the Spark
+    // side is pigeonhole-complete for hamming ≤ 3, so the sets are equal
+    "q16_simhash_neardup" ->
+      s"""WITH p AS (SELECT * FROM ($plantedSql) WHERE doc_id % 5 = 0 OR doc_id >= 1000000),
+         |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM p),
+         |h AS (SELECT doc_id, list_transform(toks, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM t),
+         |s AS (SELECT doc_id, $simhashVoteSql AS sh FROM h)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(coalesce(sum(bit_count(xor(a.sh, b.sh))), 0) AS BIGINT) AS ham_sum
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    // planted clone pairs sit at cosine 1.0 (identical hyperplane signatures
+    // → always LSH candidates) and the corpus has NO natural pair above 0.8
+    // (verified brute-force), so LSH output == exact ≥0.95 pairs, mirrored
+    // by brute force — fine at oracle scale, which is the point of the
+    // bucketed Spark path
+    "q19_embed_neardup" ->
+      """WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           UNION ALL SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / greatest(a.nv * b.nv, 1e-12) >= 0.95""".stripMargin,
+    // winnowing is deterministic given the hash; both sides hash a k-gram as
+    // the first 15 hex chars of md5 parsed as int64, then take sliding
+    // window-4 minima, distinct, sorted
+    "q20_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks)-1),
+        |                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END AS sh FROM t),
+        |h AS (SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM s),
+        |f AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |        range(0, greatest(len(hs) - 4, 0) + 1), i -> list_min(hs[(i+1):(i+4)])))) AS fp FROM h)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS fp_size, fp[1] AS fp_min FROM f""".stripMargin,
     "q13_quality_score" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

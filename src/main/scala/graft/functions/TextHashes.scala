@@ -124,9 +124,80 @@ object TextHash {
     sig
   }
 
-  /** 64-bit SimHash: per-bit majority vote of the token hashes. */
-  def simhash64(text: UTF8String): Long = {
+  /** k-gram hashes in SEQUENCE ORDER with duplicates kept — the winnowing
+    * input (fingerprinting needs positional windows; [[shingleHashes]]'s
+    * first-occurrence dedup would break window alignment). Same chained
+    * token-hash scheme, so a k-gram hashes identically in both. */
+  def kgramHashes(text: UTF8String, k: Int): Array[Long] = {
     val th = tokenHashes(text)
+    if (th.length < k) {
+      var acc = SEED
+      var j = 0
+      while (j < k) {
+        acc = XXH64.hashLong(if (j < th.length) th(j) else 0L, acc)
+        j += 1
+      }
+      return Array(acc)
+    }
+    val nSh = th.length - k + 1
+    val out = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var acc = SEED
+      var j = 0
+      while (j < k) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Winnowing window-min selection (Schleimer et al., SIGMOD 2003): the min
+   * of every sliding window of `w` consecutive hashes, deduped and sorted.
+   * O(n) via a monotonic deque — the replaced column formulation
+   * (`transform(sequence(...), i => array_min(slice(...)))`) was interpreted
+   * AND O(n·w) with a sliced array allocation per window.
+   */
+  def winnowWindowMins(hs: Array[Long], w: Int): Array[Long] = {
+    val n = hs.length
+    if (n == 0) return Array.empty
+    if (n <= w) { // single window over everything
+      var m = hs(0)
+      var i = 1
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      return Array(m)
+    }
+    val nWin = n - w + 1
+    val mins = new Array[Long](nWin)
+    val dq = new Array[Int](n) // indices, values increasing front→back
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < n) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - w + 1) = hs(dq(head))
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var c = 1
+    var j = 1
+    while (j < nWin) {
+      if (mins(j) != mins(j - 1)) { mins(c) = mins(j); c += 1 }
+      j += 1
+    }
+    if (c == nWin) mins else java.util.Arrays.copyOf(mins, c)
+  }
+
+  /** Fused winnowing fingerprint: k-gram hash chain → window mins. */
+  def winnowFingerprint(text: UTF8String, k: Int, w: Int): Array[Long] =
+    winnowWindowMins(kgramHashes(text, k), w)
+
+  /** per-bit majority vote over arbitrary 64-bit feature hashes — the
+    * SimHash core, usable with any caller-chosen token hash. */
+  def simhashVote(th: Array[Long]): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < th.length) {
@@ -146,6 +217,9 @@ object TextHash {
     }
     out
   }
+
+  /** 64-bit SimHash: per-bit majority vote of the token hashes. */
+  def simhash64(text: UTF8String): Long = simhashVote(tokenHashes(text))
 
   /** Marker-word language vote over token hashes (hash membership ≡ string
     * membership up to 64-bit collisions). Returns the argmax language —
@@ -194,8 +268,22 @@ object TextHash {
   def simhash64(text: Column): Column =
     Shims.column(SimHash64Expr(Shims.expression(text)))
 
+  /** SimHash vote over a caller-hashed array<long> of token features. */
+  def simhashOfHashes(tokenHashes: Column): Column =
+    Shims.column(SimHashOfHashesExpr(Shims.expression(tokenHashes)))
+
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
     Shims.column(LangIdExpr(Shims.expression(text), markers))
+
+  /** window-min winnowing selection over an arbitrary array<long> of
+    * ordered hashes (caller picks the hash; used by the contract query
+    * with a DuckDB-mirrorable md5-derived hash). */
+  def winnowMins(hashes: Column, w: Int): Column =
+    Shims.column(WinnowMinsExpr(Shims.expression(hashes), w))
+
+  /** fused text → winnowing fingerprint (engine hot path). */
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    Shims.column(WinnowFingerprintExpr(Shims.expression(text), k, w))
 }
 
 /** `shingle_hashes(text)` → array<long>: distinct token-n-gram hashes. */
@@ -259,6 +347,61 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
       "org.apache.spark.unsafe.types.UTF8String")
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.langId($c, $mh, $ls, $u)")
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_mins(array<long>)` → array<long>: sorted distinct sliding-window
+  * minima (window `w`) — the winnowing selection step over caller-hashed
+  * k-grams. Input must be a null-free array. */
+case class WinnowMinsExpr(child: Expression, w: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(w >= 1, "window must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_mins"
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.winnowWindowMins(input.asInstanceOf[ArrayData].toLongArray(), w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.TextHash.winnowWindowMins($c.toLongArray(), $w))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `winnow_fingerprint(text)` → array<long>: the full winnowing document
+  * fingerprint (k-gram chained-xxhash64 → window-min of `w` → distinct,
+  * sorted) in ONE codegen'd pass — the 100 TB text-fingerprint hot path. */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1 && w >= 1)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.winnowFingerprint(input.asInstanceOf[UTF8String], k, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.TextHash.winnowFingerprint($c, $k, $w))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash_of_hashes(array<long>)` → long: the SimHash per-bit majority
+  * vote over caller-hashed token features (null-free array). */
+case class SimHashOfHashesExpr(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_of_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhashVote(input.asInstanceOf[ArrayData].toLongArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashVote($c.toLongArray())")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

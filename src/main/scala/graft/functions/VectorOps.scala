@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   /** sign-bit signature: bit j = (dot(v, plane_j) > 0). `planes` is flat
-    * bits×maxDim row-major; dims beyond the vector length are ignored. */
+    * bits×maxDim row-major; dims beyond the vector length are ignored.
+    * Null elements contribute 0 (skipped): the declared input type is
+    * null-free, but Spark's type check ignores nullability, so arrays WITH
+    * null elements do reach the kernel — getDouble on them would NPE on
+    * GenericArrayData and read garbage on UnsafeArrayData. */
   def hyperplaneSig(v: ArrayData, planes: Array[Double], bits: Int, maxDim: Int): Long = {
     val n = math.min(v.numElements(), maxDim)
     var sig = 0L
@@ -27,14 +31,19 @@ object VectorOps {
       val off = j * maxDim
       var d = 0.0
       var i = 0
-      while (i < n) { d += v.getDouble(i) * planes(off + i); i += 1 }
+      while (i < n) {
+        if (!v.isNullAt(i)) d += v.getDouble(i) * planes(off + i)
+        i += 1
+      }
       if (d > 0) sig |= (1L << j)
       j += 1
     }
     sig
   }
 
-  /** cosine(a, b) with the engine's fixed epsilon denominator floor. */
+  /** cosine(a, b) with the engine's fixed epsilon denominator floor.
+    * Null elements are skipped (contribute 0 to all three sums) — see
+    * [[hyperplaneSig]] for why nulls can reach the kernel at all. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -42,9 +51,11 @@ object VectorOps {
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getDouble(i)
+        val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
     dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)

@@ -39,6 +39,27 @@ object Cluster {
     require(curve == "zorder" || curve == "hilbert", s"unknown curve $curve")
   }
 
+  /** Hard ceiling on rows the boundary/heavy-host sample may collect to the
+    * driver, independent of table size. At 100 TB the OUTPUT FILE count is
+    * ~8×10^5; sampling 400 keys per output file would collect 3×10^8 rows —
+    * a driver OOM. Instead the shuffle fans out to at most
+    * [[maxShufflePartitions]] range partitions (each sorted run split into
+    * right-sized files by maxRecordsPerFile at write), so the sample only
+    * needs 400 keys per PARTITION, further capped here. */
+  val MaxSampleRows: Long = 2000000L
+
+  /** Range-partition count for a rewrite: scales with the cluster (4 waves
+    * of the session's shuffle parallelism), not with table size. */
+  def maxShufflePartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism) * 4
+
+  /** Sample fraction for `nPart` range boundaries over `rowsTotal` rows:
+    * 400 keys per partition, hard-capped at [[MaxSampleRows]] total. */
+  def sampleFraction(nPart: Int, rowsTotal: Long): Double =
+    math.min(1.0,
+      math.min(400.0 * nPart, MaxSampleRows.toDouble) / math.max(1L, rowsTotal))
+
   /** Observed per-dim bounds — measured from the data in one cheap
     * column-pruned aggregate so each dim uses its FULL bit range (a host
     * domain sharing the "host-"/"www." prefix would otherwise leave the
@@ -134,24 +155,30 @@ object Cluster {
       val rowsTotal = inputs.map(_.rows).sum
       val bounds = boundsFromMeta(df, inputs) // no scan in the common case
 
+      // the shuffle fans out to nPart range partitions (cluster-sized, NOT
+      // file-count-sized); each sorted partition run is split into
+      // right-sized files by maxRecordsPerFile, preserving sort order and
+      // tight per-file bounds — so boundary count and driver sample stay
+      // bounded however big the table is
+      val nPart = math.max(1, math.min(nOut, maxShufflePartitions(spark)))
       // ONE key-only sample scan yields both range boundaries and the
       // heavy-host set (an exact groupBy(host) would mean collecting every
       // distinct host — unbounded at web scale; the sample estimate is
       // rows ≈ sampleCount / fraction and only needs the heavy tail)
-      val fraction = math.min(1.0,
-        (nOut.toLong * 400).toDouble / math.max(1L, rowsTotal))
+      val fraction = sampleFraction(nPart, rowsTotal)
       val sampled = df
         .select(zkeyCol(dims, bounds).as("z"), hostCol(col("url")).as("host"))
         .sample(withReplacement = false, fraction, seed = 42)
+        .limit(MaxSampleRows.toInt) // belt-and-braces: the collect is bounded
         .collect()
       val heavyHosts: Seq[String] = sampled.groupBy(_.getString(1))
         .collect { case (h, rows) if rows.length / fraction > saltThresholdRows => h }
         .toSeq.sorted
       val zSample = sampled.map(_.getLong(0)).sorted
       val bds: Array[Long] =
-        if (nOut <= 1 || zSample.isEmpty) Array.empty
-        else (1 until nOut)
-          .map(i => zSample(math.min(zSample.length - 1, i * zSample.length / nOut)))
+        if (nPart <= 1 || zSample.isEmpty) Array.empty
+        else (1 until nPart)
+          .map(i => zSample(math.min(zSample.length - 1, i * zSample.length / nPart)))
           .distinct.toArray
 
       // salt-perturbed key: XOR flips only the low bits (noise bits of the
@@ -160,10 +187,11 @@ object Cluster {
       val salted = withZKey(df, dims, bounds, heavyHosts, nSalts)
         .withColumn("_zs", col("_zkey").bitwiseXOR(col("_salt").cast("long")))
 
-      spark.sparkContext.setJobDescription(s"zorder-rewrite $runId (${inputs.size} files, $nOut out)")
+      spark.sparkContext.setJobDescription(s"zorder-rewrite $runId (${inputs.size} files, $nOut out, $nPart partitions)")
       val sorted = RangeShuffle.byRange(salted, col("_zs"), bds)
         .sortWithinPartitions(col("_zs"))
-      table.writeDataFiles(sorted, commitUuid) // selects schema cols, dropping _zkey/_salt/_zs
+      val rowsPerFile = if (nOut > nPart) math.max(1L, rowsTotal / nOut) else 0L
+      table.writeDataFiles(sorted, commitUuid, rowsPerFile) // selects schema cols, dropping _zkey/_salt/_zs
       log = Maintenance.markDone(table, log, "rewrite")
     }
     val added = graft.table.StatsCollector.collect(

@@ -47,37 +47,31 @@ object Merge {
     val unbounded = files.filter(f => f.minValues.get(keyCol).isEmpty || f.maxValues.get(keyCol).isEmpty)
     val bounded = files.filter(f => f.minValues.contains(keyCol) && f.maxValues.contains(keyCol))
     if (bounded.isEmpty) return files
-    val intervals: Array[(String, String, Int)] =
-      bounded.zipWithIndex.map { case (f, i) => (f.minValues(keyCol), f.maxValues(keyCol), i) }
-        .sortWith((a, b) => Bounds.compare(dt, a._1, b._1) < 0).toArray
+    // interval-stabbing index (sorted mins + prefix-max of maxes): O(log
+    // files + overlaps) per key instead of a linear scan of every file —
+    // the index itself is file-count-bounded and broadcast once
+    val index = new IntervalIndex(dt,
+      bounded.zipWithIndex.map { case (f, i) => (f.minValues(keyCol), f.maxValues(keyCol), i) })
     val spark = table.spark
-    val bc = spark.sparkContext.broadcast(intervals)
-    val ddlType = dt.sql
+    val bc = spark.sparkContext.broadcast(index)
     val overlap = udf { (k: String) =>
-      if (k == null) Seq.empty[Int]
-      else {
-        val iv = bc.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = 0
-        // intervals may overlap arbitrarily (unsorted table) → linear scan;
-        // bounded by file count, and runs distributed per source partition
-        while (i < iv.length && Bounds.compare(dt, iv(i)._1, k) <= 0) {
-          if (Bounds.compare(dt, k, iv(i)._2) <= 0) out += iv(i)._3
-          i += 1
-        }
-        out.toSeq
-      }
+      if (k == null) Seq.empty[Int] else bc.value.overlapping(k)
     }
     val touchedIds = sourceKeys
       .select(explode(overlap(col(keyCol).cast("string"))).as("fid"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val _ = ddlType
     bounded.zipWithIndex.collect { case (f, i) if touchedIds.contains(i) => f } ++ unbounded
   }
 
   /**
    * Execute a merge of `source` (page-schema columns + optional `_deleted`
    * boolean) into the table on `keyCol`. Returns the committed snapshot.
+   *
+   * `latestWins` = true (default) keeps the reference's HBase-cell
+   * semantics: a source row older than the target row (by `versionCol`) is
+   * a late-arriving change and loses. `latestWins` = false gives ANSI
+   * MERGE semantics (matched source rows always apply) — the SQL surface
+   * ([[graft.sql.GraftMergeRule]]) uses this.
    */
   def into(
       table: GraftTable,
@@ -85,7 +79,8 @@ object Merge {
       keyCol: String = "url",
       versionCol: String = "warc_ts",
       targetFileBytes: Long = 128L * 1024 * 1024,
-      runId: String = java.util.UUID.randomUUID.toString): Snapshot = {
+      runId: String = java.util.UUID.randomUUID.toString,
+      latestWins: Boolean = true): Snapshot = {
     val spark = table.spark
     val t0 = System.nanoTime()
     val log = Maintenance.start(table, runId, "merge")
@@ -118,7 +113,9 @@ object Merge {
     val s = src.alias("s")
     val joined = t.join(s, t(keyCol) === s(keyCol), "full_outer")
     val tKey = t(keyCol); val sKey = s(keyCol)
-    val takeSource = sKey.isNotNull && (tKey.isNull || s(versionCol) >= t(versionCol))
+    val takeSource =
+      if (latestWins) sKey.isNotNull && (tKey.isNull || s(versionCol) >= t(versionCol))
+      else sKey.isNotNull
     val keep = when(sKey.isNull, lit(true)) // unmatched target row: kept
       .when(takeSource && s("_deleted"), lit(false)) // newest change is a delete
       .otherwise(!s("_deleted") || tKey.isNotNull) // insert, or keep older target

@@ -72,16 +72,24 @@ object Bounds {
     * O(bytes) per entry, and WIDER bounds are always sound for pruning. */
   val StatsTruncateLen = 32
 
-  /** Lower bound truncation: a prefix is ≤ every string extending it. */
+  /** Lower bound truncation: a prefix is ≤ every string extending it.
+    * Backs off one char when the cut would split a UTF-16 surrogate pair —
+    * a lone trailing high surrogate only round-trips by encoder accident
+    * (String.getBytes(UTF-8) and JSON writers replace it with U+FFFD/'?'),
+    * so the stored bound must stay well-formed. */
   def truncatedMin(dt: DataType, v: String, len: Int = StatsTruncateLen): String = dt match {
-    case StringType if v.length > len => v.substring(0, len)
+    case StringType if v.length > len =>
+      val cut = if (Character.isHighSurrogate(v.charAt(len - 1))) len - 1 else len
+      v.substring(0, cut)
     case _ => v
   }
 
   /** Upper bound truncation: prefix with its last ASCII char incremented is
     * > every string sharing the untouched prefix (UTF-8 byte order; the
     * increment stays single-byte). Falls back to the full value when no
-    * char < 0x7F exists to increment — sound either way. */
+    * char < 0x7F exists to increment — sound either way. The increment
+    * position is always ASCII (< 0x7F), never a surrogate, and everything
+    * after it is dropped, so the result is always well-formed UTF-16. */
   def truncatedMax(dt: DataType, v: String, len: Int = StatsTruncateLen): String = dt match {
     case StringType if v.length > len =>
       val p = v.substring(0, len).toCharArray

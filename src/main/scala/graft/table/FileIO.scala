@@ -15,15 +15,24 @@ import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOpti
  * (`hive/HiveTableIR.java:296-299`).
  */
 object FileIO {
-  def readString(path: String): String =
+
+  /** Count of FileIO calls — each is ≥1 round trip on an object store, so
+    * metadata paths are asserted O(1) in tests via this counter. */
+  val opCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private def tick(): Unit = opCount.incrementAndGet()
+
+  def readString(path: String): String = {
+    tick()
     new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+  }
 
-  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+  def exists(path: String): Boolean = { tick(); Files.exists(Paths.get(path)) }
 
-  def mkdirs(path: String): Unit = Files.createDirectories(Paths.get(path))
+  def mkdirs(path: String): Unit = { tick(); Files.createDirectories(Paths.get(path)) }
 
   /** Overwrite-in-place via temp + atomic rename (for hints/step logs). */
   def writeString(path: String, content: String): Unit = {
+    tick()
     val target = Paths.get(path)
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(target.getFileName.toString + "." + java.util.UUID.randomUUID + ".tmp")
@@ -33,6 +42,7 @@ object FileIO {
 
   /** Atomic create-if-absent; returns false if the target already existed. */
   def putIfAbsent(path: String, content: String): Boolean = {
+    tick()
     val target = Paths.get(path)
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(target.getFileName.toString + "." + java.util.UUID.randomUUID + ".tmp")
@@ -45,9 +55,10 @@ object FileIO {
     } finally Files.deleteIfExists(tmp)
   }
 
-  def delete(path: String): Unit = Files.deleteIfExists(Paths.get(path))
+  def delete(path: String): Unit = { tick(); Files.deleteIfExists(Paths.get(path)) }
 
   def deleteRecursively(path: String): Unit = {
+    tick()
     val p = Paths.get(path)
     if (Files.exists(p)) {
       val stream = Files.walk(p)
@@ -58,6 +69,7 @@ object FileIO {
   }
 
   def listFiles(dir: String, suffix: String = ""): Seq[String] = {
+    tick()
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
     else {
@@ -71,5 +83,5 @@ object FileIO {
     }
   }
 
-  def fileSize(path: String): Long = Files.size(Paths.get(path))
+  def fileSize(path: String): Long = { tick(); Files.size(Paths.get(path)) }
 }

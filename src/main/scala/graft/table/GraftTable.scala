@@ -32,12 +32,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   // ---- metadata access -----------------------------------------------------
 
-  /** Latest committed version number (source of truth: max vN.json present). */
+  /** Latest committed version number (source of truth: max vN.json present).
+    * ONE directory listing — the previous hint-then-probe loop cost
+    * O(commits since hint) existence checks per metadata read, a latency
+    * amplifier on an object store where each probe is a round trip. */
   def currentVersion: Int = {
-    val hint = if (FileIO.exists(hintPath)) FileIO.readString(hintPath).trim.toInt else 1
-    var v = math.max(hint, 1)
-    while (FileIO.exists(s"$metadataDir/v${v + 1}.json")) v += 1
-    v
+    val versions = FileIO.listFiles(metadataDir, ".json").flatMap { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      if (name.startsWith("v")) name.stripPrefix("v").stripSuffix(".json").toIntOption
+      else None
+    }
+    if (versions.isEmpty) 1 else versions.max
   }
 
   def metadata: TableMetadata = metadataAt(currentVersion)
@@ -106,9 +111,21 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def readSnapshot(snapshotId: Long): DataFrame = read(None, Some(snapshotId))
 
   /** Latest snapshot committed at or before `tsMs` (time travel by wall
-    * clock — pair with [[readSnapshot]]). */
-  def snapshotAsOf(tsMs: Long): Option[Snapshot] =
-    metadata.snapshots.filter(_.timestampMs <= tsMs).sortBy(s => (s.timestampMs, s.id)).lastOption
+    * clock — pair with [[readSnapshot]]). Resolved against the CURRENT
+    * snapshot's ancestor chain only: branches abandoned by [[rollback]]
+    * stay readable by id but must not win as-of resolution (their commit
+    * timestamps are later than the rollback target's, so a whole-log scan
+    * would time-travel onto the abandoned branch). */
+  def snapshotAsOf(tsMs: Long): Option[Snapshot] = {
+    val md = metadata
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    var cur = md.currentSnapshot
+    while (cur.nonEmpty) {
+      chain += cur.get
+      cur = cur.get.parentId.flatMap(md.snapshot)
+    }
+    chain.filter(_.timestampMs <= tsMs).sortBy(s => (s.timestampMs, s.id)).lastOption
+  }
 
   def readAsOf(tsMs: Long): DataFrame = {
     val snap = snapshotAsOf(tsMs).getOrElse(
@@ -249,7 +266,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
             .getOrElse(Set.empty)
           for (m <- cursor.manifests if !parentManifests.contains(m.path))
             added ++= readManifest(m.path)
-        case op if rowPreserving.contains(op) => () // same rows, new files
+        case op if rowPreserving.contains(op) =>
+          // a full cluster rewrite that MATERIALIZED live tombstones removed
+          // rows (a key tombstoned before `from`, re-appended in-range, then
+          // materialized away would otherwise be returned here while read()
+          // at `to` hides it)
+          if (cursor.summary.get("materialized-tombstones").contains("true"))
+            throw new IllegalArgumentException(
+              s"snapshot ${cursor.id} ('$op') materialized tombstones and is not " +
+                "row-preserving; file-level incremental read is append-only — " +
+                "diff full snapshots instead")
         case op =>
           throw new IllegalArgumentException(
             s"snapshot ${cursor.id} is a row-changing '$op' commit; " +
@@ -282,19 +308,25 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * Partitioning/file count is the caller's responsibility (e.g.
    * `repartitionByRange` before calling).
    */
-  def writeDataFiles(df: DataFrame, commitUuid: String = UUID.randomUUID.toString): Seq[DataFileMeta] = {
+  def writeDataFiles(df: DataFrame, commitUuid: String = UUID.randomUUID.toString,
+      maxRecordsPerFile: Long = 0L): Seq[DataFileMeta] = {
     val dir = s"$dataDir/$commitUuid"
     // INT96 (Spark's legacy parquet timestamp) carries no min/max stats;
     // micros are required for warc_ts pruning bounds
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // select in schema order so files are column-identical across commits
     val cols = schema.fieldNames.map(df.col).toSeq
-    df.select(cols: _*).write
+    val writer = df.select(cols: _*).write
       // parquet drops chunk stats entirely once min+max exceed ~4 KB, which
       // silences pruning for document-sized string columns; truncating at
       // write time (sound: prefix min, incremented-prefix max) keeps bounds
       // for every string column at any value size
       .option("parquet.statistics.truncate.length", "64")
+    // roll to a new file every N records WITHIN a task: sorted partition
+    // runs split into right-sized files without extra partitions (order and
+    // per-file min/max tightness preserved — each file is a sorted run)
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+     else writer)
       .mode("errorifexists").parquet(dir)
     val written = FileIO.listFiles(dir, ".parquet")
     StatsCollector.collect(spark, schema, root, written, commitUuid)
@@ -339,11 +371,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       require(removedCount == removedPaths.size,
         s"$op: ${removedPaths.size - removedCount} files to remove not present in current snapshot (concurrent rewrite?)")
       val manifests = if (added.nonEmpty) kept.toSeq :+ writeManifest(added) else kept.toSeq
+      // materializing live tombstones physically REMOVES rows, so the commit
+      // is not row-preserving even under a "cluster" op — flagged in the
+      // summary so incrementalRead treats it as row-changing
+      val materialized = clearDeletes && parent.exists(_.deleteManifestList.nonEmpty)
       // clearDeletes: ONLY sound when the rewrite read every current data
       // file with tombstones applied (full-table cluster rewrite)
       (manifests,
         if (clearDeletes) None else parent.flatMap(_.deleteManifests),
-        summary ++ Map(
+        summary ++ (if (materialized) Map("materialized-tombstones" -> "true") else Map.empty) ++ Map(
           "removed-files" -> removedPaths.size.toString,
           "added-files" -> added.size.toString,
           "added-rows" -> added.map(_.rows).sum.toString,

@@ -44,7 +44,10 @@ object Dedup {
    * emit candidate pairs per bucket, then verify with EXACT shingle-set
    * Jaccard ≥ `threshold`.
    *
-   * Returns (id_a, id_b, jaccard) with id_a < id_b.
+   * Returns (id_a, id_b, jaccard) with id_a < id_b. The result is
+   * MATERIALIZED (localCheckpoint) before returning so the engine can
+   * release its internal signature cache — otherwise every invocation
+   * would leak one persisted relation for the session's lifetime.
    */
   def minhashNearDups(
       df: DataFrame,
@@ -75,7 +78,7 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
-    cand
+    val out = cand
       .join(base.select(col("id").as("id_a"), col("_sh").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("_sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -83,6 +86,9 @@ object Dedup {
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true) // pin pairs (small), then release the cache
+    base.unpersist()
+    out
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit weighted vote of token
@@ -91,24 +97,34 @@ object Dedup {
     * token, interpreted). Near-dups have small Hamming distance. */
   def simhash64(text: Column): Column = graft.functions.TextHash.simhash64(text)
 
+  /** SimHash vote over caller-hashed token features — plug a custom token
+    * hash while keeping the codegen'd vote kernel. */
+  def simhashOfHashes(tokenHashes: Column): Column =
+    graft.functions.TextHash.simhashOfHashes(tokenHashes)
+
   /** SimHash near-dup pairs: block on 4 × 16-bit chunks (any chunk equal →
     * candidate, catches all pairs with Hamming distance ≤ 3 by pigeonhole),
-    * verify Hamming ≤ maxHamming. */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    * verify Hamming ≤ maxHamming. `simhashCol` swaps the sketch (default:
+    * the fused codegen'd [[simhash64]] over xxhash64 token hashes). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      simhashCol: Column => Column = simhash64): DataFrame = {
+    val withH = df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sh"))
     val blocked = withH.select(col("id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), shiftright(col("sh"), c * 16).bitwiseAND(0xffffL).as("ck"))
       }: _*)).as("bk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = blocked.alias("a"); val b = blocked.alias("b")
-    a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+    val out = a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .localCheckpoint(true) // pin pairs, release the blocked-relation cache
+    blocked.unpersist()
+    out
   }
 
   /** n-gram Jaccard similarity of two text columns (exact, for verification

@@ -72,12 +72,15 @@ object Similarity {
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val out = cand
       .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+      .localCheckpoint(true) // pin pairs (small), release the vector cache
+    base.unpersist()
+    out
   }
 
   /**

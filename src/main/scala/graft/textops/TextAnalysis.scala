@@ -68,14 +68,22 @@ object TextAnalysis {
 
   /**
    * Winnowing document fingerprint (Schleimer et al., SIGMOD 2003): hash
-   * all k-gram shingles, take the min hash of each sliding window of `w`,
-   * dedupe — robust to local edits, used for plagiarism/near-dup detection.
-   * Returns an array<long> of selected hashes.
+   * all k-gram shingles in order, take the min hash of each sliding window
+   * of `w`, dedupe — robust to local edits, used for plagiarism/near-dup
+   * detection. Returns a sorted array<long> of selected hashes.
+   *
+   * One codegen'd pass ([[graft.functions.WinnowFingerprintExpr]]: chained
+   * token-hash k-grams → monotonic-deque window min, O(n)). The original
+   * `transform(sequence(...), i => array_min(slice(...)))` formulation
+   * evaluated interpreted AND allocated an O(w) slice per window — the same
+   * trap the MinHash path escaped (see TextHashes.scala scaladoc).
    */
-  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(shingles(text, k), s => xxhash64(s))
-    val nWin = greatest(size(hashes) - w, lit(0))
-    sort_array(array_distinct(
-      transform(sequence(lit(0), nWin), i => array_min(slice(hashes, i + 1, lit(w))))))
-  }
+  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column =
+    graft.functions.TextHash.winnowFingerprint(text, k, w)
+
+  /** Winnowing selection over caller-supplied ordered k-gram hashes —
+    * lets pipelines plug their own hash while keeping the O(n) codegen'd
+    * window-min kernel. */
+  def winnowingMins(orderedHashes: Column, w: Int = 4): Column =
+    graft.functions.TextHash.winnowMins(orderedHashes, w)
 }

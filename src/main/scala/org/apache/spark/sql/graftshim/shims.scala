@@ -43,4 +43,12 @@ object Shims {
         org.apache.spark.sql.catalyst.expressions.Literal.create(e.eval(null), e.dataType)
     }
   }
+
+  /** DataFrame over an already-analyzed (or analyzable) logical plan —
+    * `Dataset.ofRows` went `private[sql]` in Spark 4.x. */
+  def dataFrame(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -36,6 +36,60 @@ class TextVectorKernelsSpec extends SparkSuite {
     wholeStageProject(vdf.select(VectorOps.cosine(col("v"), col("v")).as("c")))
   }
 
+  test("winnowing kernels stay inside whole-stage codegen") {
+    val df = spark.range(4)
+      .select(concat(lit("the quick brown fox jumps over dog "), col("id")).as("text"))
+    wholeStageProject(df.select(TextHash.winnowFingerprint(col("text"), 3, 4).as("fp")))
+    val hdf = spark.range(4).select(array(col("id"), col("id") * 7, col("id") - 3).as("hs"))
+    wholeStageProject(hdf.select(TextHash.winnowMins(col("hs"), 2).as("m")))
+  }
+
+  test("winnow window-mins match the O(n·w) slice-min reference") {
+    // reference = the replaced column formulation: min of each sliding
+    // window of w (single window over everything when n <= w), distinct,
+    // sorted — checked over seeded random arrays incl. duplicates and ties
+    def reference(hs: Array[Long], w: Int): Seq[Long] = {
+      if (hs.isEmpty) Seq.empty
+      else (0 to math.max(hs.length - w, 0))
+        .map(i => hs.slice(i, i + w).min).distinct.sorted
+    }
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 3, 4, 5, 17, 256); w <- Seq(1, 2, 4, 9)) {
+      val hs = Array.fill(n)(rnd.nextLong(20) - 10) // small domain → many ties
+      assert(TextHash.winnowWindowMins(hs, w).toSeq === reference(hs, w), s"n=$n w=$w")
+      val hs2 = Array.fill(n)(rnd.nextLong())
+      assert(TextHash.winnowWindowMins(hs2, w).toSeq === reference(hs2, w), s"rand n=$n w=$w")
+    }
+  }
+
+  test("winnowing fingerprint: fused expr == kernel == column-path mins") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b", "", "one two three four five six seven")
+    val df = texts.toDF("text")
+    val fused = df.select(TextHash.winnowFingerprint(col("text"), 3, 4)).collect()
+    fused.zip(texts).foreach { case (r, t) =>
+      val expected = TextHash.winnowWindowMins(
+        TextHash.kgramHashes(UTF8String.fromString(t), 3), 4).toSeq
+      assert(r.getSeq[Long](0) === expected, s"for '$t'")
+    }
+    // the selection step agrees when fed arbitrary hashes as a column
+    val viaMins = spark.range(1)
+      .select(TextHash.winnowMins(typedLit(Seq(9L, 2L, 7L, 7L, 1L, 8L)), 4))
+      .head().getSeq[Long](0)
+    assert(viaMins === TextHash.winnowWindowMins(Array(9L, 2L, 7L, 7L, 1L, 8L), 4).toSeq)
+  }
+
+  test("simhash over column-hashed tokens equals the fused text kernel") {
+    val texts = Seq("the quick brown fox", "a b c", "", " spaced  out ")
+    val df = texts.toDF("text")
+    val fused = df.select(TextHash.simhash64(col("text"))).collect().map(_.getLong(0))
+    val viaHashes = df.select(TextHash.simhashOfHashes(
+        transform(split(lower(trim(col("text"))), "\\s+"), t => xxhash64(t))))
+      .collect().map(_.getLong(0))
+    assert(fused.toSeq === viaHashes.toSeq)
+  }
+
   test("token/shingle hashes match the equivalent column expressions") {
     val texts = Seq(
       "the quick brown fox", "  padded  with   spaces ", "", "one",
@@ -108,6 +162,23 @@ class TextVectorKernelsSpec extends SparkSuite {
         array(lit(1.0d), lit(2.0d))))
       .head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-9)
+  }
+
+  test("null array elements are skipped, never NPE or garbage") {
+    // Spark's input-type check ignores nullability, so arrays WITH null
+    // elements reach the kernels through the SQL-registered functions;
+    // before the guard this NPE'd on GenericArrayData
+    val df = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS a, array(1.0D, 2.0D, 3.0D) AS b")
+    val c = df.select(VectorOps.cosine(col("a"), col("b"))).head().getDouble(0)
+    // null element skipped: cosine over dims {0, 2} only
+    val expected = (1.0 * 1.0 + 3.0 * 3.0) /
+      (math.sqrt(1.0 + 9.0) * math.sqrt(1.0 + 9.0))
+    assert(math.abs(c - expected) < 1e-12)
+    val sig = df.select(VectorOps.hyperplaneSig(col("a"), 16, 42L, 512)).head().getLong(0)
+    val sigNoNull = spark.sql("SELECT array(1.0D, 0.0D, 3.0D) AS a")
+      .select(VectorOps.hyperplaneSig(col("a"), 16, 42L, 512)).head().getLong(0)
+    assert(sig === sigNoNull, "null element must contribute 0 to the signature")
   }
 
   test("lang_id votes match marker counting, ties break to greatest code") {

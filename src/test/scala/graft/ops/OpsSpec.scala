@@ -106,6 +106,34 @@ class ClusterSpec extends SparkSuite {
     assert(Cluster.incremental(t, Cluster.ZDims(), targetFileBytes = 256L * 1024).isEmpty)
   }
 
+  test("boundary sample is budget-capped; huge nOut splits via record rolling") {
+    // the driver-side sample may never scale with table/file count: at the
+    // 100 TB shape (8e5 output files, 1e10 rows) the old 400×nOut sample
+    // collected ~3e8 rows
+    val hundredTbRows = 10L * 1000 * 1000 * 1000
+    val fr = Cluster.sampleFraction(1 << 20, hundredTbRows)
+    assert(fr * hundredTbRows <= Cluster.MaxSampleRows * 1.01, "sample budget must be constant")
+    assert(Cluster.maxShufflePartitions(spark) <= 16384, "partitions scale with cluster, not data")
+
+    // nOut >> nPart: sorted partition runs roll into many right-sized files
+    val root = tmpDir("graft-split")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 20000, partitions = 4))
+    val totalBytes = t.files().map(_.bytes).sum
+    val target = 4L * 1024
+    val nOut = math.ceil(totalBytes.toDouble / target).toInt
+    val nPart = Cluster.maxShufflePartitions(spark)
+    assert(nOut > nPart, s"test needs nOut ($nOut) > nPart ($nPart) to exercise rolling")
+    val pre = t.read()
+    val snap = Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = target)
+    assert(snap.nonEmpty)
+    val files = t.files()
+    assert(files.size > nPart, s"rolling must split beyond $nPart partitions: ${files.size}")
+    assert(files.map(_.rows).max <= math.max(1L, 20000L / nOut),
+      "every file respects the per-file record cap")
+    assertSameRows(t.read(), pre, "rolled-file cluster scan")
+  }
+
   test("salting splits a pathologically hot host across partitions") {
     import spark.implicits._
     // one host dominating: without salt all its rows share a zkey prefix
@@ -202,6 +230,34 @@ class MergeSpec extends SparkSuite {
     val touched = Merge.touchedFiles(t, keys, "url")
     assert(touched.nonEmpty && touched.size < files.size,
       s"expected a strict subset, got ${touched.size}/${files.size}")
+  }
+
+  test("interval index matches brute force and probes O(log n + hits)") {
+    import org.apache.spark.sql.types.StringType
+    val rnd = new scala.util.Random(42)
+    def key(i: Int) = f"k$i%06d"
+    // random possibly-overlapping intervals (unsorted-table shape)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(60)
+      val ivs = (0 until n).map { i =>
+        val a = rnd.nextInt(1000); val b = a + rnd.nextInt(200)
+        (key(a), key(b), i)
+      }
+      val idx = new IntervalIndex(StringType, ivs)
+      for (_ <- 0 until 30) {
+        val k = key(rnd.nextInt(1300))
+        val expected = ivs.collect { case (lo, hi, i) if lo <= k && k <= hi => i }.toSet
+        assert(idx.overlapping(k).toSet === expected, s"trial $trial key $k")
+      }
+    }
+    // disjoint sorted intervals (the post-maintenance common case): probe
+    // count is logarithmic, NOT linear in file count
+    val disjoint = (0 until 100000).map(i => (key(i * 10), key(i * 10 + 5), i))
+    val idx = new IntervalIndex(StringType, disjoint)
+    val hits = idx.overlapping(key(500003))
+    assert(hits == Seq(50000))
+    assert(idx.lastProbes <= 2 * 18 + 4,
+      s"probes must be ~log2(1e5)+hits, got ${idx.lastProbes}")
   }
 
   test("deleteWhere removes matching rows only, copy-on-write") {

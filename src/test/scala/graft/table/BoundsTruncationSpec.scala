@@ -31,6 +31,28 @@ class BoundsTruncationSpec extends SparkSuite {
     assert(Bounds.truncatedMax(LongType, "123456") === "123456")
   }
 
+  test("truncation never splits a surrogate pair") {
+    // a 4-byte code point (surrogate pair in UTF-16) straddling the cut:
+    // naive substring leaves a lone high surrogate whose UTF-8/JSON
+    // round-trip is encoder-defined
+    val emoji = new String(Character.toChars(0x1F600)) // two UTF-16 chars
+    val L = Bounds.StatsTruncateLen
+    val straddling = "a" * (L - 1) + emoji + "tail-tail-tail"
+    val lo = Bounds.truncatedMin(StringType, straddling)
+    assert(lo === "a" * (L - 1), "cut must back off before the high surrogate")
+    assert(Bounds.compare(StringType, lo, straddling) <= 0)
+    // round-trips losslessly through UTF-8 (no replacement chars)
+    assert(new String(lo.getBytes("UTF-8"), "UTF-8") === lo)
+    val hi = Bounds.truncatedMax(StringType, straddling)
+    assert(Bounds.compare(StringType, hi, straddling) >= 0)
+    assert(new String(hi.getBytes("UTF-8"), "UTF-8") === hi)
+    // pair fully inside the prefix is kept intact
+    val inside = "a" * (L - 2) + emoji + "tail"
+    val lo2 = Bounds.truncatedMin(StringType, inside)
+    assert(lo2.endsWith(emoji) && lo2.length === L)
+    assert(new String(lo2.getBytes("UTF-8"), "UTF-8") === lo2)
+  }
+
   test("document-sized text columns yield small manifests and sound pruning") {
     val schema = StructType(Seq(
       StructField("url", StringType), StructField("text", StringType)))

@@ -82,6 +82,29 @@ class MorDeleteSpec extends SparkSuite {
     assert(tbl.read().count() === 369)
   }
 
+  test("incremental read refuses a range crossing tombstone materialization") {
+    // the trap: key tombstoned before `from`, re-appended inside the range,
+    // then a full cluster rewrite MATERIALIZES the tombstones — at `to` the
+    // tombstone list is empty, so a naive file-level diff would return the
+    // re-appended row that read() at `to` (correctly) no longer hides
+    val tbl = mk(tmpDir("mor-incr-mat"))
+    val victims = tbl.read().select("url").orderBy("url").limit(5)
+    tbl.deleteByKeysMoR(victims)
+    val from = tbl.currentSnapshot.get.id
+    val resurrect = tbl.readSnapshot(tbl.metadata.snapshots.head.id)
+      .join(victims, Seq("url"), "inner").limit(3)
+    tbl.append(resurrect)
+    Cluster.zorderRewrite(tbl, Cluster.ZDims(), targetFileBytes = 1L << 20) // materializes
+    val ex = intercept[IllegalArgumentException](tbl.incrementalRead(from).count())
+    assert(ex.getMessage.contains("materialized tombstones"), ex.getMessage)
+    // a cluster rewrite with NO live tombstones stays row-preserving
+    val tbl2 = mk(tmpDir("mor-incr-clean"))
+    val from2 = tbl2.currentSnapshot.get.id
+    tbl2.append(Synth.pages(spark, 50, hosts = 6, partitions = 1, seed = 9))
+    Cluster.zorderRewrite(tbl2, Cluster.ZDims(), targetFileBytes = 1L << 20)
+    assert(tbl2.incrementalRead(from2).count() === 50)
+  }
+
   test("merge refuses while tombstones are live; SQL relation refuses too") {
     val tbl = mk(tmpDir("mor-merge"))
     tbl.deleteByKeysMoR(tbl.read().select("url").limit(3))

@@ -42,6 +42,42 @@ class TableSpec extends SparkSuite {
     assert(FileIO.readString(s"$root/v2.json") == "winner")
   }
 
+  test("metadata resolution costs O(1) FileIO ops regardless of history") {
+    val root = tmpDir("graft-o1meta")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    (1 to 12).foreach(i => t.append(Synth.pages(spark, 20, partitions = 1, seed = i)))
+    // stale hint simulates a reader that last saw v1: the old probe loop
+    // would pay one existence check per commit since then
+    FileIO.writeString(s"$root/metadata/version-hint.text", "1")
+    val before = FileIO.opCount.get()
+    val v = t.currentVersion
+    val ops = FileIO.opCount.get() - before
+    assert(v === 13, s"12 appends after create → v13, got $v")
+    assert(ops <= 2, s"currentVersion must be O(1) FileIO calls, used $ops")
+  }
+
+  test("as-of time travel ignores branches abandoned by rollback") {
+    val root = tmpDir("graft-asof")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    val s1 = t.append(Synth.pages(spark, 100, partitions = 1))
+    Thread.sleep(5)
+    val s2 = t.append(Synth.pages(spark, 100, partitions = 1, seed = 7))
+    t.rollback(s1.id)
+    // as-of "now" must resolve to the CURRENT chain's tip (s1), not the
+    // abandoned s2 whose commit timestamp is later
+    val now = System.currentTimeMillis() + 1000
+    assert(t.snapshotAsOf(now).map(_.id).contains(s1.id))
+    assert(t.readAsOf(now).count() === 100)
+    // the abandoned snapshot stays readable by explicit id (redo = rollback)
+    assert(t.readSnapshot(s2.id).count() === 200)
+    // a post-rollback commit becomes the new as-of tip
+    Thread.sleep(5)
+    val s3 = t.append(Synth.pages(spark, 50, partitions = 1, seed = 8))
+    assert(t.snapshotAsOf(System.currentTimeMillis() + 1000).map(_.id).contains(s3.id))
+    // as-of BEFORE any commit on the current chain → no snapshot
+    assert(t.snapshotAsOf(s1.timestampMs - 1).isEmpty)
+  }
+
   test("file pruning: equality and range predicates prune by min/max") {
     val root = tmpDir("graft-prune")
     val t = GraftTable.create(spark, root, Synth.pageSchema)

