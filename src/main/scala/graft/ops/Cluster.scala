@@ -195,7 +195,7 @@ object Cluster {
       log = Maintenance.markDone(table, log, "rewrite")
     }
     val added = graft.table.StatsCollector.collect(
-      spark, schema, table.root, FileIO.listFiles(dir, ".parquet"), commitUuid)
+      spark, schema, table.root, FileIO.listFilesRecursively(dir, ".parquet"), commitUuid)
     val removed = inputs.map(_.path).toSet
     val committed = table.replaceFiles(removed, added, "cluster",
       Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts",

@@ -109,7 +109,7 @@ object Compact {
             table.writeDataFiles(df.coalesce(1), commitUuid)
           }
           val metas = graft.table.StatsCollector.collect(
-            spark, schema, table.root, FileIO.listFiles(dir, ".parquet"), commitUuid)
+            spark, schema, table.root, FileIO.listFilesRecursively(dir, ".parquet"), commitUuid)
           synchronized { log = Maintenance.markDone(table, log, s"group$i") }
           (metas, group)
         }

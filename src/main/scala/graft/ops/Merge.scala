@@ -148,7 +148,7 @@ object Merge {
       Maintenance.markDone(table, log, "rewrite")
     }
     val added = graft.table.StatsCollector.collect(
-      spark, schema, table.root, graft.table.FileIO.listFiles(dir, ".parquet"), commitUuid)
+      spark, schema, table.root, graft.table.FileIO.listFilesRecursively(dir, ".parquet"), commitUuid)
     val committed = table.replaceFiles(touched.map(_.path).toSet, added, "merge",
       Map("run-id" -> runId, "touched-files" -> touched.size.toString),
       expectedSnapshotId = snap.map(_.id))

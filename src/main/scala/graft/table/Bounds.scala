@@ -62,6 +62,25 @@ object Bounds {
       case _              => None
     }
 
+  /** Inverse of [[fromCatalystLiteral]]: canonical bound string → the
+    * Catalyst-internal value of type `dt` (micros Long for timestamps, days
+    * Int for dates, UTF8String for strings). */
+  def toCatalystValue(dt: DataType, s: String): Option[Any] = dt match {
+    case ByteType            => s.toByteOption
+    case ShortType           => s.toShortOption
+    case IntegerType         => s.toIntOption
+    case LongType            => s.toLongOption
+    case TimestampType | TimestampNTZType => s.toLongOption
+    case DateType            => s.toIntOption
+    case FloatType           => s.toFloatOption
+    case DoubleType          => s.toDoubleOption
+    case BooleanType         => s.toBooleanOption
+    case StringType          => Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case _: DecimalType      =>
+      scala.util.Try(org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s))).toOption
+    case _                   => None
+  }
+
   /** min of two canonical strings */
   def min(dt: DataType, a: String, b: String): String = if (compare(dt, a, b) <= 0) a else b
   def max(dt: DataType, a: String, b: String): String = if (compare(dt, a, b) >= 0) a else b

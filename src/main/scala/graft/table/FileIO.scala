@@ -84,4 +84,21 @@ object FileIO {
   }
 
   def fileSize(path: String): Long = { tick(); Files.size(Paths.get(path)) }
+
+  /** Recursive variant of [[listFiles]] — partitioned commit directories
+    * nest data files one level per partition column. */
+  def listFilesRecursively(dir: String, suffix: String = ""): Seq[String] = {
+    tick()
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val stream = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(suffix))
+          .map(_.toString).toVector.sorted
+      } finally stream.close()
+    }
+  }
 }

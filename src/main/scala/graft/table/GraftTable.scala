@@ -52,6 +52,16 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def schema: StructType = StructType.fromDDL(metadata.schemaDdl)
 
+  /** Hidden-partitioning spec, if the table declares one (see
+    * [[PartitionSpec]]); validated against the schema. */
+  def partitionSpec: Option[PartitionSpec] =
+    metadata.properties.get(PartitionSpec.Property).map { s =>
+      val sp = PartitionSpec.parse(s)
+      require(schema.fieldNames.contains(sp.sourceColumn),
+        s"partition spec $sp references unknown column ${sp.sourceColumn}")
+      sp
+    }
+
   def currentSnapshot: Option[Snapshot] = metadata.currentSnapshot
 
   /** All data files of a snapshot (current if unspecified). */
@@ -316,7 +326,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // select in schema order so files are column-identical across commits
     val cols = schema.fieldNames.map(df.col).toSeq
-    val writer = df.select(cols: _*).write
+    val base = df.select(cols: _*)
+    // hidden partitioning: group rows by the transform so each file covers
+    // ONE partition value (the derived column lives only in dir names —
+    // partitionBy removes it from file contents, keeping old and new files
+    // column-identical)
+    val spec = partitionSpec
+    val prepared = spec match {
+      case Some(sp) => base.withColumn(sp.name, sp.column)
+      case None     => base
+    }
+    val writer = prepared.write
       // parquet drops chunk stats entirely once min+max exceed ~4 KB, which
       // silences pruning for document-sized string columns; truncating at
       // write time (sound: prefix min, incremented-prefix max) keeps bounds
@@ -325,10 +345,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // roll to a new file every N records WITHIN a task: sorted partition
     // runs split into right-sized files without extra partitions (order and
     // per-file min/max tightness preserved — each file is a sorted run)
-    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
-     else writer)
+    val withRoll =
+      if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      else writer
+    spec.fold(withRoll)(sp => withRoll.partitionBy(sp.name))
       .mode("errorifexists").parquet(dir)
-    val written = FileIO.listFiles(dir, ".parquet")
+    val written = FileIO.listFilesRecursively(dir, ".parquet")
     StatsCollector.collect(spark, schema, root, written, commitUuid)
   }
 
@@ -495,6 +517,12 @@ object GraftTable {
       schema: StructType,
       properties: Map[String, String] = Map.empty): GraftTable = {
     require(!FileIO.exists(s"$root/metadata/v1.json"), s"table already exists at $root")
+    // validate a declared hidden-partitioning spec before anything is written
+    properties.get(PartitionSpec.Property).foreach { s =>
+      val sp = PartitionSpec.parse(s)
+      require(schema.fieldNames.contains(sp.sourceColumn),
+        s"partition spec $sp references unknown column ${sp.sourceColumn}")
+    }
     val md = TableMetadata(
       formatVersion = 1,
       tableUuid = UUID.randomUUID.toString,

@@ -25,10 +25,18 @@ object PredicatePrune {
 
   /** Files from `metas` that may contain rows matching `predicate`. */
   def prune(schema: StructType, metas: Seq[DataFileMeta], predicate: Column): Seq[DataFileMeta] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val expr = Shims.resolvedPredicate(spark, schema, predicate)
+    val expr = resolve(org.apache.spark.sql.SparkSession.active, schema, predicate)
     metas.filter(m => evalFile(expr, m, schema) != Some(false))
   }
+
+  /** Resolve a user predicate for [[evalFile]]: analyze + fold, then
+    * normalize RuntimeReplaceable wrappers (to_date(ts) etc.) to their
+    * executable form — the optimizer does this for execution, but planFiles
+    * sees the freshly-analyzed tree. */
+  def resolve(spark: org.apache.spark.sql.SparkSession, schema: StructType, predicate: Column): Expression =
+    Shims.resolvedPredicate(spark, schema, predicate).transformDown {
+      case r: RuntimeReplaceable => r.replacement
+    }
 
   /** Some(true): every row matches; Some(false): no row can match; None: unknown. */
   def evalFile(expr: Expression, meta: DataFileMeta, schema: StructType): Option[Boolean] = expr match {
@@ -48,7 +56,12 @@ object PredicatePrune {
     case Literal(b: Boolean, BooleanType) => Some(b)
 
     case EqualTo(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
-        if (Bounds.compare(dt, v, lo) < 0 || Bounds.compare(dt, v, hi) > 0) Some(false) else None
+        if (Bounds.compare(dt, v, lo) < 0 || Bounds.compare(dt, v, hi) > 0) Some(false)
+        // single-valued file (e.g. a hidden-partition transform): whole file
+        // matches if the column is never null
+        else if (Bounds.compare(dt, lo, hi) == 0 && Bounds.compare(dt, v, lo) == 0)
+          allNonNull(a, meta, schema)
+        else None
       }
     case EqualTo(l: Literal, a) => evalFile(EqualTo(a, l), meta, schema)
 
@@ -120,9 +133,11 @@ object PredicatePrune {
     case _ => None
   }
 
-  /** True for the whole file only if column is never null in it. */
+  /** True for the whole file only if the (transform chain's) underlying
+    * column is never null in it — every supported transform is
+    * null-preserving, so T(col) is non-null wherever col is. */
   private def allNonNull(a: Expression, meta: DataFileMeta, schema: StructType): Option[Boolean] =
-    forColumn(a, meta, schema) { (_, n) =>
+    underlyingAttr(a).flatMap { n =>
       meta.nullCounts.get(n) match {
         case Some(0) => Some(true)
         case _       => None
@@ -133,14 +148,92 @@ object PredicatePrune {
       f: (DataType, String, String, String) => Option[Boolean]): Option[Boolean] =
     l match {
       case Literal(v, lt) if v != null =>
-        forColumn(a, meta, schema) { (dt, n) =>
-          (meta.minValues.get(n), meta.maxValues.get(n), Bounds.fromCatalystLiteral(lt, v)) match {
-            case (Some(lo), Some(hi), Some(value)) => Try(f(dt, lo, hi, value)).getOrElse(None)
-            case _ => None
+        exprBounds(a, meta, schema).flatMap { case (dt, lo, hi, _) =>
+          Bounds.fromCatalystLiteral(lt, v) match {
+            case Some(value) => Try(f(dt, lo, hi, value)).getOrElse(None)
+            case None        => None
           }
         }
       case _ => None
     }
+
+  // ---- monotonic-transform bounds ------------------------------------------
+  // `days(warc_ts) = D`, `to_date(ts) BETWEEN ...`, `year(ts) = 2025` prune
+  // files by mapping the file's raw min/max THROUGH the transform: for a
+  // monotonic non-decreasing T, all row values of T(col) lie in
+  // [T(min), T(max)], so the existing comparison logic applies unchanged in
+  // the transform's output space. This is what makes hidden partitioning
+  // ([[PartitionSpec]]) prunable with zero partition metadata — and it keeps
+  // working for files written before any spec existed.
+
+  /** Bounds of expression `e` over the file, in `e.dataType` space:
+    * (dataType, lo, hi, underlying column name). */
+  private def exprBounds(
+      e: Expression, meta: DataFileMeta, schema: StructType): Option[(DataType, String, String, String)] =
+    attrName(e) match {
+      case Some(n) =>
+        schema.fields.find(_.name == n) match {
+          case Some(field) if Bounds.supported(field.dataType) =>
+            for {
+              lo <- meta.minValues.get(n)
+              hi <- meta.maxValues.get(n)
+            } yield (field.dataType, lo, hi, n)
+          case _ => None
+        }
+      case None =>
+        monotonicChild(e).flatMap { child =>
+          exprBounds(child, meta, schema).flatMap { case (cdt, lo, hi, n) =>
+            if (!Bounds.supported(e.dataType)) None
+            else for {
+              loV <- Bounds.toCatalystValue(cdt, lo)
+              hiV <- Bounds.toCatalystValue(cdt, hi)
+              loT <- evalWithChild(e, child, loV, cdt)
+              hiT <- evalWithChild(e, child, hiV, cdt)
+              loS <- Bounds.fromCatalystLiteral(e.dataType, loT)
+              hiS <- Bounds.fromCatalystLiteral(e.dataType, hiT)
+            } yield (e.dataType, loS, hiS, n)
+          }
+        }
+    }
+
+  /** The data child of `e` if `e` is a KNOWN monotonic (non-decreasing),
+    * null-preserving unary transform of it. Everything else: None (sound —
+    * the file is kept). */
+  private def monotonicChild(e: Expression): Option[Expression] = e match {
+    case c: Cast if monotonicCast(c.child.dataType, c.dataType) => Some(c.child)
+    case t: TruncTimestamp if t.format.foldable => Some(t.timestamp)
+    case t: TruncDate if t.format.foldable => Some(t.date)
+    case y: Year => Some(y.child)
+    case _ => None
+  }
+
+  /** Casts guaranteed order-preserving. Lossless up-casts qualify outright;
+    * rounding casts to float/double are monotone NON-DECREASING (round-to-
+    * nearest preserves ≤), which is all bounds mapping needs. */
+  private def monotonicCast(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (TimestampType | TimestampNTZType, DateType) => true
+    case (DateType, TimestampType | TimestampNTZType) => true
+    case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => true
+    case (TimestampType | TimestampNTZType, LongType) => true // epoch seconds, floor
+    case (_: NumericType, DoubleType) | (_: NumericType, FloatType) => true
+    case (a: NumericType, b: NumericType) => Try(Cast.canUpCast(a, b)).getOrElse(false)
+    case _ => false
+  }
+
+  /** Evaluate `e` with `child` replaced by a literal. None on eval failure
+    * or null result (either way: no pruning). */
+  private def evalWithChild(
+      e: Expression, child: Expression, value: Any, childType: DataType): Option[Any] = {
+    val lit = Literal.create(value, childType)
+    Try {
+      val rebuilt = e.withNewChildren(e.children.map(c => if (c eq child) lit else c))
+      Option(rebuilt.eval(null))
+    }.toOption.flatten
+  }
+
+  /** Underlying attribute at the bottom of a monotonic transform chain. */
+  private def underlyingAttr(e: Expression): Option[String] =
+    attrName(e).orElse(monotonicChild(e).flatMap(underlyingAttr))
 
   private def forColumn(a: Expression, meta: DataFileMeta, schema: StructType)(
       f: (DataType, String) => Option[Boolean]): Option[Boolean] =

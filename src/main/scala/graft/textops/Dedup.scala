@@ -168,6 +168,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // convergence by label-set checksum: labels only ever DECREASE, so the
+    // multiset of (id, component) is unchanged iff the xor-of-hashes is —
+    // ONE aggregate over the already-materialized rows per round, replacing
+    // the previous change-count JOIN (an extra join + job per round)
+    def chk(df: DataFrame): Long = df
+      .agg(coalesce(bit_xor(xxhash64(col("id"), col("component"))), lit(0L)).as("c"))
+      .head().getLong(0)
+    var prevChk = chk(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -188,11 +196,11 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.component"), coalesce(col("ccomp"), col("l.component"))).as("component"))
         .localCheckpoint(true)
-      val changed = next.alias("n").join(labels.alias("o"), "id")
-        .filter(col("n.component") =!= col("o.component")).count()
+      val nextChk = chk(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextChk == prevChk
+      prevChk = nextChk
     }
     edges.unpersist()
     // no silent caps: truncated propagation would return WRONG components

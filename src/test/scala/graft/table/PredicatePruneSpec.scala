@@ -23,8 +23,7 @@ class PredicatePruneSpec extends SparkSuite {
 
   private def eval(pred: org.apache.spark.sql.Column, m: DataFileMeta): Option[Boolean] = {
     spark // ensure active session
-    val e = org.apache.spark.sql.graftshim.Shims.resolvedPredicate(spark, schema, pred)
-    PredicatePrune.evalFile(e, m, schema)
+    PredicatePrune.evalFile(PredicatePrune.resolve(spark, schema, pred), m, schema)
   }
 
   test("equality against bounds") {
@@ -81,6 +80,33 @@ class PredicatePruneSpec extends SparkSuite {
     assert(eval(col("url").startsWith("https://"), m) == None)
     assert(eval(col("url").startsWith("http://"), m) == Some(false))  // all urls above
     assert(eval(col("url").startsWith("i-past-z"), m) == Some(false)) // all urls below
+  }
+
+  test("monotonic-transform predicates prune through raw bounds") {
+    // file covering 2025-01-01T06:00Z .. 2025-01-02T18:00Z (micros)
+    def day(d: Int, h: Int = 0) = (1735689600L + d * 86400L + h * 3600L) * 1000000L
+    val m = DataFileMeta("f", 100, 1000,
+      Map("warc_ts" -> day(0, 6).toString, "lang" -> "de"),
+      Map("warc_ts" -> day(1, 18).toString, "lang" -> "fr"),
+      Map("warc_ts" -> 0L, "lang" -> 0L), "u")
+    def d(s: String) = lit(java.sql.Date.valueOf(s))
+    // to_date(ts) = D: outside [Jan 1, Jan 2] → provably empty
+    assert(eval(to_date(col("warc_ts")) === d("2025-01-05"), m) == Some(false))
+    assert(eval(to_date(col("warc_ts")) === d("2024-12-31"), m) == Some(false))
+    assert(eval(to_date(col("warc_ts")) === d("2025-01-02"), m) == None) // maybe
+    // whole-file true: every row's day >= Jan 1 and no nulls
+    assert(eval(to_date(col("warc_ts")) >= d("2025-01-01"), m) == Some(true))
+    // date_trunc keeps timestamp type
+    assert(eval(date_trunc("DAY", col("warc_ts")) >
+      lit(java.sql.Timestamp.valueOf("2025-01-02 00:00:00")), m) == Some(false))
+    // year(): chained Cast(ts→date) → Year
+    assert(eval(year(col("warc_ts")) === 2026, m) == Some(false))
+    assert(eval(year(col("warc_ts")) === 2025, m) == Some(true)) // all rows in 2025, no nulls
+    // epoch-seconds cast
+    assert(eval(col("warc_ts").cast("long") < lit(1735689600L), m) == Some(false))
+    // NON-monotonic transforms must never prune (month wraps at year ends)
+    assert(eval(month(col("warc_ts")) === 5, m) == None)
+    assert(eval(hour(col("warc_ts")) === 3, m) == None)
   }
 
   test("unsupported shapes degrade to unknown (sound, never prune)") {
