@@ -125,7 +125,7 @@ object Bench {
       val warmup = 8 -> maintenancePass(8, stagedDir) // JIT + page cache; still counted below
       // 4 alternating (2,8) pairs: the pair estimator needs ONE clean host
       // window, and storms lasting a full 3-pair sweep have been observed
-      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
       // alternate to spread host-noise evenly across levels; per-op mins
       // (steal storms hit individual passes, not individual ops equally)
       val passes = warmup +:

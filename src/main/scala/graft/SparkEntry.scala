@@ -140,6 +140,28 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))),
 
+    // P1: dynamic-column pattern select (SqlBean.java:265-345) — the
+    // unresolved <m> component becomes a column regex (l_.*price)
+    "q28_pattern_select" -> ((s, dir) =>
+      graft.ops.Restructure.selectPattern(t(s, dir, "lineitem"), "l_<m>price")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))),
+
+    // P9: target restructuring with missing-column default fill
+    // (HdfsTargetModel.java:70-75)
+    "q29_default_fill" -> ((s, dir) => {
+      val target = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("region", StringType),      // missing → default "ZZ"
+        StructField("priority_score", LongType))) // missing, no default → NULL
+      graft.ops.Restructure.toTargetSchema(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          target, Map("region" -> "ZZ"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+          count("priority_score").as("n_scores"))
+    }),
+
     // §2.6: global sort + top-k
     "q21_topk_orders" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -353,6 +375,13 @@ object SparkEntry {
     "q21_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // the pattern l_<m>price matches exactly l_extendedprice on this schema
+    "q28_pattern_select" ->
+      "SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem",
+    "q29_default_fill" ->
+      """SELECT 'ZZ' AS region, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |       CAST(0 AS BIGINT) AS n_scores
+        |FROM orders""".stripMargin,
     "q22_sessionize" ->
       """SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
         |  SELECT user_id, event_id,

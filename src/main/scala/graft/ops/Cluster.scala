@@ -166,10 +166,14 @@ object Cluster {
       // distinct host — unbounded at web scale; the sample estimate is
       // rows ≈ sampleCount / fraction and only needs the heavy tail)
       val fraction = sampleFraction(nPart, rowsTotal)
+      // NOTE: no `.limit()` before collect — CollectLimit executes the scan
+      // in sequential incremental partition batches (1, 4, 16, …), which
+      // serializes the sample pass and was measured to halve 8-core cluster
+      // throughput; the fraction alone bounds the expected sample size and
+      // binomial concentration makes >1.01× overshoot vanishingly unlikely
       val sampled = df
         .select(zkeyCol(dims, bounds).as("z"), hostCol(col("url")).as("host"))
         .sample(withReplacement = false, fraction, seed = 42)
-        .limit(MaxSampleRows.toInt) // belt-and-braces: the collect is bounded
         .collect()
       val heavyHosts: Seq[String] = sampled.groupBy(_.getString(1))
         .collect { case (h, rows) if rows.length / fraction > saltThresholdRows => h }
