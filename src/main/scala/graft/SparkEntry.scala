@@ -251,8 +251,7 @@ object SparkEntry {
     // swapped so the oracle can brute-force the same sketch)
     "q16_simhash_neardup" -> ((s, dir) => {
       val md5Simhash: Column => Column = text =>
-        Dedup.simhashOfHashes(transform(TextAnalysis.tokens(text),
-          tok => conv(substring(md5(tok), 1, 15), 16, 10).cast("long")))
+        Dedup.simhashOfHashes(graft.functions.TextHash.md5KgramHashes(text, 1))
       Dedup.simhashNearDups(
           plantedDocs(s, dir).filter(col("doc_id") % 5 === 0 || col("doc_id") >= 1000000),
           "doc_id", "text", maxHamming = 3, simhashCol = md5Simhash)
@@ -302,8 +301,7 @@ object SparkEntry {
     // (the engine hot path uses the fused xxhash64 kernel — same codegen'd
     // window-min selection, asserted bit-identical in TextVectorKernelsSpec)
     "q20_fingerprint" -> ((s, dir) => {
-      val mdHashes = transform(TextAnalysis.shingles(col("text"), 3),
-        sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long"))
+      val mdHashes = graft.functions.TextHash.md5KgramHashes(col("text"), 3)
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.winnowingMins(mdHashes, 4).as("_fp"))
         .select(col("doc_id"),

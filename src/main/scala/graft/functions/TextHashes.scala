@@ -195,6 +195,55 @@ object TextHash {
   def winnowFingerprint(text: UTF8String, k: Int, w: Int): Array[Long] =
     winnowWindowMins(kgramHashes(text, k), w)
 
+  /** Token strings of lower(trim(text)) under Spark split semantics
+    * (leading/trailing empty fields kept, limit -1). */
+  def tokenStrings(text: UTF8String): Array[String] = {
+    val s = text.trim().toLowerCase().toString
+    s.split("\\s+", -1)
+  }
+
+  /** Ordered md5-derived 60-bit k-gram hashes: k-gram string = k tokens
+    * joined by one space (the whole token list joined when shorter than k,
+    * mirroring `TextAnalysis.shingles`), hash = first 15 hex chars of its
+    * md5 parsed as int64 — a hash DuckDB computes identically, used by the
+    * oracle-mirrorable contract queries. Codegen'd: the column formulation
+    * (`transform` + `md5` + `conv` + `substring`) evaluates interpreted. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5KgramHashes(text: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenStrings(text)
+    val md = md5Local.get()
+    def h(s: String): Long = {
+      md.reset()
+      val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = 7 bytes + the high nibble of byte 7 (60 bits)
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+      (v << 4) | ((b(7) >> 4) & 0xfL)
+    }
+    if (toks.length < k) return Array(h(toks.mkString(" ")))
+    val n = toks.length - k + 1
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = h(sb.toString)
+      i += 1
+    }
+    out
+  }
+
   /** per-bit majority vote over arbitrary 64-bit feature hashes — the
     * SimHash core, usable with any caller-chosen token hash. */
   def simhashVote(th: Array[Long]): Long = {
@@ -271,6 +320,10 @@ object TextHash {
   /** SimHash vote over a caller-hashed array<long> of token features. */
   def simhashOfHashes(tokenHashes: Column): Column =
     Shims.column(SimHashOfHashesExpr(Shims.expression(tokenHashes)))
+
+  /** ordered md5-derived k-gram hashes (oracle-mirrorable; see kernel). */
+  def md5KgramHashes(text: Column, k: Int): Column =
+    Shims.column(Md5KgramHashesExpr(Shims.expression(text), k))
 
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
     Shims.column(LangIdExpr(Shims.expression(text), markers))
@@ -387,6 +440,26 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
         s"graft.functions.TextHash.winnowFingerprint($c, $k, $w))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `md5_kgram_hashes(text)` → array<long>: ordered md5-derived 60-bit
+  * k-gram hashes, identical to what DuckDB list ops compute — the
+  * engine-side half of the oracle-mirrorable SimHash/winnowing queries. */
+case class Md5KgramHashesExpr(child: Expression, k: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 1)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_kgram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.md5KgramHashes(input.asInstanceOf[UTF8String], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.TextHash.md5KgramHashes($c, $k))")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

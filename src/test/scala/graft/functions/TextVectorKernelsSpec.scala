@@ -80,6 +80,30 @@ class TextVectorKernelsSpec extends SparkSuite {
     assert(viaMins === TextHash.winnowWindowMins(Array(9L, 2L, 7L, 7L, 1L, 8L), 4).toSeq)
   }
 
+  test("md5 k-gram kernel matches the column formulation and stays codegen'd") {
+    val texts = Seq(
+      "the quick brown fox jumps over the dog", "a b", "", "one",
+      "  padded   out ", "ÜPPER Case Mixed tokens here")
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 3)) {
+      val shingles =
+        when(size(split(lower(trim(col("text"))), "\\s+")) < k,
+          array(concat_ws(" ", split(lower(trim(col("text"))), "\\s+"))))
+        .otherwise(transform(
+          sequence(lit(0), size(split(lower(trim(col("text"))), "\\s+")) - k),
+          i => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), i + 1, lit(k)))))
+      val columnar = df.select(transform(shingles,
+        sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long")).as("h")).collect()
+      val native = df.select(TextHash.md5KgramHashes(col("text"), k).as("h")).collect()
+      native.zip(columnar).zip(texts).foreach { case ((n, c), t) =>
+        assert(n.getSeq[Long](0) === c.getSeq[Long](0), s"k=$k text='$t'")
+      }
+    }
+    wholeStageProject(spark.range(4)
+      .select(concat(lit("some text and "), col("id")).as("text"))
+      .select(TextHash.md5KgramHashes(col("text"), 3).as("h")))
+  }
+
   test("simhash over column-hashed tokens equals the fused text kernel") {
     val texts = Seq("the quick brown fox", "a b c", "", " spaced  out ")
     val df = texts.toDF("text")
