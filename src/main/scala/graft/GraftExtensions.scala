@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Hint-resolution batch: must fire BEFORE ResolveSQLOnFile rejects the
     // graft-qualified target as a direct file query
     ext.injectHintResolutionRule(session => graft.sql.GraftMergeRule(session))
+    // DELETE FROM / UPDATE over graft.`/path` → copy-on-write ops
+    ext.injectHintResolutionRule(session => graft.sql.GraftDmlRule(session))
+    // SELECT (incl. VERSION/TIMESTAMP AS OF) and INSERT INTO/OVERWRITE over
+    // graft.`/path` — injected AFTER the merge/DML rules so their targets
+    // are converted before this rule would resolve them as plain relations
+    ext.injectHintResolutionRule(session => graft.sql.GraftRelationRule(session))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -159,6 +159,46 @@ object Merge {
   }
 
   /**
+   * Copy-on-write UPDATE WHERE: rewrites only files that may contain
+   * matching rows (metadata pruning), replacing the assigned columns where
+   * the predicate holds. All assignments evaluate against the PRE-update
+   * row (ANSI UPDATE semantics) — they run in one projection.
+   */
+  def updateWhere(
+      table: GraftTable,
+      predicate: Column,
+      set: Map[String, Column],
+      runId: String = java.util.UUID.randomUUID.toString): Snapshot = {
+    val spark = table.spark
+    val t0 = System.nanoTime()
+    val schema = table.schema
+    for (c <- set.keys)
+      require(schema.fieldNames.contains(c), s"UPDATE of unknown column $c")
+    require(table.tombstones().isEmpty,
+      "table has live merge-on-read tombstones; materialize them first (Cluster.zorderRewrite)")
+    val snap = table.currentSnapshot
+    val touched = table.planFiles(Some(predicate))
+    if (touched.isEmpty) return snap.getOrElse(throw new IllegalStateException("empty table"))
+    val hit = coalesce(predicate, lit(false))
+    val df = spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+      .select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+    val commitUuid = s"update-$runId"
+    val added = table.writeDataFiles(df, commitUuid)
+    val committed = table.replaceFiles(touched.map(_.path).toSet, added, "update",
+      Map("run-id" -> runId, "predicate" -> predicate.toString,
+        "set-columns" -> set.keys.toSeq.sorted.mkString(",")),
+      expectedSnapshotId = snap.map(_.id))
+    Lineage.record(spark, table, runId, committed.id, "update", added,
+      added.map(o => o.path -> touched).toMap, (System.nanoTime() - t0) / 1000000)
+    committed
+  }
+
+  /**
    * Copy-on-write DELETE WHERE: rewrites only files that may contain
    * matching rows (metadata pruning), filtering them with the negated
    * predicate — the set-based form of the reference's regex-rowkey delete

@@ -1,0 +1,83 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.LongType
+
+import graft.ops.Merge
+import graft.table.GraftTable
+
+/**
+ * SQL DELETE / UPDATE over graft tables — rounding out the DML surface
+ * (the reference's delete path is S9's key/pattern delete,
+ * `adapter/HBaseTargetAdapter.java:124-196`):
+ *
+ * {{{
+ *   DELETE FROM graft.`/path` WHERE lang = 'und'
+ *   UPDATE graft.`/path` SET text = concat(text, '!'), lang = 'en' WHERE lang = 'mis'
+ * }}}
+ *
+ * Same early-batch interception as [[GraftMergeRule]]; both plan into the
+ * copy-on-write ops (`Merge.deleteWhere` / `Merge.updateWhere`), which
+ * rewrite only metadata-pruned touched files. Conditions and assignment
+ * values may reference table columns (qualifiers are stripped and the
+ * expressions resolve against the table scan at run time).
+ */
+case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case d @ DeleteFromTable(target, condition) if graftPath(target).isDefined =>
+      val _ = d
+      GraftDeleteCommand(graftPath(target).get, ExprHolder(strip(condition)))
+    case u: UpdateTable if graftPath(u.table).isDefined =>
+      val sets = u.assignments.map {
+        case Assignment(k: UnresolvedAttribute, v) => k.nameParts.last -> ExprHolder(strip(v))
+        case Assignment(k, _) =>
+          throw new IllegalArgumentException(s"graft UPDATE: unsupported assignment target $k")
+      }
+      GraftUpdateCommand(graftPath(u.table).get, sets,
+        ExprHolder(strip(u.condition.getOrElse(Literal.TrueLiteral))))
+  }
+
+  private def graftPath(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(_, child) => graftPath(child)
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some(u.multipartIdentifier(1))
+    case _ => None
+  }
+
+  private def strip(e: Expression): Expression = e.transformUp {
+    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+}
+
+/** `DELETE FROM graft.…` — plans into copy-on-write [[Merge.deleteWhere]]. */
+case class GraftDeleteCommand(path: String, cond: ExprHolder) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = GraftTable.load(session, path)
+    val snap = Merge.deleteWhere(table, Shims.column(cond.e))
+    Seq(Row(snap.id))
+  }
+}
+
+/** `UPDATE graft.… SET …` — plans into copy-on-write [[Merge.updateWhere]]. */
+case class GraftUpdateCommand(
+    path: String,
+    sets: Seq[(String, ExprHolder)],
+    cond: ExprHolder) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = GraftTable.load(session, path)
+    val snap = Merge.updateWhere(table, Shims.column(cond.e),
+      sets.map { case (k, v) => k -> Shims.column(v.e) }.toMap)
+    Seq(Row(snap.id))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.run.Synth
+import graft.table.GraftTable
+
+/** Plain-SQL front door: SELECT (with time travel) and INSERT over
+  * ``graft.`/path``` identifiers — the engine-side replacement for the
+  * reference's HQL SELECT surface (`HBaseTableExplorer.parseAndGetValidatedQuery`). */
+class SqlRelationSpec extends SparkSuite {
+
+  private def mk(n: Long): GraftTable = {
+    val t = GraftTable.create(spark, tmpDir("sqlrel"), Synth.pageSchema)
+    t.append(Synth.pages(spark, n, hosts = 8, partitions = 4))
+    t
+  }
+
+  test("SELECT over graft.`path` with predicate pushdown file skipping") {
+    val t = mk(2000)
+    val total = spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}`").head().getLong(0)
+    assert(total === 2000)
+    val de = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`${t.root}` WHERE lang = 'de'").head().getLong(0)
+    assert(de === t.read().filter(col("lang") === "de").count())
+    // joins/aliases/aggregations through plain SQL
+    val grouped = spark.sql(
+      s"""SELECT g.lang, count(*) AS n FROM graft.`${t.root}` g
+         |WHERE g.warc_ts IS NOT NULL GROUP BY g.lang""".stripMargin)
+    assert(grouped.count() === t.read().select("lang").distinct().count())
+  }
+
+  test("SELECT applies merge-on-read tombstones like table.read()") {
+    val t = mk(400)
+    t.deleteByKeysMoR(t.read().select("url").orderBy("url").limit(25))
+    val n = spark.sql(s"SELECT count(*) FROM graft.`${t.root}`").head().getLong(0)
+    assert(n === 375, "SQL reads must hide tombstoned keys")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF time travel") {
+    val t = mk(300)
+    val s1 = t.currentSnapshot.get
+    Thread.sleep(5)
+    t.append(Synth.pages(spark, 200, partitions = 1, seed = 5))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`${t.root}` VERSION AS OF ${s1.id}")
+      .head().getLong(0) === 300)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`${t.root}`").head().getLong(0) === 500)
+    val tsLit = new java.sql.Timestamp(s1.timestampMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`${t.root}` TIMESTAMP AS OF '$tsLit'")
+      .head().getLong(0) === 300)
+  }
+
+  test("INSERT INTO appends atomically; INSERT OVERWRITE replaces") {
+    val t = mk(100)
+    spark.sql(
+      s"""INSERT INTO graft.`${t.root}`
+         |SELECT concat('https://ins.example.com/p/', id) AS url,
+         |       TIMESTAMP '2026-01-01 00:00:00' AS warc_ts,
+         |       CAST('<html/>' AS BINARY) AS html, 'inserted' AS text, 'en' AS lang
+         |FROM range(10)""".stripMargin).collect()
+    assert(t.read().count() === 110)
+    assert(t.read().filter(col("text") === "inserted").count() === 10)
+    assert(t.currentSnapshot.get.operation === "append")
+
+    spark.sql(
+      s"""INSERT OVERWRITE graft.`${t.root}`
+         |SELECT url, warc_ts, html, text, lang FROM graft.`${t.root}` WHERE text = 'inserted'""".stripMargin)
+      .collect()
+    assert(t.read().count() === 10, "overwrite replaces the table content")
+    // snapshot isolation: pre-overwrite snapshots remain readable
+    assert(t.metadata.snapshots.size >= 2)
+  }
+
+  test("mixed surface: SQL MERGE against a SQL-read source still works") {
+    val t = mk(200)
+    spark.sql(s"SELECT url, warc_ts, html, 'MERGED' AS text, lang FROM graft.`${t.root}` LIMIT 7")
+      .createOrReplaceTempView("sql_changes")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING sql_changes s ON t.url = s.url
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    assert(t.read().filter(col("text") === "MERGED").count() === 7)
+    assert(t.read().count() === 200)
+  }
+}
