@@ -19,13 +19,22 @@ object Delimited {
   val Sep = ""
 
   /** Write `df` as separator-delimited text, one directory per op kind when
-    * an `_op` column ("insert" | "delete") is present. */
+    * an `_op` column ("insert" | "delete") is present. ONE pass over the
+    * child: the split is a partitionBy on `_op` (per-op filtered writes
+    * would execute an expensive upstream — e.g. the MERGE change join —
+    * once per op kind); the partition dirs are then renamed to the
+    * reference's `<dir>/insert`, `<dir>/delete` layout. */
   def write(df: DataFrame, dir: String, sep: String = Sep): Unit = {
     if (df.columns.contains("_op")) {
+      df.write.mode("overwrite").partitionBy("_op")
+        .option("sep", sep).option("emptyValue", "").csv(dir)
       for (op <- Seq("insert", "delete")) {
-        val part = df.filter(col("_op") === op).drop("_op")
-        part.write.mode("overwrite")
-          .option("sep", sep).option("emptyValue", "").csv(s"$dir/$op")
+        val src = java.nio.file.Paths.get(s"$dir/_op=$op")
+        val dst = java.nio.file.Paths.get(s"$dir/$op")
+        if (java.nio.file.Files.isDirectory(src))
+          java.nio.file.Files.move(src, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else java.nio.file.Files.createDirectories(dst) // op kind absent → empty dir
       }
     } else {
       df.write.mode("overwrite").option("sep", sep).option("emptyValue", "").csv(dir)

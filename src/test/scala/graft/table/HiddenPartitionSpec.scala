@@ -72,6 +72,22 @@ class HiddenPartitionSpec extends SparkSuite {
     assertSameRows(t.read(), pre, "post-maintenance scan equality")
   }
 
+  test("transform predicates prune through the SQL scan path too") {
+    val t = GraftTable.create(spark, tmpDir("graft-hp-sql"), Synth.pageSchema, prop)
+    t.append(Synth.pages(spark, 3000, partitions = 4))
+    val nFiles = t.files().size
+    val someDay = t.read().select(to_date(col("warc_ts")).as("d")).orderBy("d").head().getDate(0)
+    val q = spark.sql(
+      s"SELECT url FROM graft.`${t.root}` WHERE to_date(warc_ts) = DATE'$someDay'")
+    q.collect() // metrics populate on execution
+    val scanned = q.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned < nFiles / 2,
+      s"Catalyst-pushed to_date filter must skip files in the FileIndex: $scanned/$nFiles")
+    assert(q.count() === t.read().filter(to_date(col("warc_ts")) === lit(someDay)).count())
+  }
+
   test("invalid specs are rejected at create") {
     intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpDir("graft-hp-bad"), Synth.pageSchema,
