@@ -20,6 +20,7 @@ object Demo {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-demo")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -106,10 +107,23 @@ object Demo {
       t.read().count() == afterMor)
     val afterMorMat = afterMor
 
+    // 4c. SQL front door over the same table: SELECT / UPDATE / DELETE
+    val sqlCount = spark.sql(s"SELECT count(*) FROM graft.`$root`").first.getLong(0)
+    check("SQL SELECT count equals read()")(sqlCount == afterMorMat)
+    spark.sql(s"UPDATE graft.`$root` SET lang = 'xx' WHERE lang = 'de'").collect()
+    val nXx = t.read().filter(col("lang") === "xx").count()
+    check("SQL UPDATE rewrites matching rows only")(nXx > 0 &&
+      t.read().filter(col("lang") === "de").count() == 0 &&
+      t.read().count() == afterMorMat)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE lang = 'xx'").collect()
+    val afterSql = t.read().count()
+    println(s"[demo] SQL updated $nXx rows then deleted them → $afterSql rows")
+    check("SQL DELETE removes exactly the updated rows")(afterSql == afterMorMat - nXx)
+
     // 5. manifest rewrite (after two more appends → several small manifests)
     t.append(Synth.pages(spark, 100, partitions = 1, seed = 101))
     t.append(Synth.pages(spark, 100, partitions = 1, seed = 102))
-    val afterAppends = afterMorMat + 200
+    val afterAppends = afterSql + 200
     val manifestsBefore = t.currentSnapshot.get.manifests.size
     val mr = ManifestRewrite.run(t)
     check("manifest rewrite")(mr.nonEmpty && manifestsBefore > 1 &&
