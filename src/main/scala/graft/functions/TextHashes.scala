@@ -244,6 +244,26 @@ object TextHash {
     out
   }
 
+  /** long[] from an ArrayData that may carry null elements DESPITE the
+    * declared null-free input type (Spark's input-type check ignores
+    * nullability — see VectorOps) — nulls are skipped as absent features;
+    * raw toLongArray would NPE on GenericArrayData or copy garbage bits. */
+  def longsSkippingNulls(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+    val n = a.numElements()
+    var nulls = 0
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) nulls += 1; i += 1 }
+    if (nulls == 0) return a.toLongArray()
+    val out = new Array[Long](n - nulls)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { out(j) = a.getLong(i); j += 1 }
+      i += 1
+    }
+    out
+  }
+
   /** per-bit majority vote over arbitrary 64-bit feature hashes — the
     * SimHash core, usable with any caller-chosen token hash. */
   def simhashVote(th: Array[Long]): Long = {
@@ -365,11 +385,11 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
     UnsafeArrayData.fromPrimitiveArray(
-      TextHash.minhashSig(input.asInstanceOf[ArrayData].toLongArray(), numHashes))
+      TextHash.minhashSig(TextHash.longsSkippingNulls(input.asInstanceOf[ArrayData]), numHashes))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
-        s"graft.functions.TextHash.minhashSig($c.toLongArray(), $numHashes))")
+        s"graft.functions.TextHash.minhashSig(graft.functions.TextHash.longsSkippingNulls($c), $numHashes))")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -415,11 +435,11 @@ case class WinnowMinsExpr(child: Expression, w: Int)
   override def prettyName: String = "winnow_mins"
   override protected def nullSafeEval(input: Any): Any =
     UnsafeArrayData.fromPrimitiveArray(
-      TextHash.winnowWindowMins(input.asInstanceOf[ArrayData].toLongArray(), w))
+      TextHash.winnowWindowMins(TextHash.longsSkippingNulls(input.asInstanceOf[ArrayData]), w))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
-        s"graft.functions.TextHash.winnowWindowMins($c.toLongArray(), $w))")
+        s"graft.functions.TextHash.winnowWindowMins(graft.functions.TextHash.longsSkippingNulls($c), $w))")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -472,9 +492,10 @@ case class SimHashOfHashesExpr(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_of_hashes"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.simhashVote(input.asInstanceOf[ArrayData].toLongArray())
+    TextHash.simhashVote(TextHash.longsSkippingNulls(input.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhashVote($c.toLongArray())")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash.simhashVote(graft.functions.TextHash.longsSkippingNulls($c))")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

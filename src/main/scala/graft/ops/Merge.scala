@@ -95,12 +95,22 @@ object Merge {
 
     val hasDeleted = source.columns.contains("_deleted")
     val src0 = if (hasDeleted) source else source.withColumn("_deleted", lit(false))
-    // latest change per key: greatest version wins; delete beats upsert on tie
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc, col("_deleted").desc)
-    val src = src0
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val src =
+      if (latestWins) {
+        // latest change per key: greatest version wins; delete beats upsert on tie
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(versionCol).desc, col("_deleted").desc)
+        src0.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      } else {
+        // ANSI MERGE: a target row matched by MORE THAN ONE source row is an
+        // error, not an arbitrary pick — and no version column is needed
+        val dup = src0.groupBy(col(keyCol)).count().filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"MERGE source has multiple rows for key '${dup.headOption.map(_.get(0)).orNull}' " +
+            s"($keyCol must be unique in the source)")
+        src0
+      }
 
     val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(s"no column $keyCol"))

@@ -32,7 +32,11 @@ object Restructure {
       p.replace(s"<$k>", v)
     }
     if (instantiated.contains("<")) {
-      val regex = "^" + instantiated.replaceAll("<[^>]*>", ".*") + "$"
+      // literal segments are regex-QUOTED: a '.' in a column pattern means a
+      // literal dot, and '(' / '[' must not break the compiled regex
+      val regex = "^" + instantiated.split("<[^>]*>", -1)
+        .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+        .mkString(".*") + "$"
       df.select(df.colRegex(s"`$regex`"))
     } else df.select(instantiated)
   }

@@ -26,7 +26,11 @@ object Delimited {
     * reference's `<dir>/insert`, `<dir>/delete` layout. */
   def write(df: DataFrame, dir: String, sep: String = Sep): Unit = {
     if (df.columns.contains("_op")) {
-      df.write.mode("overwrite").partitionBy("_op")
+      // only the two known op kinds are written (the previous per-op
+      // filtered writer silently dropped anything else; keep that contract
+      // rather than leaving stray _op=<other> partition dirs behind)
+      df.filter(col("_op").isin("insert", "delete"))
+        .write.mode("overwrite").partitionBy("_op")
         .option("sep", sep).option("emptyValue", "").csv(dir)
       for (op <- Seq("insert", "delete")) {
         val src = java.nio.file.Paths.get(s"$dir/_op=$op")

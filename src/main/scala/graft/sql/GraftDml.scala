@@ -63,6 +63,7 @@ case class GraftDeleteCommand(path: String, cond: ExprHolder) extends LeafRunnab
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
+    if (table.currentSnapshot.isEmpty) return Seq.empty // empty table: 0 rows affected
     val snap = Merge.deleteWhere(table, Shims.column(cond.e))
     Seq(Row(snap.id))
   }
@@ -76,6 +77,7 @@ case class GraftUpdateCommand(
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
+    if (table.currentSnapshot.isEmpty) return Seq.empty // empty table: 0 rows affected
     val snap = Merge.updateWhere(table, Shims.column(cond.e),
       sets.map { case (k, v) => k -> Shims.column(v.e) }.toMap)
     Seq(Row(snap.id))

@@ -73,16 +73,25 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     var deleteCond: Option[Expression] = None
     var sawUpdate = false
+    // ANSI first-match-wins ordering: clauses after an unconditional one are
+    // unreachable, and a clause before a prior conditional one is NOT
+    // shadowed — supported shapes preserve exactly those semantics, anything
+    // order-ambiguous fails instead of silently reordering
     m.matchedActions.foreach {
-      case UpdateStarAction(None) => sawUpdate = true
+      case UpdateStarAction(None) =>
+        sawUpdate = true
       case UpdateStarAction(Some(c)) =>
         fail(s"conditional UPDATE SET * is not supported (condition: $c)")
       case DeleteAction(c) =>
+        if (sawUpdate) fail(
+          "DELETE after an unconditional UPDATE SET * is unreachable (first matching clause wins)")
         if (deleteCond.nonEmpty) fail("at most one DELETE clause")
         deleteCond = Some(c.getOrElse(
           org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
       case other => fail(s"unsupported matched action $other (only UPDATE SET * / DELETE)")
     }
+    if (deleteCond.exists(_ == org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) && sawUpdate)
+      fail("UPDATE SET * after an unconditional DELETE is unreachable (first matching clause wins)")
     val insert = m.notMatchedActions match {
       case Seq() => false
       case Seq(InsertStarAction(None)) => true
@@ -91,13 +100,22 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (!sawUpdate && deleteCond.isEmpty) fail("no supported matched action")
     if (!sawUpdate && deleteCond.exists(_ == org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) && insert)
       fail("DELETE-all-matched combined with INSERT is ambiguous; add an UPDATE SET * clause")
-    // the delete predicate applies to SOURCE columns only (strip the source
-    // alias qualifier; target-side references cannot be evaluated pre-join)
+    // the delete predicate applies to SOURCE columns only: a target-side
+    // reference would silently rebind to the same-named SOURCE column after
+    // qualifier stripping, deciding deletes on the wrong relation
+    val targetAlias = m.targetTable match {
+      case SubqueryAlias(ident, _) => Some(ident.name)
+      case _ => None
+    }
+    for (c <- deleteCond; a <- c.collect { case a: UnresolvedAttribute => a })
+      if (a.nameParts.length > 1 && targetAlias.contains(a.nameParts.head))
+        fail(s"DELETE condition may reference SOURCE columns only, got target-side ${a.name} " +
+          "(it is evaluated on the change rows before the merge join)")
     val stripped = deleteCond.map(_.transformUp {
       case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
     })
     GraftMergeCommand(path, m.sourceTable, keyCol,
-      stripped.map(ExprHolder), insertUnmatched = insert)
+      stripped.map(ExprHolder), insertUnmatched = insert, updateMatched = sawUpdate)
   }
 }
 
@@ -113,7 +131,8 @@ case class GraftMergeCommand(
     source: LogicalPlan,
     keyCol: String,
     deleteCond: Option[ExprHolder],
-    insertUnmatched: Boolean) extends LeafRunnableCommand {
+    insertUnmatched: Boolean,
+    updateMatched: Boolean) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(source)
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
@@ -123,6 +142,11 @@ case class GraftMergeCommand(
     var src = Shims.dataFrame(session, source)
     for (c <- deleteCond)
       src = src.withColumn("_deleted", Shims.column(c.e).cast("boolean"))
+    if (!updateMatched)
+      // delete-only MERGE: matched rows NOT satisfying the delete condition
+      // must stay untouched, so only the delete rows enter the merge at all
+      // (Merge.into with latestWins=false would otherwise UPDATE them)
+      src = src.filter(org.apache.spark.sql.functions.col("_deleted"))
     if (!insertUnmatched) {
       // no INSERT clause: unmatched source rows must be ignored — restrict
       // the source to keys present in the target's touched files

@@ -90,7 +90,9 @@ object StreamOps {
             var cur = state.getOption
             for (t <- ts) cur match {
               case Some(s) if t - s.last <= gapMs =>
-                cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1))
+                // a late cross-batch event inside the watermark can precede
+                // the stored session start — extend the session backwards
+                cur = Some(SessState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
               case Some(s) =>
                 closed += out(s)
                 cur = Some(SessState(t, t, 1))

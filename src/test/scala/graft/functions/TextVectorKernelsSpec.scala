@@ -205,6 +205,23 @@ class TextVectorKernelsSpec extends SparkSuite {
     assert(sig === sigNoNull, "null element must contribute 0 to the signature")
   }
 
+  test("long-array kernels skip null elements instead of NPE") {
+    // (SQL functions registered via the suite session's GraftExtensions)
+    // null elements reach the kernels through SQL despite the null-free
+    // declared input type (type check ignores nullability)
+    val withNull = spark.sql(
+      "SELECT simhash_of_hashes(array(xxhash64('a'), CAST(NULL AS BIGINT), xxhash64('b'))) AS s, " +
+        "winnow_mins(array(5L, CAST(NULL AS BIGINT), 3L, 9L), 2) AS w, " +
+        "minhash_sig(array(xxhash64('a'), CAST(NULL AS BIGINT)), 4) AS m").head()
+    val noNull = spark.sql(
+      "SELECT simhash_of_hashes(array(xxhash64('a'), xxhash64('b'))) AS s, " +
+        "winnow_mins(array(5L, 3L, 9L), 2) AS w, " +
+        "minhash_sig(array(xxhash64('a')), 4) AS m").head()
+    assert(withNull.getLong(0) === noNull.getLong(0), "null feature skipped in simhash")
+    assert(withNull.getSeq[Long](1) === noNull.getSeq[Long](1), "null hash skipped in winnowing")
+    assert(withNull.getSeq[Long](2) === noNull.getSeq[Long](2), "null shingle skipped in minhash")
+  }
+
   test("lang_id votes match marker counting, ties break to greatest code") {
     val rows = Seq(
       "the cat and the hat of doom" -> "en",

@@ -31,6 +31,16 @@ class RestructureSpec extends SparkSuite {
       .columns.toSeq === Seq("amt_2024_02"))
   }
 
+  test("pattern literals are regex-quoted (dots and brackets are literal)") {
+    import spark.implicits._
+    val dotted = Seq((1.0, 2.0, 3.0)).toDF("price.v2_a", "priceXv2_a", "p(1)_a")
+    // '.' must NOT match 'X'
+    assert(Restructure.selectPattern(dotted, "price.v2_<m>").columns.toSeq ===
+      Seq("price.v2_a"))
+    // regex metacharacters in literals must not break compilation
+    assert(Restructure.selectPattern(dotted, "p(1)_<m>").columns.toSeq === Seq("p(1)_a"))
+  }
+
   test("pattern select reaches the parquet scan as a pruned projection") {
     val dir = tmpDir("restructure-prune")
     wide.write.parquet(dir)

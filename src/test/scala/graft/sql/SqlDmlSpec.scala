@@ -53,6 +53,15 @@ class SqlDmlSpec extends SparkSuite {
     assert(t.currentSnapshot.get.operation === "update")
   }
 
+  test("DML on an empty (never-appended) table affects 0 rows, no crash") {
+    val t = GraftTable.create(spark, tmpDir("sqldml-empty"), Synth.pageSchema)
+    assert(spark.sql(s"UPDATE graft.`${t.root}` SET lang = 'x' WHERE lang = 'y'")
+      .collect().isEmpty)
+    assert(spark.sql(s"DELETE FROM graft.`${t.root}` WHERE lang = 'y'")
+      .collect().isEmpty)
+    assert(t.currentSnapshot.isEmpty, "no snapshot created by no-op DML")
+  }
+
   test("programmatic updateWhere prunes to touched files") {
     val t = GraftTable.create(spark, tmpDir("updw"), Synth.pageSchema)
     // lang-sorted files → tight lang bounds per file

@@ -75,6 +75,49 @@ class SqlMergeSpec extends SparkSuite {
     assert(t.read().filter(col("text") === "IGNORED").count() === 0)
   }
 
+  test("delete-only MERGE leaves matched-but-not-deleted rows untouched") {
+    val t = mk(200)
+    val pre = t.read().withColumn("copy", lit(1)).drop("copy")
+    t.read().orderBy("url").limit(40)
+      .withColumn("op", when(col("url").substr(-1, 1).isin("0", "4"), "D").otherwise("K"))
+      .withColumn("text", lit("MUST-NOT-LAND"))
+      .createOrReplaceTempView("delonly")
+    val nDel = spark.table("delonly").filter(col("op") === "D").count()
+    assert(nDel > 0 && nDel < 40)
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING delonly s ON t.url = s.url
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE""".stripMargin).collect()
+    assert(t.read().count() === 200 - nDel)
+    assert(t.read().filter(col("text") === "MUST-NOT-LAND").count() === 0,
+      "rows matched by NO clause must not be updated")
+    assertSameRows(t.read(),
+      pre.join(spark.table("delonly").filter(col("op") === "D").select("url"),
+        Seq("url"), "left_anti"), "delete-only merge")
+  }
+
+  test("MERGE works on tables without the default version column") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-nov"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    Seq((2L, "B!"), (9L, "new")).toDF("id", "name").createOrReplaceTempView("novsrc")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING novsrc s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(t.read().count() === 4)
+    assert(t.read().filter(col("id") === 2L).head().getString(1) === "B!")
+    // ANSI: duplicate source keys are an error, not an arbitrary pick
+    Seq((3L, "x"), (3L, "y")).toDF("id", "name").createOrReplaceTempView("dupsrc")
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING dupsrc s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect())
+    assert(ex.getMessage.contains("multiple rows"), ex.getMessage)
+  }
+
   test("unsupported shapes fail analysis with a clear message") {
     val t = mk(50)
     t.read().limit(1).createOrReplaceTempView("c4")
@@ -86,5 +129,21 @@ class SqlMergeSpec extends SparkSuite {
       s"""MERGE INTO graft.`${t.root}` t USING c4 s ON t.url = s.url
          |WHEN MATCHED THEN UPDATE SET text = 'x'""".stripMargin))
     assert(ex2.getMessage.contains("graft MERGE INTO"), ex2.getMessage)
+    // clause order: a DELETE after an unconditional UPDATE is unreachable —
+    // Spark's parser already rejects a non-last unconditional clause, and
+    // the rule keeps a defensive check behind it
+    val ex3 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING c4 s ON t.url = s.url
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN MATCHED AND s.lang = 'de' THEN DELETE""".stripMargin))
+    assert(ex3.getMessage.contains("NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION") ||
+      ex3.getMessage.contains("unreachable"), ex3.getMessage)
+    // target-side references in the DELETE condition would silently rebind
+    // to same-named source columns — rejected
+    val ex4 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING c4 s ON t.url = s.url
+         |WHEN MATCHED AND t.lang = 'de' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(ex4.getMessage.contains("SOURCE columns only"), ex4.getMessage)
   }
 }

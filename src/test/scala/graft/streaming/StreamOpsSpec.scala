@@ -58,8 +58,10 @@ class StreamOpsSpec extends SparkSuite {
   test("stateful sessionization closes sessions by gap and by timeout") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
+    // 5-minute delay: the backward-extension case feeds an event 1 minute
+    // late, which must land INSIDE the watermark to be accepted at all
     val sessions = StreamOps.sessionize(
-      spark, in.toDF.toDF("user_id", "ts"), gapMinutes = 30, watermarkDelay = "1 minutes")
+      spark, in.toDF.toDF("user_id", "ts"), gapMinutes = 30, watermarkDelay = "5 minutes")
     val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
     try {
       // user 7: events at 0,10,20 (one session), then 100 — the 100-min
@@ -73,8 +75,16 @@ class StreamOpsSpec extends SparkSuite {
         s.session_start == ts(0) && s.session_end == ts(20)),
         s"gap event must close the first session: ${closedByGap.toSeq}")
 
-      // timeout path: other-user events push the watermark past 100+30 with
-      // nothing new for user 7 → the open session closes via timeout
+      // late cross-batch event WITHIN the watermark extends a session
+      // backwards: user 11 at minute 150, then minute 149 arrives in the
+      // next batch (watermark is 99 after the ts(100) batch)
+      in.addData((11L, ts(150)))
+      q.processAllAvailable()
+      in.addData((11L, ts(149)))
+      q.processAllAvailable()
+
+      // timeout path: other-user events push the watermark past last+gap
+      // with nothing new for users 7/11 → open sessions close via timeout
       in.addData((9L, ts(200)))
       q.processAllAvailable()
       in.addData((9L, ts(201)))
@@ -82,6 +92,9 @@ class StreamOpsSpec extends SparkSuite {
       val all = spark.table("sess").as[StreamOps.SessionOut].collect()
       assert(all.exists(s => s.user_id == 7 && s.n_events == 1 && s.session_start == ts(100)),
         s"watermark timeout must close the dangling session: ${all.toSeq}")
+      assert(all.exists(s => s.user_id == 11 && s.n_events == 2 &&
+        s.session_start == ts(149) && s.session_end == ts(150)),
+        s"late in-watermark event must extend the session backwards: ${all.toSeq}")
     } finally q.stop()
   }
 }
