@@ -72,6 +72,26 @@ class HiddenPartitionSpec extends SparkSuite {
     assertSameRows(t.read(), pre, "post-maintenance scan equality")
   }
 
+  test("merge on a partitioned table keeps day-grouped output files") {
+    val t = GraftTable.create(spark, tmpDir("graft-hp-merge"), Synth.pageSchema, prop)
+    t.append(Synth.pages(spark, 1500, partitions = 3))
+    val pre = t.read()
+    val src = pre.orderBy("url").limit(30)
+      .withColumn("text", lit("MERGED"))
+      .withColumn("warc_ts", col("warc_ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 SECOND"))
+    graft.ops.Merge.into(t, src)
+    assert(t.read().count() === 1500)
+    assert(t.read().filter(col("text") === "MERGED").count() === 30)
+    for (f <- t.files())
+      assert(dayOfMicros(f.minValues("warc_ts").toLong) ===
+        dayOfMicros(f.maxValues("warc_ts").toLong), s"merged file ${f.path} spans days")
+    // day pruning still effective after the merge rewrite
+    val someDay = t.read().select(to_date(col("warc_ts")).as("d")).head().getDate(0)
+    val pred = to_date(col("warc_ts")) === lit(someDay)
+    assert(t.planFiles(Some(pred)).size < t.files().size)
+    assertSameRows(t.read(Some(pred)), t.read().filter(pred), "post-merge day scan")
+  }
+
   test("transform predicates prune through the SQL scan path too") {
     val t = GraftTable.create(spark, tmpDir("graft-hp-sql"), Synth.pageSchema, prop)
     t.append(Synth.pages(spark, 3000, partitions = 4))
