@@ -58,7 +58,12 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+    // threshold 1.0 keeps only identical shingle sets, whose signatures are
+    // identical in EVERY band — one full-signature band has the same exact
+    // recall while cutting candidate duplication (and band-join shuffle
+    // volume) by the band count
+    val effBands = if (threshold >= 1.0) 1 else bands
+    val r = numHashes / effBands
     // Shingle hashing + signatures happen ONCE, persisted one-row-per-doc.
     // The banded self-join then carries only (id, band-key) — exploding the
     // per-doc shingle arrays ×bands through the join exchange would amplify
@@ -69,7 +74,7 @@ object Dedup {
       .withColumn("_sig", minhashSigFromHashes(col("_sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
-      explode(array((0 until bands).map { b =>
+      explode(array((0 until effBands).map { b =>
         struct(lit(b).as("band"),
           aggregate(slice(col("_sig"), b * r + 1, r), lit(17L),
             (acc, x) => xxhash64(acc, x)).as("bh"))
