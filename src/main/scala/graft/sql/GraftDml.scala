@@ -1,9 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftshim.Shims
@@ -42,6 +42,24 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftUpdateCommand(graftPath(u.table).get, sets,
         ExprHolder(strip(u.condition.getOrElse(Literal.TrueLiteral))))
+    case a @ AddColumns(child, cols) if graftTablePath(child).isDefined =>
+      val fields = cols.map { c =>
+        if (c.path.nonEmpty)
+          throw new IllegalArgumentException("graft ADD COLUMNS: nested columns are not supported")
+        if (c.position.nonEmpty)
+          throw new IllegalArgumentException("graft ADD COLUMNS: FIRST/AFTER positions are not supported (columns append)")
+        if (c.default.nonEmpty)
+          throw new IllegalArgumentException("graft ADD COLUMNS: DEFAULT values are not supported")
+        if (!c.nullable)
+          throw new IllegalArgumentException(
+            s"graft ADD COLUMNS: ${c.colName} must be nullable — existing files have no values for it")
+        org.apache.spark.sql.types.StructField(c.colName, c.dataType,
+          nullable = true, metadata = c.comment.map(cm =>
+            new org.apache.spark.sql.types.MetadataBuilder().putString("comment", cm).build())
+            .getOrElse(org.apache.spark.sql.types.Metadata.empty))
+      }
+      val _ = a
+      GraftAddColumnsCommand(graftTablePath(child).get, fields)
   }
 
   private def graftPath(p: LogicalPlan): Option[String] = p match {
@@ -53,8 +71,30 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def graftTablePath(p: LogicalPlan): Option[String] = p match {
+    case t: UnresolvedTable
+        if t.multipartIdentifier.length == 2 &&
+          t.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some(t.multipartIdentifier(1))
+    case _ => None
+  }
+
   private def strip(e: Expression): Expression = e.transformUp {
     case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+}
+
+/** `ALTER TABLE graft.… ADD COLUMNS (…)` — add-only schema evolution
+  * through [[GraftTable.addColumn]] (old files read the new column as
+  * NULL; see its scaladoc for why rename/drop are deliberately absent). */
+case class GraftAddColumnsCommand(
+    path: String,
+    fields: Seq[org.apache.spark.sql.types.StructField]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = GraftTable.load(session, path)
+    fields.foreach(table.addColumn)
+    Seq.empty
   }
 }
 

@@ -42,9 +42,24 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
     case RelationTimeTravel(u: UnresolvedRelation, timestamp, version)
         if graftPath(u).isDefined =>
       readPlan(graftPath(u).get, timestamp, version)
+    case u: UnresolvedRelation if metaTable(u).isDefined =>
+      val (path, kind) = metaTable(u).get
+      val table = GraftTable.load(session, path)
+      (kind match {
+        case "snapshots" => table.snapshotsDf
+        case "files"     => table.filesDf()
+      }).queryExecution.analyzed
     case u: UnresolvedRelation if graftPath(u).isDefined && !u.isStreaming =>
       readPlan(graftPath(u).get, None, None)
   }
+
+  /** Iceberg-style metadata tables: graft.`/path`.snapshots / .files */
+  private def metaTable(u: UnresolvedRelation): Option[(String, String)] =
+    if (u.multipartIdentifier.length == 3 &&
+        u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+        Set("snapshots", "files").contains(u.multipartIdentifier(2).toLowerCase))
+      Some((u.multipartIdentifier(1), u.multipartIdentifier(2).toLowerCase))
+    else None
 
   private def graftPath(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(_, child) => graftPath(child)

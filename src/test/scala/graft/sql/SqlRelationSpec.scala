@@ -73,6 +73,32 @@ class SqlRelationSpec extends SparkSuite {
     assert(t.metadata.snapshots.size >= 2)
   }
 
+  test("metadata tables: graft.`path`.snapshots and .files are SELECTable") {
+    val t = mk(300)
+    t.append(Synth.pages(spark, 100, partitions = 1, seed = 3))
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, operation, rows FROM graft.`${t.root}`.snapshots ORDER BY snapshot_id")
+    assert(snaps.count() === 2)
+    assert(snaps.select("operation").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq === Seq("append", "append"))
+    val files = spark.sql(
+      s"SELECT count(*) AS n, sum(rows) AS r FROM graft.`${t.root}`.files").head()
+    assert(files.getLong(0) === t.files().size.toLong)
+    assert(files.getLong(1) === 400L)
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema; old files read NULL") {
+    val t = mk(100)
+    spark.sql(s"ALTER TABLE graft.`${t.root}` ADD COLUMNS (quality DOUBLE, source STRING)")
+    val df = spark.sql(s"SELECT * FROM graft.`${t.root}`")
+    assert(df.columns.takeRight(2).toSeq === Seq("quality", "source"))
+    assert(df.filter(col("quality").isNull && col("source").isNull).count() === 100)
+    // NOT NULL / positioned / nested columns are rejected
+    val ex = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`${t.root}` ADD COLUMNS (x INT NOT NULL)"))
+    assert(ex.getMessage.contains("nullable"), ex.getMessage)
+  }
+
   test("mixed surface: SQL MERGE against a SQL-read source still works") {
     val t = mk(200)
     spark.sql(s"SELECT url, warc_ts, html, 'MERGED' AS text, lang FROM graft.`${t.root}` LIMIT 7")
