@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectHintResolutionRule(session => graft.sql.GraftMergeRule(session))
     // DELETE FROM / UPDATE over graft.`/path` → copy-on-write ops
     ext.injectHintResolutionRule(session => graft.sql.GraftDmlRule(session))
+    // CREATE TABLE [AS SELECT] (incl. PARTITIONED BY transforms) / DROP TABLE
+    ext.injectHintResolutionRule(session => graft.sql.GraftDdlRule(session))
     // SELECT (incl. VERSION/TIMESTAMP AS OF) and INSERT INTO/OVERWRITE over
     // graft.`/path` — injected AFTER the merge/DML rules so their targets
     // are converted before this rule would resolve them as plain relations
