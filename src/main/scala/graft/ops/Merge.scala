@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types._
 
 import graft.run.{Lineage, Maintenance}
 import graft.table.{Bounds, DataFileMeta, GraftTable, Snapshot}
@@ -14,58 +14,125 @@ import graft.table.{Bounds, DataFileMeta, GraftTable, Snapshot}
  * Re-imagines the reference's incremental load: its per-row point re-scans
  * (`adapter/HBaseSourceTableAdapter.java:321-359` — a network round trip per
  * mutated row) become ONE set-based join of the change set against only the
- * files whose url range can contain a changed key; its generated
+ * files whose key range can contain a changed key; its generated
  * LEFT-OUTER-JOIN delete scripts (`hive/HiveTableIR.java:234-302`) become
  * the delete branch of the same join; its delete-marker semantics become an
  * explicit `_deleted` column on the source.
  *
+ * Keys are COMPOSITE: `keyCols` may name any number of columns, matching the
+ * reference's delete-merge which joins on every rowkey component
+ * (`hive/HiveTableIR.java:311-315` builds `t.k1=s.k1 AND … AND t.kn=s.kn`).
+ *
  * Semantics (latest-writer-wins, as HBase cell timestamps did):
- *  - source is first deduped to one row per url (greatest warc_ts; delete
- *    beats upsert on ties) via a window — the reference's
+ *  - source is first deduped to one row per key tuple (greatest warc_ts;
+ *    delete beats upsert on ties) via a window — the reference's
  *    `Result.getColumnLatestCell` analog;
  *  - matched & newer & deleted  → row removed
  *  - matched & newer & !deleted → row replaced
  *  - matched & older            → target row kept (late-arriving change)
  *  - unmatched & !deleted       → insert
  *
+ * Reserved source columns (all optional) refine the row images — the SQL
+ * front door ([[graft.sql.GraftMergeRule]]) lowers column-level MERGE
+ * actions onto them:
+ *  - `_deleted` boolean: the row is a delete (see above);
+ *  - `_set_<col>`: column-level UPDATE image — when any `_set_*` column is
+ *    present, a matched update replaces ONLY the assigned columns and keeps
+ *    the target's values for the rest (ANSI `UPDATE SET c = expr`);
+ *  - `_ins_<col>`: column-level INSERT image — when any `_ins_*` column is
+ *    present, an insert takes the assigned columns and NULL for the rest
+ *    (ANSI `INSERT (cols) VALUES (…)`).
+ *
  * Scale design: touched-file planning broadcasts only the per-file
- * [min,max] url intervals (tiny), maps each source key to overlapping files
- * and collects just the distinct file ids; the join runs as a
+ * [min,max] key intervals (tiny), maps each source key tuple to overlapping
+ * files and collects just the distinct file ids; the join runs as a
  * Catalyst-planned sort-merge join (asserted in tests via the physical
  * plan); untouched files are carried into the new snapshot unchanged.
  */
 object Merge {
 
-  /** Files whose [min,max] url interval may contain any source key. */
-  def touchedFiles(table: GraftTable, sourceKeys: DataFrame, keyCol: String): Seq[DataFileMeta] = {
+  /** Canonical bound-string encoding of a key column, matching
+    * [[graft.table.Bounds]] (timestamps → epoch micros, dates → epoch days,
+    * numerics/strings verbatim) so interval comparisons against file stats
+    * are in the same space. */
+  private def canonicalKey(c: Column, dt: DataType): Column = dt match {
+    case TimestampType    => unix_micros(c).cast("string")
+    case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("string")
+    case DateType         => unix_date(c).cast("string")
+    case _                => c.cast("string")
+  }
+
+  def touchedFiles(table: GraftTable, sourceKeys: DataFrame, keyCol: String): Seq[DataFileMeta] =
+    touchedFiles(table, sourceKeys, Seq(keyCol))
+
+  /** Files whose per-column [min,max] intervals may contain any source key
+    * TUPLE: the leading key column drives an interval-stabbing index; the
+    * remaining key columns filter its candidate window per row (a file
+    * survives only if the SAME row fits its bounds on every key column). */
+  def touchedFiles(table: GraftTable, sourceKeys: DataFrame, keyCols: Seq[String]): Seq[DataFileMeta] = {
+    require(keyCols.nonEmpty, "at least one key column")
     val files = table.files()
     if (files.isEmpty) return Seq.empty
-    val dt = table.schema.fields.find(_.name == keyCol).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(s"no column $keyCol"))
-    require(dt == StringType || Bounds.supported(dt), s"unsupported key type $dt")
-    // conservative: a file without bounds for the key is always touched
-    val unbounded = files.filter(f => f.minValues.get(keyCol).isEmpty || f.maxValues.get(keyCol).isEmpty)
-    val bounded = files.filter(f => f.minValues.contains(keyCol) && f.maxValues.contains(keyCol))
+    val schema = table.schema
+    val dts = keyCols.map { k =>
+      schema.fields.find(_.name == k).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(s"no column $k"))
+    }
+    dts.foreach(dt => require(Bounds.supported(dt), s"unsupported key type $dt"))
+    val lead = keyCols.head
+    val leadDt = dts.head
+    // conservative: a file without bounds for the leading key is always touched
+    val unbounded = files.filter(f => f.minValues.get(lead).isEmpty || f.maxValues.get(lead).isEmpty)
+    val bounded = files.filter(f => f.minValues.contains(lead) && f.maxValues.contains(lead))
     if (bounded.isEmpty) return files
     // interval-stabbing index (sorted mins + prefix-max of maxes): O(log
     // files + overlaps) per key instead of a linear scan of every file —
     // the index itself is file-count-bounded and broadcast once
-    val index = new IntervalIndex(dt,
-      bounded.zipWithIndex.map { case (f, i) => (f.minValues(keyCol), f.maxValues(keyCol), i) })
+    val index = new IntervalIndex(leadDt,
+      bounded.zipWithIndex.map { case (f, i) => (f.minValues(lead), f.maxValues(lead), i) })
+    // residual key columns: per-file bounds arrays (null = no bounds = keep)
+    val resCols = keyCols.tail
+    val resDts = dts.tail
+    val resMin: Array[Array[String]] = resCols.map(c => bounded.map(_.minValues.get(c).orNull).toArray).toArray
+    val resMax: Array[Array[String]] = resCols.map(c => bounded.map(_.maxValues.get(c).orNull).toArray).toArray
     val spark = table.spark
-    val bc = spark.sparkContext.broadcast(index)
-    val overlap = udf { (k: String) =>
-      if (k == null) Seq.empty[Int] else bc.value.overlapping(k)
+    val bcIdx = spark.sparkContext.broadcast(index)
+    val bcRes = spark.sparkContext.broadcast((resDts.toArray, resMin, resMax))
+    val overlap = udf { (r: org.apache.spark.sql.Row) =>
+      if (r.isNullAt(0)) Seq.empty[Int]
+      else {
+        val (rdts, rmin, rmax) = bcRes.value
+        bcIdx.value.overlapping(r.getString(0)).filter { fid =>
+          var ok = true
+          var j = 0
+          while (ok && j < rdts.length) {
+            if (!r.isNullAt(j + 1)) {
+              val v = r.getString(j + 1)
+              val lo = rmin(j)(fid); val hi = rmax(j)(fid)
+              if (lo != null && Bounds.compare(rdts(j), v, lo) < 0) ok = false
+              else if (hi != null && Bounds.compare(rdts(j), v, hi) > 0) ok = false
+            }
+            j += 1
+          }
+          ok
+        }
+      }
     }
+    val keyStruct = struct(keyCols.zip(dts).map { case (k, dt) => canonicalKey(col(k), dt) }: _*)
     val touchedIds = sourceKeys
-      .select(explode(overlap(col(keyCol).cast("string"))).as("fid"))
+      .select(explode(overlap(keyStruct)).as("fid"))
       .distinct().collect().map(_.getInt(0)).toSet
     bounded.zipWithIndex.collect { case (f, i) if touchedIds.contains(i) => f } ++ unbounded
   }
 
+  /** Single-key convenience overload. */
+  def into(table: GraftTable, source: DataFrame, keyCol: String): Snapshot =
+    into(table, source, Seq(keyCol))
+
   /**
-   * Execute a merge of `source` (page-schema columns + optional `_deleted`
-   * boolean) into the table on `keyCol`. Returns the committed snapshot.
+   * Execute a merge of `source` (page-schema columns + optional reserved
+   * columns, see class doc) into the table on `keyCols`. Returns the
+   * committed snapshot.
    *
    * `latestWins` = true (default) keeps the reference's HBase-cell
    * semantics: a source row older than the target row (by `versionCol`) is
@@ -76,11 +143,12 @@ object Merge {
   def into(
       table: GraftTable,
       source: DataFrame,
-      keyCol: String = "url",
+      keyCols: Seq[String] = Seq("url"),
       versionCol: String = "warc_ts",
       targetFileBytes: Long = 128L * 1024 * 1024,
       runId: String = java.util.UUID.randomUUID.toString,
       latestWins: Boolean = true): Snapshot = {
+    require(keyCols.nonEmpty, "at least one key column")
     val spark = table.spark
     val t0 = System.nanoTime()
     val log = Maintenance.start(table, runId, "merge")
@@ -92,47 +160,79 @@ object Merge {
     val snap = table.currentSnapshot
     val schema = table.schema
     val cols = schema.fieldNames.toSeq
+    keyCols.foreach(k => require(cols.contains(k), s"no key column $k in table schema"))
 
     val hasDeleted = source.columns.contains("_deleted")
+    // column-level row images (see class doc): `_set_*` narrows the update
+    // image to assigned columns, `_ins_*` narrows the insert image
+    val setCols = source.columns.collect { case c if c.startsWith("_set_") => c.stripPrefix("_set_") }.toSet
+    val insCols = source.columns.collect { case c if c.startsWith("_ins_") => c.stripPrefix("_ins_") }.toSet
+    (setCols ++ insCols).foreach(c =>
+      require(cols.contains(c), s"MERGE action assigns unknown column $c"))
+    setCols.intersect(keyCols.toSet).headOption.foreach(c =>
+      throw new IllegalArgumentException(
+        s"MERGE UPDATE must not assign key column $c (rewrite the row via DELETE + INSERT)"))
     val src0 = if (hasDeleted) source else source.withColumn("_deleted", lit(false))
+    val keyC = keyCols.map(col)
     val src =
       if (latestWins) {
-        // latest change per key: greatest version wins; delete beats upsert on tie
-        val w = Window.partitionBy(col(keyCol))
+        // latest change per key tuple: greatest version wins; delete beats
+        // upsert on ties
+        val w = Window.partitionBy(keyC: _*)
           .orderBy(col(versionCol).desc, col("_deleted").desc)
         src0.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
       } else {
         // ANSI MERGE: a target row matched by MORE THAN ONE source row is an
-        // error, not an arbitrary pick — and no version column is needed
-        val dup = src0.groupBy(col(keyCol)).count().filter(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"MERGE source has multiple rows for key '${dup.headOption.map(_.get(0)).orNull}' " +
-            s"($keyCol must be unique in the source)")
+        // error, not an arbitrary pick — and no version column is needed.
+        // One parallel aggregate job (a .limit(1).collect() here would run
+        // the groupBy through CollectLimit's sequential partition batches);
+        // an example key is collected only on the failure path.
+        val dups = src0.groupBy(keyC: _*).count().filter(col("count") > 1)
+        if (dups.count() > 0) {
+          val ex = dups.select(keyC: _*).head()
+          throw new IllegalArgumentException(
+            s"MERGE source has multiple rows for key '${ex.toSeq.mkString(",")}' " +
+              s"(${keyCols.mkString(",")} must be unique in the source)")
+        }
         src0
       }
 
-    val dt = schema.fields.find(_.name == keyCol).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(s"no column $keyCol"))
-    val touched = touchedFiles(table, src.select(keyCol), keyCol)
+    val leadDt = schema.fields.find(_.name == keyCols.head).get.dataType
+    val touched = touchedFiles(table, src.select(keyC: _*), keyCols)
     val base =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
 
-    val t = base.alias("t")
-    val s = src.alias("s")
-    val joined = t.join(s, t(keyCol) === s(keyCol), "full_outer")
-    val tKey = t(keyCol); val sKey = s(keyCol)
-    val takeSource =
-      if (latestWins) sKey.isNotNull && (tKey.isNull || s(versionCol) >= t(versionCol))
-      else sKey.isNotNull
-    val keep = when(sKey.isNull, lit(true)) // unmatched target row: kept
-      .when(takeSource && s("_deleted"), lit(false)) // newest change is a delete
-      .otherwise(!s("_deleted") || tKey.isNotNull) // insert, or keep older target
+    // explicit presence markers: with composite keys (or nullable key
+    // columns) "which side is absent" must not be inferred from key nullness
+    val t = base.withColumn("_t_present", lit(true)).alias("t")
+    val s = src.withColumn("_s_present", lit(true)).alias("s")
+    val joinCond = keyCols.map(k => t(k) === s(k)).reduce(_ && _)
+    val joined = t.join(s, joinCond, "full_outer")
+    val sP = coalesce(s("_s_present"), lit(false))
+    val tP = coalesce(t("_t_present"), lit(false))
+    val del = coalesce(s("_deleted"), lit(false))
+    val applies =
+      if (latestWins) sP && tP && s(versionCol) >= t(versionCol)
+      else sP && tP
+    val keep = when(!sP, lit(true)) // unmatched target row: kept
+      .when(applies && del, lit(false)) // newest change is a delete
+      .when(!tP && del, lit(false)) // delete for an absent key: no-op
+      .otherwise(lit(true))
     val merged = joined
       .filter(keep)
-      .select(cols.map { c =>
-        when(takeSource && !s("_deleted"), s(c)).otherwise(t(c)).as(c)
+      .select(schema.fields.toSeq.map { f =>
+        val c = f.name
+        val updImage = if (setCols.isEmpty) s(c)
+          else if (setCols.contains(c)) s(s"_set_$c").cast(f.dataType) else t(c)
+        val insImage = if (insCols.isEmpty) s(c)
+          else if (insCols.contains(c)) s(s"_ins_$c").cast(f.dataType)
+          else if (keyCols.contains(c)) s(c) // key columns always carry over
+          else lit(null).cast(f.dataType)
+        when(applies && !del, updImage)
+          .when(!tP && sP, insImage) // insert (del rows were filtered above)
+          .otherwise(t(c)).as(c)
       }: _*)
 
     val totalBytes = math.max(touched.map(_.bytes).sum, 1L)
@@ -142,17 +242,17 @@ object Merge {
     if (!(log.doneSteps.contains("rewrite") && graft.table.FileIO.exists(s"$dir/_SUCCESS"))) {
       graft.table.FileIO.deleteRecursively(dir)
       spark.sparkContext.setJobDescription(s"merge $runId (${touched.size} touched files)")
-      // range-partition the merged output on the key WITHOUT sampling the
-      // child (repartitionByRange would re-execute the full-outer join just
-      // to pick boundaries): equi-depth boundaries come from the touched
+      // range-partition the merged output on the leading key WITHOUT sampling
+      // the child (repartitionByRange would re-execute the full-outer join
+      // just to pick boundaries): equi-depth boundaries come from the touched
       // files' key bounds weighted by row counts — free, from metadata
       val out =
-        if (nOut > 1 && dt == StringType) {
-          val bds = RangeShuffle.boundariesFromFileMeta(touched, keyCol, nOut,
+        if (nOut > 1 && leadDt == StringType) {
+          val bds = RangeShuffle.boundariesFromFileMeta(touched, keyCols.head, nOut,
             s => graft.functions.ZOrder.packPrefixScala(s))
           RangeShuffle.byRange(merged,
-            graft.functions.ZOrder.packedPrefix(col(keyCol), 8), bds)
-        } else if (nOut > 1) merged.repartition(nOut, col(keyCol))
+            graft.functions.ZOrder.packedPrefix(col(keyCols.head), 8), bds)
+        } else if (nOut > 1) merged.repartition(nOut, keyC: _*)
         else merged
       table.writeDataFiles(out, commitUuid)
       Maintenance.markDone(table, log, "rewrite")

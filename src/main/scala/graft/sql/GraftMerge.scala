@@ -1,11 +1,12 @@
 package graft.sql
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types.LongType
 
@@ -21,10 +22,10 @@ import graft.table.GraftTable
  * {{{
  *   MERGE INTO graft.`/path/to/table` t
  *   USING changes s
- *   ON t.url = s.url
+ *   ON t.host = s.host AND t.url = s.url          -- composite keys supported
  *   WHEN MATCHED AND s.op = 'D' THEN DELETE
- *   WHEN MATCHED THEN UPDATE SET *
- *   WHEN NOT MATCHED THEN INSERT *
+ *   WHEN MATCHED THEN UPDATE SET text = s.text    -- or UPDATE SET *
+ *   WHEN NOT MATCHED THEN INSERT (url, host, text) VALUES (s.url, s.host, s.text)
  * }}}
  *
  * The rule runs in the analyzer's EARLY (hint-resolution) batch: it must
@@ -39,9 +40,19 @@ import graft.table.GraftTable
  * matched-rows-always-apply semantics (`latestWins = false`).
  *
  * Supported shapes (anything else fails analysis with a clear error):
- *   - `WHEN MATCHED THEN UPDATE SET *` [+ `WHEN NOT MATCHED THEN INSERT *`]
- *   - `WHEN MATCHED AND <source predicate> THEN DELETE` combined with the above
- *   - `WHEN MATCHED THEN DELETE` alone (delete every matched key)
+ *   - ON: a conjunction of equi-conditions `t.k1 = s.k1 AND … AND t.kn = s.kn`
+ *     (the reference's all-rowkey-component join, `hive/HiveTableIR.java:311-315`)
+ *   - at most ONE update clause: `UPDATE SET *` or `UPDATE SET c = expr, …`,
+ *     optionally conditional
+ *   - at most ONE delete clause, optionally conditional, before or after the
+ *     update clause (ANSI first-match-wins ordering is honored)
+ *   - at most ONE insert clause: `INSERT *` or `INSERT (cols) VALUES (…)`,
+ *     optionally conditional — applied to EVERY unmatched source row
+ *     regardless of matched-clause conditions (ANSI), which is why the
+ *     command computes an explicit per-row matched flag below
+ *   - all clause conditions and assignment values may reference SOURCE
+ *     columns only (they are evaluated on the change rows; a target-side
+ *     reference would silently rebind to the same-named source column)
  */
 case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -62,60 +73,104 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft MERGE INTO: $msg")
 
+  /** ON clause → ordered key column names (conjunction of equi-conditions). */
+  private def keyColsOf(cond: Expression): Seq[String] = cond match {
+    case And(l, r) => keyColsOf(l) ++ keyColsOf(r)
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last == b.nameParts.last => Seq(a.nameParts.last)
+    case other =>
+      fail(s"ON must be a conjunction of equi-conditions t.<k> = s.<k>, got $other")
+  }
+
   private def convert(m: MergeIntoTable, path: String): LogicalPlan = {
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
-    val keyCol = m.mergeCondition match {
-      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.last == b.nameParts.last => a.nameParts.last
-      case other =>
-        fail(s"ON must be a single equi-condition t.<key> = s.<key>, got $other")
-    }
-    var deleteCond: Option[Expression] = None
-    var sawUpdate = false
-    // ANSI first-match-wins ordering: clauses after an unconditional one are
-    // unreachable, and a clause before a prior conditional one is NOT
-    // shadowed — supported shapes preserve exactly those semantics, anything
-    // order-ambiguous fails instead of silently reordering
-    m.matchedActions.foreach {
-      case UpdateStarAction(None) =>
-        sawUpdate = true
-      case UpdateStarAction(Some(c)) =>
-        fail(s"conditional UPDATE SET * is not supported (condition: $c)")
-      case DeleteAction(c) =>
-        if (sawUpdate) fail(
-          "DELETE after an unconditional UPDATE SET * is unreachable (first matching clause wins)")
-        if (deleteCond.nonEmpty) fail("at most one DELETE clause")
-        deleteCond = Some(c.getOrElse(
-          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
-      case other => fail(s"unsupported matched action $other (only UPDATE SET * / DELETE)")
-    }
-    if (deleteCond.exists(_ == org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) && sawUpdate)
-      fail("UPDATE SET * after an unconditional DELETE is unreachable (first matching clause wins)")
-    val insert = m.notMatchedActions match {
-      case Seq() => false
-      case Seq(InsertStarAction(None)) => true
-      case other => fail(s"only WHEN NOT MATCHED THEN INSERT * is supported, got $other")
-    }
-    if (!sawUpdate && deleteCond.isEmpty) fail("no supported matched action")
-    if (!sawUpdate && deleteCond.exists(_ == org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral) && insert)
-      fail("DELETE-all-matched combined with INSERT is ambiguous; add an UPDATE SET * clause")
-    // the delete predicate applies to SOURCE columns only: a target-side
-    // reference would silently rebind to the same-named SOURCE column after
-    // qualifier stripping, deciding deletes on the wrong relation
+    val keyCols = keyColsOf(m.mergeCondition)
+    if (keyCols.distinct.size != keyCols.size)
+      fail(s"duplicate key column in ON clause: ${keyCols.mkString(", ")}")
+
     val targetAlias = m.targetTable match {
       case SubqueryAlias(ident, _) => Some(ident.name)
       case _ => None
     }
-    for (c <- deleteCond; a <- c.collect { case a: UnresolvedAttribute => a })
-      if (a.nameParts.length > 1 && targetAlias.contains(a.nameParts.head))
-        fail(s"DELETE condition may reference SOURCE columns only, got target-side ${a.name} " +
-          "(it is evaluated on the change rows before the merge join)")
-    val stripped = deleteCond.map(_.transformUp {
-      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
-    })
-    GraftMergeCommand(path, m.sourceTable, keyCol,
-      stripped.map(ExprHolder), insertUnmatched = insert, updateMatched = sawUpdate)
+    // every carried expression evaluates on the SOURCE rows before the merge
+    // join — a target-side reference would silently rebind to the same-named
+    // SOURCE column after qualifier stripping, deciding on the wrong relation
+    def sourceOnly(e: Expression, what: String): ExprHolder = {
+      for (a <- e.collect { case a: UnresolvedAttribute => a })
+        if (a.nameParts.length > 1 && targetAlias.contains(a.nameParts.head))
+          fail(s"$what may reference SOURCE columns only, got target-side ${a.name} " +
+            "(it is evaluated on the change rows before the merge join)")
+      ExprHolder(e.transformUp {
+        case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+      })
+    }
+    def assignments(asg: Seq[Assignment], what: String): Seq[(String, ExprHolder)] =
+      asg.map { a =>
+        val name = a.key match {
+          case u: UnresolvedAttribute =>
+            if (u.nameParts.length > 1 && !targetAlias.forall(_ == u.nameParts.head))
+              fail(s"$what assigns non-target column ${u.name}")
+            u.nameParts.last
+          case other => fail(s"$what must assign plain columns, got $other")
+        }
+        name -> sourceOnly(a.value, s"$what value for $name")
+      }
+
+    // matched clauses: at most one update-kind + one delete, order preserved
+    // (ANSI first-match-wins: the flags are combined order-aware in run()).
+    // Spark's parser already enforces that an unconditional clause is last.
+    var update: Option[(Option[Expression], Seq[(String, ExprHolder)])] = None
+    var delete: Option[Option[Expression]] = None
+    var deleteFirst = false
+    m.matchedActions.foreach {
+      case UpdateStarAction(c) =>
+        if (update.nonEmpty) fail("at most one UPDATE clause")
+        update = Some((c, Seq.empty))
+      case UpdateAction(c, asg, _) =>
+        if (update.nonEmpty) fail("at most one UPDATE clause")
+        val set = assignments(asg, "UPDATE SET")
+        if (set.isEmpty) fail("UPDATE with no assignments")
+        set.map(_._1).filter(keyCols.contains).foreach(k =>
+          fail(s"UPDATE must not assign key column $k"))
+        update = Some((c, set))
+      case DeleteAction(c) =>
+        if (delete.nonEmpty) fail("at most one DELETE clause")
+        deleteFirst = update.isEmpty
+        delete = Some(c)
+      case other => fail(s"unsupported matched action $other")
+    }
+    // unreachable-clause guards behind the parser's unconditional-last rule
+    if (update.nonEmpty && delete.nonEmpty) {
+      if (deleteFirst && delete.get.isEmpty)
+        fail("UPDATE after an unconditional DELETE is unreachable (first matching clause wins)")
+      if (!deleteFirst && update.get._1.isEmpty)
+        fail("DELETE after an unconditional UPDATE is unreachable (first matching clause wins)")
+    }
+    if (update.isEmpty && delete.isEmpty && m.notMatchedActions.isEmpty)
+      fail("no supported action")
+
+    val (insert, insertCond, insertValues) = m.notMatchedActions match {
+      case Seq() => (false, None, Seq.empty[(String, ExprHolder)])
+      case Seq(InsertStarAction(c)) => (true, c.map(sourceOnly(_, "INSERT condition")), Seq.empty)
+      case Seq(InsertAction(c, asg)) =>
+        val vals = assignments(asg, "INSERT")
+        keyCols.filterNot(vals.map(_._1).contains).foreach(k =>
+          fail(s"INSERT (cols) VALUES must assign key column $k"))
+        (true, c.map(sourceOnly(_, "INSERT condition")), vals)
+      case other => fail(s"at most one WHEN NOT MATCHED clause, got ${other.size}")
+    }
+
+    GraftMergeCommand(path, m.sourceTable, keyCols,
+      hasUpdate = update.nonEmpty,
+      updateCond = update.flatMap(_._1).map(sourceOnly(_, "UPDATE condition")),
+      updateSet = update.map(_._2).getOrElse(Seq.empty),
+      hasDelete = delete.nonEmpty,
+      deleteCond = delete.flatten.map(sourceOnly(_, "DELETE condition")),
+      deleteFirst = deleteFirst,
+      insertUnmatched = insert,
+      insertCond = insertCond,
+      insertValues = insertValues)
   }
 }
 
@@ -125,35 +180,77 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
 case class ExprHolder(e: Expression)
 
 /** Runs [[graft.ops.Merge.into]] for a SQL MERGE statement; returns the
-  * committed snapshot id as the statement result. */
+  * committed snapshot id as the statement result.
+  *
+  * Lowering: the source is augmented with a per-row `_matched` flag (a
+  * left join against the DISTINCT key tuples read from the TOUCHED files
+  * only — never a full-table scan), clause conditions become
+  * first-match-wins boolean flags evaluated matched-side only (ANSI: a
+  * NULL clause condition is false, and matched-clause conditions never
+  * affect unmatched rows), rows no clause applies to are filtered out, and
+  * column-level assignments become `_set_*`/`_ins_*` image columns for
+  * [[graft.ops.Merge.into]]'s projection. */
 case class GraftMergeCommand(
     path: String,
     source: LogicalPlan,
-    keyCol: String,
+    keyCols: Seq[String],
+    hasUpdate: Boolean,
+    updateCond: Option[ExprHolder],
+    updateSet: Seq[(String, ExprHolder)],
+    hasDelete: Boolean,
     deleteCond: Option[ExprHolder],
+    deleteFirst: Boolean,
     insertUnmatched: Boolean,
-    updateMatched: Boolean) extends LeafRunnableCommand {
+    insertCond: Option[ExprHolder],
+    insertValues: Seq[(String, ExprHolder)]) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(source)
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
+    val schema = table.schema
+    (updateSet ++ insertValues).map(_._1).filterNot(schema.fieldNames.contains).foreach(c =>
+      throw new IllegalArgumentException(s"graft MERGE INTO: assignment to unknown column $c"))
     var src = Shims.dataFrame(session, source)
-    for (c <- deleteCond)
-      src = src.withColumn("_deleted", Shims.column(c.e).cast("boolean"))
-    if (!updateMatched)
-      // delete-only MERGE: matched rows NOT satisfying the delete condition
-      // must stay untouched, so only the delete rows enter the merge at all
-      // (Merge.into with latestWins=false would otherwise UPDATE them)
-      src = src.filter(org.apache.spark.sql.functions.col("_deleted"))
-    if (!insertUnmatched) {
-      // no INSERT clause: unmatched source rows must be ignored — restrict
-      // the source to keys present in the target's touched files
-      val existing = table.read().select(keyCol)
-      src = src.join(existing, Seq(keyCol), "left_semi")
-    }
-    val snap = Merge.into(table, src, keyCol, latestWins = false)
+    // ANSI: a NULL clause condition behaves as FALSE
+    def flag(h: Option[ExprHolder], default: Boolean): Column =
+      h.map(x => coalesce(Shims.column(x.e).cast("boolean"), lit(false)))
+        .getOrElse(lit(default))
+    for ((c, h) <- updateSet) src = src.withColumn(s"_set_$c", Shims.column(h.e))
+    for ((c, h) <- insertValues) src = src.withColumn(s"_ins_$c", Shims.column(h.e))
+
+    // per-row matched flag: key tuples are read from the files whose bounds
+    // can contain a source key (touched files) — bounded by the change set,
+    // not the table (a delete-only MERGE at 100 TB must not scan the corpus)
+    val touched = Merge.touchedFiles(table, src.select(keyCols.map(col): _*), keyCols)
+    src =
+      if (touched.isEmpty) src.withColumn("_matched", lit(false))
+      else {
+        val existing = session.read.schema(schema).parquet(touched.map(table.absPath): _*)
+          .select(keyCols.map(col): _*).dropDuplicates(keyCols)
+          .withColumn("_matched_t", lit(true))
+        src.join(existing, keyCols, "left_outer")
+          .withColumn("_matched", coalesce(col("_matched_t"), lit(false)))
+          .drop("_matched_t")
+      }
+
+    // first-match-wins combination of the matched clauses
+    val updC = flag(updateCond, hasUpdate)
+    val delC = flag(deleteCond, hasDelete)
+    val (updFlag, delFlag) =
+      if (deleteFirst) (updC && !delC, delC) else (updC, delC && !updC)
+    val insC = flag(insertCond, default = true)
+    // keep only rows some clause applies to: matched rows a matched clause
+    // fires for, unmatched rows the insert clause admits — everything else
+    // must leave its target row (or absence) untouched
+    src = src
+      .filter((col("_matched") && (updFlag || delFlag)) ||
+        (!col("_matched") && lit(insertUnmatched) && insC))
+      .withColumn("_deleted", col("_matched") && delFlag)
+      .drop("_matched")
+
+    val snap = Merge.into(table, src, keyCols, latestWins = false)
     Seq(Row(snap.id))
   }
 }

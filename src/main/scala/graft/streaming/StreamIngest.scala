@@ -19,6 +19,11 @@ import graft.table.GraftTable
  */
 object StreamIngest {
 
+  /** Table-property key holding the last committed batch id of one stream
+    * (keyed by checkpoint dir, so several streams can feed one table). */
+  def batchProperty(checkpointDir: String): String =
+    s"stream-batch-${Integer.toHexString(checkpointDir.hashCode)}"
+
   /** Start ingesting `stream` (must match the table schema) into `table`.
     * `checkpointDir` carries source offsets AND the last committed batch id. */
   def start(
@@ -26,18 +31,23 @@ object StreamIngest {
       stream: DataFrame,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val prop = batchProperty(checkpointDir)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotence: Spark may retry a batch after a crash between the
-        // sink commit and the checkpoint write; the snapshot summary records
-        // the batch id so a re-delivered batch is skipped, not re-appended
-        val already = table.metadata.snapshots.exists(
-          _.summary.get("stream-batch-id").contains(batchId.toString))
+        // sink commit and the checkpoint write. foreachBatch ids are
+        // monotonic per checkpoint, so ONE high-watermark table property is
+        // the whole dedup state — an O(1) lookup however long the snapshot
+        // history grows, and it survives snapshot expiry (the previous
+        // per-snapshot summary scan was O(history) per micro-batch and
+        // forgot committed ids once expiry aged their snapshots out)
+        val already = table.metadata.properties.get(prop).exists(_.toLong >= batchId)
         if (!already && !batch.isEmpty) {
-          table.append(batch, Map("stream-batch-id" -> batchId.toString))
+          table.append(batch, Map("stream-batch-id" -> batchId.toString),
+            propertyUpdates = Map(prop -> batchId.toString))
           ()
         }
       }

@@ -101,8 +101,14 @@ object StreamOps {
             }
             for (s <- cur) {
               state.update(s)
-              // fire when the watermark proves no event can extend the session
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // fire when the watermark proves no event can extend the
+              // session — clamped above the current watermark: a late
+              // in-watermark event with last + gap <= watermark (possible
+              // whenever gap < watermark delay) would otherwise make Spark
+              // throw and kill the query; the clamp emits such
+              // immediately-final sessions on the next trigger instead
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.iterator
           }

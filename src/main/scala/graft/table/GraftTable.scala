@@ -187,16 +187,25 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     snap.deleteManifestList.flatMap(m => readManifest(m.path))
   }
 
-  /** Anti-join `df` against the snapshot's tombstone keys (broadcast — the
-    * tombstone set is small by design; large deletes should use the
-    * copy-on-write path). No-op when no tombstones exist. */
+  /** Tombstone sets above this row count anti-join via shuffle instead of
+    * broadcast (a 10^8-key MoR delete must not OOM the driver). */
+  val TombstoneBroadcastRowCap = 4L * 1000 * 1000
+
+  /** Anti-join `df` against the snapshot's tombstone key tuples (joined on
+    * ALL tombstone columns). Broadcast while the set is small (the intended
+    * MoR niche); beyond [[TombstoneBroadcastRowCap]] rows it falls back to a
+    * shuffled anti-join rather than an OOM. No-op when no tombstones exist. */
   def applyTombstones(df: DataFrame, snapshotId: Option[Long] = None): DataFrame = {
     val dels = tombstones(snapshotId)
     if (dels.isEmpty) df
     else {
-      val delDf = spark.read.parquet(dels.map(absPath): _*)
-      val key = delDf.columns.head
-      df.join(org.apache.spark.sql.functions.broadcast(delDf.distinct()), Seq(key), "left_anti")
+      val delDf = spark.read.parquet(dels.map(absPath): _*).distinct()
+      val keys = delDf.columns.toSeq
+      val rows = dels.map(_.rows).sum // exact, from manifest metadata — free
+      val right =
+        if (rows <= TombstoneBroadcastRowCap) org.apache.spark.sql.functions.broadcast(delDf)
+        else delDf
+      df.join(right, keys, "left_anti")
     }
   }
 
@@ -212,33 +221,35 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * tombstones are materialized away. MERGE refuses to run while tombstones
    * are live for this reason.
    *
-   * `keys` must have exactly one column, named as the key column.
+   * `keys` columns name the (possibly composite) key — every column must
+   * exist in the table schema, and all live tombstones of a table must use
+   * the SAME column set (applyTombstones anti-joins on one column list).
    */
   def deleteByKeysMoR(keys: DataFrame, summary: Map[String, String] = Map.empty): Snapshot = {
-    require(keys.columns.length == 1,
-      s"tombstone frame must have exactly the key column, got ${keys.columns.mkString(",")}")
-    val key = keys.columns.head
-    require(schema.fieldNames.contains(key), s"unknown key column $key")
+    require(keys.columns.nonEmpty, "tombstone frame needs at least one key column")
+    val keyCols = keys.columns.toSeq
+    keyCols.foreach(k => require(schema.fieldNames.contains(k), s"unknown key column $k"))
     val uuid = UUID.randomUUID.toString
     val dir = s"$dataDir/$uuid"
     keys.distinct().write.mode("errorifexists").parquet(dir)
     val written = FileIO.listFiles(dir, ".parquet")
     val metas = StatsCollector.collect(
-      spark, StructType(Seq(schema(schema.fieldIndex(key)))), root, written, uuid)
+      spark, StructType(keyCols.map(k => schema(schema.fieldIndex(k)))), root, written, uuid)
     commitFull("delete-mor") { parent =>
       // same-key check INSIDE the commit loop: it re-evaluates against the
       // actual parent on every retry, so two racing deletes on different
       // columns cannot both land (check-then-act outside the loop would let
-      // applyTombstones silently drop one set — it anti-joins on one key)
+      // applyTombstones silently drop one set — it anti-joins on one list)
       for (existing <- parent.toSeq.flatMap(_.deleteManifestList)
              .flatMap(m => readManifest(m.path)).headOption) {
-        val existingKey = spark.read.parquet(absPath(existing)).columns.head
-        require(existingKey == key,
-          s"table already has tombstones on '$existingKey'; materialize them (cluster rewrite) before deleting on '$key'")
+        val existingKeys = spark.read.parquet(absPath(existing)).columns.toSeq
+        require(existingKeys == keyCols,
+          s"table already has tombstones on '${existingKeys.mkString(",")}'; materialize them " +
+            s"(cluster rewrite) before deleting on '${keyCols.mkString(",")}'")
       }
       (parent.map(_.manifests).getOrElse(Seq.empty),
         Some(parent.map(_.deleteManifestList).getOrElse(Seq.empty) :+ writeManifest(metas)),
-        summary ++ Map("delete-key" -> key,
+        summary ++ Map("delete-key" -> keyCols.mkString(","),
           "tombstones-added" -> metas.map(_.rows).sum.toString))
     }
   }
@@ -354,10 +365,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     StatsCollector.collect(spark, schema, root, written, commitUuid)
   }
 
-  /** Append-only commit: parent manifests + one new manifest. */
-  def append(df: DataFrame, summary: Map[String, String] = Map.empty): Snapshot = {
+  /** Append-only commit: parent manifests + one new manifest.
+    * `propertyUpdates` land atomically in the same metadata version (e.g.
+    * the streaming batch-id watermark). */
+  def append(
+      df: DataFrame,
+      summary: Map[String, String] = Map.empty,
+      propertyUpdates: Map[String, String] = Map.empty): Snapshot = {
     val metas = writeDataFiles(df)
-    commit("append") { parent =>
+    commit("append", propertyUpdates = propertyUpdates) { parent =>
       val mf = writeManifest(metas)
       (parent.map(_.manifests).getOrElse(Seq.empty) :+ mf,
         summary ++ Map(
@@ -416,16 +432,18 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * Parent tombstones are carried forward unchanged; use [[commitFull]] to
    * alter them.
    */
-  def commit(op: String, expectedSnapshotId: Option[Long] = None)(
+  def commit(op: String, expectedSnapshotId: Option[Long] = None,
+      propertyUpdates: Map[String, String] = Map.empty)(
       build: Option[Snapshot] => (Seq[ManifestMeta], Map[String, String])): Snapshot =
-    commitFull(op, expectedSnapshotId) { parent =>
+    commitFull(op, expectedSnapshotId, propertyUpdates) { parent =>
       val (manifests, summary) = build(parent)
       (manifests, parent.flatMap(_.deleteManifests), summary)
     }
 
   /** [[commit]] with explicit control of the delete-manifest (tombstone)
     * list of the new snapshot. */
-  def commitFull(op: String, expectedSnapshotId: Option[Long] = None)(
+  def commitFull(op: String, expectedSnapshotId: Option[Long] = None,
+      propertyUpdates: Map[String, String] = Map.empty)(
       build: Option[Snapshot] => (Seq[ManifestMeta], Option[Seq[ManifestMeta]], Map[String, String])): Snapshot = {
     var attempts = 0
     while (attempts < 10) {
@@ -448,7 +466,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       val next = md.copy(
         currentSnapshotId = Some(snap.id),
         snapshots = md.snapshots :+ snap,
-        lastSnapshotId = snap.id)
+        lastSnapshotId = snap.id,
+        properties = md.properties ++ propertyUpdates)
       if (FileIO.putIfAbsent(s"$metadataDir/v${v + 1}.json", MetaJson.write(next))) {
         FileIO.writeString(hintPath, (v + 1).toString)
         return snap

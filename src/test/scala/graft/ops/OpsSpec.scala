@@ -202,6 +202,43 @@ class MergeSpec extends SparkSuite {
     assert(t.readSnapshot(preSnapId).count() == 3000)
   }
 
+  test("composite-key merge matches a pure-Scala model (latest-wins on the tuple)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("text", StringType)))
+    val t = GraftTable.create(spark, tmpDir("graft-ck-merge"), schema)
+    import spark.implicits._
+    // same path values repeat across hosts: tuple identity matters
+    val base = for (h <- 0 until 20; p <- 0 until 50)
+      yield (s"h$h.example.com", s"/p/$p", 100L, s"base-$h-$p")
+    t.append(base.toDF("host", "path", "ts", "text")
+      .repartitionByRange(6, col("host"), col("path")).sortWithinPartitions("host", "path"))
+
+    val updates = for (h <- 0 until 5; p <- 0 until 10)
+      yield (s"h$h.example.com", s"/p/$p", 200L, "UPD", false)
+    val stale = for (h <- 10 until 12; p <- 0 until 10)
+      yield (s"h$h.example.com", s"/p/$p", 50L, "STALE", false)
+    val deletes = for (h <- 15 until 17; p <- 20 until 30)
+      yield (s"h$h.example.com", s"/p/$p", 200L, null: String, true)
+    val inserts = for (p <- 0 until 7)
+      yield ("hNEW.example.com", s"/p/$p", 200L, "NEW", false)
+    val src = (updates ++ stale ++ deletes ++ inserts)
+      .toDF("host", "path", "ts", "text", "_deleted")
+    Merge.into(t, src, Seq("host", "path"), versionCol = "ts")
+
+    val model = (base.map(r => (r._1, r._2) -> r).toMap
+      -- deletes.map(d => (d._1, d._2))
+      ++ updates.map(u => (u._1, u._2) -> ((u._1, u._2, u._3, u._4))))
+      .values.toSet ++ inserts.map(i => (i._1, i._2, i._3, i._4))
+    val got = t.read().as[(String, String, Long, String)].collect().toSet
+    assert(got === model)
+    // stale rows (older ts) must lose on the TUPLE, not just one column
+    assert(!got.exists(_._4 == "STALE"))
+  }
+
   test("merge join is a real distributed join (SMJ/shuffle-hash, no BNLJ)") {
     val root = tmpDir("graft-smj")
     val t = GraftTable.create(spark, root, Synth.pageSchema)
@@ -230,6 +267,30 @@ class MergeSpec extends SparkSuite {
     val touched = Merge.touchedFiles(t, keys, "url")
     assert(touched.nonEmpty && touched.size < files.size,
       s"expected a strict subset, got ${touched.size}/${files.size}")
+  }
+
+  test("composite-key touched-file planning prunes on residual key columns") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("v", LongType)))
+    val t = GraftTable.create(spark, tmpDir("graft-ck-touch"), schema)
+    import spark.implicits._
+    // four files sharing ONE leading-key (host) value in pairs — only the
+    // residual path bounds can tell them apart
+    def chunk(host: String, lo: Int, hi: Int) =
+      (lo until hi).map(p => (host, f"/p/$p%03d", 1L)).toDF("host", "path", "v").coalesce(1)
+    t.append(chunk("a.com", 0, 50)); t.append(chunk("a.com", 50, 100))
+    t.append(chunk("b.com", 0, 50)); t.append(chunk("b.com", 50, 100))
+    assert(t.files().size === 4)
+    val keys = Seq(("a.com", "/p/010")).toDF("host", "path")
+    val touched = Merge.touchedFiles(t, keys, Seq("host", "path"))
+    assert(touched.size === 1, s"leading col narrows to 2, residual to 1; got ${touched.size}")
+    assert(touched.head.minValues("path") <= "/p/010" && touched.head.maxValues("path") >= "/p/010")
+    // a tuple whose column values each exist but never together: no file
+    val none = Merge.touchedFiles(t, Seq(("b.com", "/p/xyz")).toDF("host", "path"), Seq("host", "path"))
+    assert(none.isEmpty)
   }
 
   test("interval index matches brute force and probes O(log n + hits)") {

@@ -118,17 +118,112 @@ class SqlMergeSpec extends SparkSuite {
     assert(ex.getMessage.contains("multiple rows"), ex.getMessage)
   }
 
+  test("composite-key MERGE joins on every key column") {
+    // reference parity: the delete-merge joins on ALL rowkey components
+    // (hive/HiveTableIR.java:311-315 generates t.k1=s.k1 AND … AND t.kn=s.kn)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("text", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-ck"), schema)
+    import spark.implicits._
+    t.append(Seq(
+      ("a.com", "/1", "a1"), ("a.com", "/2", "a2"),
+      ("b.com", "/1", "b1"), ("b.com", "/2", "b2")).toDF("host", "path", "text"))
+    // same path exists under both hosts: a single-column join on path would
+    // corrupt the other host's row
+    Seq(("a.com", "/1", "A1!", "U"), ("b.com", "/2", null: String, "D"),
+        ("c.com", "/9", "c9", "U")).toDF("host", "path", "text", "op")
+      .createOrReplaceTempView("ckchanges")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING ckchanges s
+         |ON t.host = s.host AND t.path = s.path
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = t.read().as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("a.com", "/1", "A1!"), ("a.com", "/2", "a2"),
+      ("b.com", "/1", "b1"), ("c.com", "/9", "c9")))
+  }
+
+  test("column-level UPDATE SET, conditional UPDATE, INSERT (cols) VALUES") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DoubleType),
+      StructField("note", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-cols"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, 10.0, "keep1"), (2L, 20.0, "keep2"), (3L, 30.0, "keep3"))
+      .toDF("id", "price", "note"))
+    Seq((1L, 6.0, "hot"), (2L, 7.0, "cold"), (9L, 9.0, "new"))
+      .toDF("id", "delta", "tag").createOrReplaceTempView("colsrc")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING colsrc s ON t.id = s.id
+         |WHEN MATCHED AND s.tag = 'hot' THEN UPDATE SET price = s.delta * 2
+         |WHEN NOT MATCHED THEN INSERT (id, price) VALUES (s.id, s.delta + 0.5)""".stripMargin).collect()
+    val got = t.read().as[(Long, Double, Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, 12.0, Some("keep1")), // matched + hot: ONLY price updated
+      (2L, 20.0, Some("keep2")), // matched, tag != hot → untouched
+      (3L, 30.0, Some("keep3")), // unmatched by source → untouched
+      (9L, 9.5, None)))          // INSERT (id, price): note → NULL
+  }
+
+  test("ANSI: NOT MATCHED INSERT applies even alongside a conditional DELETE") {
+    // a delete-only MERGE + INSERT * must still insert every unmatched row
+    // (matched-clause conditions never affect unmatched rows)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-ansi"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // op D on a MATCHED row → delete; op D on an UNMATCHED row → still insert;
+    // op NULL (→ condition NULL) must behave as FALSE, not drop the update
+    Seq((1L, "x", "D"), (7L, "seven", "D"), (8L, "eight", "U"), (3L, "C!", null: String))
+      .toDF("id", "v", "op").createOrReplaceTempView("ansisrc")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING ansisrc s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = t.read().as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "b"), (3L, "C!"), (7L, "seven"), (8L, "eight")))
+  }
+
+  test("delete-only MERGE with INSERT: unmatched delete rows insert, matched delete rows die") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-delins"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seq((1L, "gone"), (5L, "five")).toDF("id", "v").createOrReplaceTempView("disrc")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING disrc s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(t.read().as[(Long, String)].collect().toSet === Set((2L, "b"), (5L, "five")))
+  }
+
   test("unsupported shapes fail analysis with a clear message") {
     val t = mk(50)
     t.read().limit(1).createOrReplaceTempView("c4")
+    // non-equi ON
     val ex = intercept[Exception](spark.sql(
-      s"""MERGE INTO graft.`${t.root}` t USING c4 s ON t.url = s.url AND t.lang = s.lang
+      s"""MERGE INTO graft.`${t.root}` t USING c4 s ON t.url < s.url
          |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
     assert(ex.getMessage.contains("graft MERGE INTO"), ex.getMessage)
+    // assigning a key column would change row identity under the join
     val ex2 = intercept[Exception](spark.sql(
       s"""MERGE INTO graft.`${t.root}` t USING c4 s ON t.url = s.url
-         |WHEN MATCHED THEN UPDATE SET text = 'x'""".stripMargin))
-    assert(ex2.getMessage.contains("graft MERGE INTO"), ex2.getMessage)
+         |WHEN MATCHED THEN UPDATE SET url = 'x'""".stripMargin))
+    assert(ex2.getMessage.contains("key column"), ex2.getMessage)
     // clause order: a DELETE after an unconditional UPDATE is unreachable —
     // Spark's parser already rejects a non-last unconditional clause, and
     // the rule keeps a defensive check behind it
