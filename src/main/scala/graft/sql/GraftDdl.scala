@@ -79,20 +79,28 @@ case class GraftDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val part =
       if (partitioning.isEmpty) Map.empty[String, String]
-      else {
-        if (partitioning.length > 1) fail("a single partition transform is supported")
-        val t = partitioning.head
-        val col = t.references.headOption
-          .map(_.fieldNames.mkString("."))
-          .getOrElse(fail(s"cannot read partition column from $t"))
-        t.name match {
-          case "days"     => Map(PartitionSpec.Property -> s"days($col)")
-          case "identity" => Map(PartitionSpec.Property -> s"identity($col)")
-          case other => fail(s"unsupported partition transform $other(...) " +
-            "(supported: days(col), identity col)")
-        }
-      }
+      else Map(PartitionSpec.Property -> partitioning.map(transformSpec).mkString(", "))
     base ++ part
+  }
+
+  /** One `PARTITIONED BY` transform → its [[PartitionSpec]] string. */
+  private def transformSpec(t: Transform): String = {
+    val col = t.references.headOption
+      .map(_.fieldNames.mkString("."))
+      .getOrElse(fail(s"cannot read partition column from $t"))
+    def intArg: Int = t.arguments.collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value match {
+        case i: Integer => i.intValue
+        case i: java.lang.Long => i.intValue
+        case other => fail(s"partition transform ${t.name}: non-integer argument $other")
+      }
+    }.getOrElse(fail(s"partition transform ${t.name} needs an integer argument"))
+    t.name match {
+      case n @ ("days" | "hours" | "months" | "years" | "identity") => s"$n($col)"
+      case n @ ("bucket" | "truncate") => s"$n($intArg, $col)"
+      case other => fail(s"unsupported partition transform $other(...) (supported: " +
+        "identity, days, hours, months, years, bucket(n, col), truncate(w, col))")
+    }
   }
 }
 

@@ -52,15 +52,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def schema: StructType = StructType.fromDDL(metadata.schemaDdl)
 
-  /** Hidden-partitioning spec, if the table declares one (see
+  /** Hidden-partitioning transforms, if the table declares any (see
     * [[PartitionSpec]]); validated against the schema. */
-  def partitionSpec: Option[PartitionSpec] =
-    metadata.properties.get(PartitionSpec.Property).map { s =>
-      val sp = PartitionSpec.parse(s)
-      require(schema.fieldNames.contains(sp.sourceColumn),
-        s"partition spec $sp references unknown column ${sp.sourceColumn}")
-      sp
-    }
+  def partitionSpecs: Seq[PartitionSpec] =
+    metadata.properties.get(PartitionSpec.Property).map(PartitionSpec.parseMulti)
+      .getOrElse(Seq.empty)
+      .map { sp => sp.validate(schema); sp }
+
+  /** First (or only) hidden-partitioning transform. */
+  def partitionSpec: Option[PartitionSpec] = partitionSpecs.headOption
 
   def currentSnapshot: Option[Snapshot] = metadata.currentSnapshot
 
@@ -92,7 +92,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def planFiles(predicate: Option[Column], snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
     val all = files(snapshotId)
     predicate match {
-      case Some(p) => PredicatePrune.prune(schema, all, p)
+      case Some(p) => PredicatePrune.prune(schema, all, p, partitionSpecs)
       case None    => all
     }
   }
@@ -110,7 +110,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val sch = schema
     val planned = planFiles(predicate, snapshotId)
     val df = applyTombstones(
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, planned),
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, planned, partitionSpecs),
       snapshotId)
     predicate match {
       case Some(p) => df.filter(p)
@@ -318,7 +318,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * range is hidden from full reads, so it must be hidden here too). */
   private def incrementalResult(added: Seq[DataFileMeta], to: Long): DataFrame =
     applyTombstones(
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, schema, root, added),
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, schema, root, added, partitionSpecs),
       Some(to))
 
   // ---- writes --------------------------------------------------------------
@@ -338,15 +338,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // select in schema order so files are column-identical across commits
     val cols = schema.fieldNames.map(df.col).toSeq
     val base = df.select(cols: _*)
-    // hidden partitioning: group rows by the transform so each file covers
-    // ONE partition value (the derived column lives only in dir names —
-    // partitionBy removes it from file contents, keeping old and new files
+    // hidden partitioning: group rows by the transforms so each file covers
+    // ONE partition tuple (the derived columns live only in dir names —
+    // partitionBy removes them from file contents, keeping old and new files
     // column-identical)
-    val spec = partitionSpec
-    val prepared = spec match {
-      case Some(sp) => base.withColumn(sp.name, sp.column)
-      case None     => base
-    }
+    val specs = partitionSpecs
+    val sch = schema
+    val prepared = specs.foldLeft(base)((df, sp) => df.withColumn(sp.name, sp.column(sch)))
     val writer = prepared.write
       // parquet drops chunk stats entirely once min+max exceed ~4 KB, which
       // silences pruning for document-sized string columns; truncating at
@@ -359,7 +357,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val withRoll =
       if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
       else writer
-    spec.fold(withRoll)(sp => withRoll.partitionBy(sp.name))
+    (if (specs.isEmpty) withRoll else withRoll.partitionBy(specs.map(_.name): _*))
       .mode("errorifexists").parquet(dir)
     val written = FileIO.listFilesRecursively(dir, ".parquet")
     StatsCollector.collect(spark, schema, root, written, commitUuid)
@@ -536,11 +534,9 @@ object GraftTable {
       schema: StructType,
       properties: Map[String, String] = Map.empty): GraftTable = {
     require(!FileIO.exists(s"$root/metadata/v1.json"), s"table already exists at $root")
-    // validate a declared hidden-partitioning spec before anything is written
+    // validate declared hidden-partitioning specs before anything is written
     properties.get(PartitionSpec.Property).foreach { s =>
-      val sp = PartitionSpec.parse(s)
-      require(schema.fieldNames.contains(sp.sourceColumn),
-        s"partition spec $sp references unknown column ${sp.sourceColumn}")
+      PartitionSpec.parseMulti(s).foreach(_.validate(schema))
     }
     val md = TableMetadata(
       formatVersion = 1,

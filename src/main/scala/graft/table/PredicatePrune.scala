@@ -23,10 +23,13 @@ import org.apache.spark.sql.types._
  */
 object PredicatePrune {
 
-  /** Files from `metas` that may contain rows matching `predicate`. */
-  def prune(schema: StructType, metas: Seq[DataFileMeta], predicate: Column): Seq[DataFileMeta] = {
+  /** Files from `metas` that may contain rows matching `predicate`.
+    * `specs` enables partition-value pruning for non-monotonic transforms
+    * (bucket) on top of the min/max bounds logic. */
+  def prune(schema: StructType, metas: Seq[DataFileMeta], predicate: Column,
+      specs: Seq[PartitionSpec] = Seq.empty): Seq[DataFileMeta] = {
     val expr = resolve(org.apache.spark.sql.SparkSession.active, schema, predicate)
-    metas.filter(m => evalFile(expr, m, schema) != Some(false))
+    metas.filter(m => evalFile(expr, m, schema, specs) != Some(false))
   }
 
   /** Resolve a user predicate for [[evalFile]]: analyze + fold, then
@@ -39,23 +42,25 @@ object PredicatePrune {
     }
 
   /** Some(true): every row matches; Some(false): no row can match; None: unknown. */
-  def evalFile(expr: Expression, meta: DataFileMeta, schema: StructType): Option[Boolean] = expr match {
+  def evalFile(expr: Expression, meta: DataFileMeta, schema: StructType,
+      specs: Seq[PartitionSpec] = Seq.empty): Option[Boolean] = expr match {
     case And(l, r) =>
-      (evalFile(l, meta, schema), evalFile(r, meta, schema)) match {
+      (evalFile(l, meta, schema, specs), evalFile(r, meta, schema, specs)) match {
         case (Some(false), _) | (_, Some(false)) => Some(false)
         case (Some(true), Some(true))            => Some(true)
         case _                                   => None
       }
     case Or(l, r) =>
-      (evalFile(l, meta, schema), evalFile(r, meta, schema)) match {
+      (evalFile(l, meta, schema, specs), evalFile(r, meta, schema, specs)) match {
         case (Some(true), _) | (_, Some(true)) => Some(true)
         case (Some(false), Some(false))        => Some(false)
         case _                                 => None
       }
-    case Not(e) => evalFile(e, meta, schema).map(!_)
+    case Not(e) => evalFile(e, meta, schema, specs).map(!_)
     case Literal(b: Boolean, BooleanType) => Some(b)
 
-    case EqualTo(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
+    case EqualTo(a, l: Literal) =>
+      val viaBounds = cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
         if (Bounds.compare(dt, v, lo) < 0 || Bounds.compare(dt, v, hi) > 0) Some(false)
         // single-valued file (e.g. a hidden-partition transform): whole file
         // matches if the column is never null
@@ -63,7 +68,14 @@ object PredicatePrune {
           allNonNull(a, meta, schema)
         else None
       }
-    case EqualTo(l: Literal, a) => evalFile(EqualTo(a, l), meta, schema)
+      // bucket-transform partition-value pruning: the transform is not
+      // monotonic, so bounds never see it — but a file written under a
+      // bucket spec holds ONE bucket value (its directory name), and
+      // `col = v` can only match files of v's bucket
+      if (viaBounds.contains(false)) viaBounds
+      else if (bucketMismatch(a, l, meta, schema, specs)) Some(false)
+      else viaBounds
+    case EqualTo(l: Literal, a) => evalFile(EqualTo(a, l), meta, schema, specs)
 
     case GreaterThan(a, l: Literal) => cmpBounds(a, l, meta, schema) { (dt, lo, hi, v) =>
         if (Bounds.compare(dt, hi, v) <= 0) Some(false)
@@ -86,18 +98,18 @@ object PredicatePrune {
         else None
       }
     // commuted literal-first comparisons
-    case GreaterThan(l: Literal, a)        => evalFile(LessThan(a, l), meta, schema)
-    case GreaterThanOrEqual(l: Literal, a) => evalFile(LessThanOrEqual(a, l), meta, schema)
-    case LessThan(l: Literal, a)           => evalFile(GreaterThan(a, l), meta, schema)
-    case LessThanOrEqual(l: Literal, a)    => evalFile(GreaterThanOrEqual(a, l), meta, schema)
+    case GreaterThan(l: Literal, a)        => evalFile(LessThan(a, l), meta, schema, specs)
+    case GreaterThanOrEqual(l: Literal, a) => evalFile(LessThanOrEqual(a, l), meta, schema, specs)
+    case LessThan(l: Literal, a)           => evalFile(GreaterThan(a, l), meta, schema, specs)
+    case LessThanOrEqual(l: Literal, a)    => evalFile(GreaterThanOrEqual(a, l), meta, schema, specs)
 
     case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
-      val results = list.map(l => evalFile(EqualTo(a, l.asInstanceOf[Literal]), meta, schema))
+      val results = list.map(l => evalFile(EqualTo(a, l.asInstanceOf[Literal]), meta, schema, specs))
       if (results.forall(_ == Some(false))) Some(false) else None
     case InSet(a, set) =>
       val results = set.toSeq.map { v =>
         attrName(a).flatMap(n => schema.fields.find(_.name == n)).map { f =>
-          evalFile(EqualTo(a, Literal.create(v, f.dataType)), meta, schema)
+          evalFile(EqualTo(a, Literal.create(v, f.dataType)), meta, schema, specs)
         }.getOrElse(None)
       }
       if (results.nonEmpty && results.forall(_ == Some(false))) Some(false) else None
@@ -110,7 +122,7 @@ object PredicatePrune {
           case _                              => None
         }
       }
-    case IsNotNull(a) => evalFile(IsNull(a), meta, schema).map(!_)
+    case IsNotNull(a) => evalFile(IsNull(a), meta, schema, specs).map(!_)
 
     case StartsWith(a, Literal(p, StringType)) if p != null =>
       forColumn(a, meta, schema) { (dt, n) =>
@@ -132,6 +144,23 @@ object PredicatePrune {
 
     case _ => None
   }
+
+  /** True iff `a` is a bucket-partitioned source column, the file records a
+    * bucket value in its path, and the literal's bucket differs — the only
+    * case where a bucket spec proves `a = l` matches no row of the file. */
+  private def bucketMismatch(a: Expression, l: Literal, meta: DataFileMeta,
+      schema: StructType, specs: Seq[PartitionSpec]): Boolean =
+    l.value != null && attrName(a).exists { n =>
+      schema.fields.find(_.name == n).exists { f =>
+        specs.exists { sp =>
+          sp.transform == "bucket" && sp.sourceColumn == n &&
+            (for {
+              want <- sp.bucketOf(l.value, l.dataType, f.dataType)
+              have <- sp.dirValue(meta.path)
+            } yield have != want.toString).getOrElse(false)
+        }
+      }
+    }
 
   /** True for the whole file only if the (transform chain's) underlying
     * column is never null in it — every supported transform is

@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
-import graft.table.{DataFileMeta, PredicatePrune}
+import graft.table.{DataFileMeta, PartitionSpec, PredicatePrune}
 
 /**
  * Catalyst-integrated scan path for graft tables: a custom [[FileIndex]]
@@ -34,7 +34,8 @@ import graft.table.{DataFileMeta, PredicatePrune}
 class GraftFileIndex(
     tableSchema: StructType,
     rootDir: String,
-    metas: Seq[DataFileMeta])
+    metas: Seq[DataFileMeta],
+    specs: Seq[PartitionSpec] = Seq.empty)
   extends FileIndex {
 
   /** files surviving the last prune — observable for plan audits/tests */
@@ -53,7 +54,7 @@ class GraftFileIndex(
           case e if e.foldable => Literal.create(e.eval(null), e.dataType)
         })
         metas.filter { m =>
-          !folded.exists(f => PredicatePrune.evalFile(f, m, tableSchema).contains(false))
+          !folded.exists(f => PredicatePrune.evalFile(f, m, tableSchema, specs).contains(false))
         }
       }
     lastListedFiles = pruned.size
@@ -81,8 +82,9 @@ object GraftRelation {
       spark: SparkSession,
       tableSchema: StructType,
       rootDir: String,
-      metas: Seq[DataFileMeta]): HadoopFsRelation =
-    relation(spark, new GraftFileIndex(tableSchema, rootDir, metas), tableSchema)
+      metas: Seq[DataFileMeta],
+      specs: Seq[PartitionSpec] = Seq.empty): HadoopFsRelation =
+    relation(spark, new GraftFileIndex(tableSchema, rootDir, metas, specs), tableSchema)
 
   def relation(
       spark: SparkSession,
@@ -101,10 +103,11 @@ object GraftRelation {
       spark: SparkSession,
       tableSchema: StructType,
       rootDir: String,
-      metas: Seq[DataFileMeta]): DataFrame = {
+      metas: Seq[DataFileMeta],
+      specs: Seq[PartitionSpec] = Seq.empty): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     org.apache.spark.sql.classic.Dataset.ofRows(
       classic,
-      LogicalRelation(relation(spark, tableSchema, rootDir, metas), isStreaming = false))
+      LogicalRelation(relation(spark, tableSchema, rootDir, metas, specs), isStreaming = false))
   }
 }

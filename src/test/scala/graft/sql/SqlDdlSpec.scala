@@ -63,8 +63,8 @@ class SqlDdlSpec extends SparkSuite {
       s"CREATE TABLE graft.`$path` (k INT) USING parquet").collect())
     assert(ex.getMessage.contains("graft format"), ex.getMessage)
     val ex2 = intercept[Exception](spark.sql(
-      s"CREATE TABLE graft.`$path` (k INT, ts TIMESTAMP) PARTITIONED BY (bucket(4, k))").collect())
-    assert(ex2.getMessage.contains("partition transform"), ex2.getMessage)
+      s"CREATE TABLE graft.`$path` (k INT, ts TIMESTAMP) PARTITIONED BY (days(k))").collect())
+    assert(ex2.getMessage.contains("timestamp/date"), ex2.getMessage)
     val _ = PartitionSpec // referenced for doc purposes
   }
 }

@@ -108,7 +108,107 @@ class HiddenPartitionSpec extends SparkSuite {
     assert(q.count() === t.read().filter(to_date(col("warc_ts")) === lit(someDay)).count())
   }
 
+  test("bucket transform: one bucket per file; equality predicates prune by dir value") {
+    val n = 8
+    val t = GraftTable.create(spark, tmpDir("graft-hp-bucket"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> s"bucket($n, url)"))
+    t.append(Synth.pages(spark, 4000, hosts = 20, partitions = 4))
+    val files = t.files()
+    assert(files.forall(_.path.contains(s"gp_bucket_${n}_url=")),
+      "files must live under bucket directories")
+    val buckets = files.flatMap(f => t.partitionSpecs.head.dirValue(f.path)).distinct
+    assert(buckets.size == n, s"4000 urls over $n buckets must hit all: $buckets")
+    // hidden: bucket column NOT in the data
+    assert(t.read().columns.toSeq === Synth.pageSchema.fieldNames.toSeq)
+    // url = v prunes to v's bucket only (bucket is non-monotonic: only the
+    // dir value can prove this)
+    val someUrl = t.read().select("url").orderBy("url").head().getString(0)
+    val pred = col("url") === lit(someUrl)
+    val planned = t.planFiles(Some(pred))
+    val expected = files.filter { f =>
+      val inBucket = t.partitionSpecs.head
+        .bucketOf(org.apache.spark.unsafe.types.UTF8String.fromString(someUrl),
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)
+        .map(_.toString) == t.partitionSpecs.head.dirValue(f.path)
+      inBucket
+    }
+    assert(planned.size <= expected.size && planned.size <= files.size / 4,
+      s"bucket equality must prune: ${planned.size}/${files.size}")
+    assertSameRows(t.read(Some(pred)), t.read().filter(pred), "bucket-pruned scan")
+    // IN lists prune too; ranges deliberately do not
+    val inPred = col("url").isin(someUrl, someUrl + "x")
+    assert(t.planFiles(Some(inPred)).size <= files.size / 2)
+    // the SQL scan path (Catalyst-pushed filters through the FileIndex)
+    val q = spark.sql(s"SELECT text FROM graft.`${t.root}` WHERE url = '$someUrl'")
+    q.collect()
+    val scanned = q.queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned <= files.size / 4,
+      s"SQL url= filter must skip non-bucket files: $scanned/${files.size}")
+  }
+
+  test("multi-transform spec: bucket + days nest; both prunings compose") {
+    val t = GraftTable.create(spark, tmpDir("graft-hp-multi"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(4, url), days(warc_ts)"))
+    t.append(Synth.pages(spark, 3000, partitions = 4))
+    val files = t.files()
+    assert(files.forall(f => f.path.contains("gp_bucket_4_url=") &&
+      f.path.contains("gp_days_warc_ts=")), "files must nest under both transforms")
+    for (f <- files)
+      assert(dayOfMicros(f.minValues("warc_ts").toLong) ===
+        dayOfMicros(f.maxValues("warc_ts").toLong), s"file ${f.path} spans days")
+    val row = t.read().select(col("url"), to_date(col("warc_ts")).as("d")).orderBy("url").head()
+    val (someUrl, someDay) = (row.getString(0), row.getDate(1))
+    val both = col("url") === lit(someUrl) && to_date(col("warc_ts")) === lit(someDay)
+    val planned = t.planFiles(Some(both))
+    assert(planned.size <= math.max(1, files.size / 8),
+      s"conjunction must prune via bucket AND day: ${planned.size}/${files.size}")
+    assertSameRows(t.read(Some(both)), t.read().filter(both), "bucket+day scan")
+    assertSameRows(t.read(), t.read(None), "full scan sanity")
+  }
+
+  test("truncate transform groups files by prefix; raw-range pruning tightens") {
+    val t = GraftTable.create(spark, tmpDir("graft-hp-trunc"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "truncate(16, url)"))
+    t.append(Synth.pages(spark, 2000, hosts = 12, partitions = 2))
+    val files = t.files()
+    assert(files.forall(_.path.contains("gp_truncate_16_url=")))
+    // each file covers one 16-char url prefix (long enough to split the
+    // shared https://host- scheme prefix) → StartsWith/range prune well
+    val someUrl = t.read().select("url").orderBy("url").head().getString(0)
+    val pred = col("url").startsWith(someUrl.take(16))
+    val planned = t.planFiles(Some(pred))
+    assert(planned.size < files.size / 2, s"prefix predicate: ${planned.size}/${files.size}")
+    assertSameRows(t.read(Some(pred)), t.read().filter(pred), "truncate-pruned scan")
+  }
+
+  test("SQL DDL accepts multi-transform PARTITIONED BY with bucket") {
+    val root = tmpDir("graft-hp-ddl")
+    spark.sql(
+      s"""CREATE TABLE graft.`$root` (url STRING, warc_ts TIMESTAMP, n BIGINT)
+         |PARTITIONED BY (bucket(16, url), days(warc_ts))""".stripMargin)
+    val t = GraftTable.load(spark, root)
+    assert(t.partitionSpecs.map(_.toString) === Seq("bucket(16, url)", "days(warc_ts)"))
+    spark.sql(s"INSERT INTO graft.`$root` VALUES ('https://a.example/1', TIMESTAMP'2025-01-02 03:04:05', 1)")
+    val f = t.files()
+    assert(f.nonEmpty && f.forall(p => p.path.contains("gp_bucket_16_url=") &&
+      p.path.contains("gp_days_warc_ts=2025-01-02")))
+  }
+
   test("invalid specs are rejected at create") {
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("graft-hp-bad3"), Synth.pageSchema,
+        Map(PartitionSpec.Property -> "bucket(0, url)")) // bucket count < 1
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("graft-hp-bad4"), Synth.pageSchema,
+        Map(PartitionSpec.Property -> "days(html)")) // not a time column
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("graft-hp-bad5"), Synth.pageSchema,
+        Map(PartitionSpec.Property -> "truncate(4, warc_ts)")) // not string/integral
+    }
     intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpDir("graft-hp-bad"), Synth.pageSchema,
         Map(PartitionSpec.Property -> "days(nope)"))
