@@ -26,6 +26,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
+      .withExtensions(new GraftExtensions) // q30/q31 run SQL MERGE end-to-end
       .config("spark.sql.shuffle.partitions", math.max(cpus, 16).toString)
       .config("spark.sql.adaptive.enabled", "true")
       // 16 MB read splits: a handful of 128 MB-combined map tasks would

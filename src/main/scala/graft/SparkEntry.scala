@@ -317,7 +317,66 @@ object SparkEntry {
         .select(col("doc_id"),
           octet_length(col("media")).cast("long").as("media_bytes"),
           (lit(64) + pmod(octet_length(col("media")), lit(1216))).cast("int").as("fake_width"),
-          (lit(64) + pmod(octet_length(col("media")) * 7, lit(656))).cast("int").as("fake_height"))))
+          (lit(64) + pmod(octet_length(col("media")) * 7, lit(656))).cast("int").as("fake_height"))),
+
+    // J3 end-to-end: composite-key SQL MERGE over a REAL graft table
+    // (create → append → MERGE with conditional DELETE + column-level UPDATE
+    // + INSERT * → read back), the reference's all-rowkey-component
+    // delete-merge (hive/HiveTableIR.java:311-315); the oracle replays the
+    // same statement relationally over the raw parquet
+    "q30_merge_composite" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val root = java.nio.file.Files.createTempDirectory("graft-q30").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, orders.schema)
+      tbl.append(orders)
+      val chg = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("op", when(pmod(col("o_orderkey"), lit(3)) === 0, "D").otherwise("U"))
+      val ins = orders.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+        .withColumn("op", lit("I"))
+      chg.unionByName(ins).createOrReplaceTempView("q30src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING q30src s
+           |ON t.o_custkey = s.o_custkey AND t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 100.0
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val out = tbl.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("o_totalprice"), 2).as("price_sum"))
+        .localCheckpoint(true) // pin: the temp table dir is deleted below
+      graft.table.FileIO.deleteRecursively(root)
+      out
+    }),
+
+    // J3: conditional column-level UPDATE + conditional INSERT (cols) VALUES
+    // — unassigned insert columns must fill NULL
+    "q31_merge_actions" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val root = java.nio.file.Files.createTempDirectory("graft-q31").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, cust.schema)
+      tbl.append(cust)
+      val upd = cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+      val ins = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      upd.unionByName(ins).createOrReplaceTempView("q31src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING q31src s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.c_acctbal < 1000.0 THEN UPDATE SET c_acctbal = s.c_acctbal * 2.0
+           |WHEN NOT MATCHED AND s.c_acctbal >= 0.0 THEN
+           |  INSERT (c_custkey, c_name, c_acctbal) VALUES (s.c_custkey, upper(s.c_name), s.c_acctbal)""".stripMargin)
+        .collect()
+      val out = tbl.read()
+        .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("key_sum"),
+          count("c_nationkey").as("n_nation"), round(sum("c_acctbal"), 2).as("bal_sum"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_recon_agg" ->
@@ -515,5 +574,42 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS media_bytes,
         |       CAST(64 + strlen(text) % 1216 AS INT) AS fake_width,
         |       CAST(64 + (strlen(text) * 7) % 656 AS INT) AS fake_height
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // relational replay of q30's MERGE statement: matched 'D' rows deleted,
+    // matched 'U' rows get price+100 (column-level SET), unmatched rows
+    // insert — on the COMPOSITE (custkey, orderkey) key
+    "q30_merge_composite" ->
+      """WITH chg AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |                    CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
+        |             FROM orders WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |               o_totalprice + 5.0 AS o_totalprice, o_orderpriority
+        |        FROM orders WHERE o_orderkey % 11 = 0),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_custkey,
+        |         CASE WHEN c.op = 'U' THEN c.o_totalprice + 100.0 ELSE b.o_totalprice END AS o_totalprice,
+        |         b.o_orderpriority
+        |  FROM orders b LEFT JOIN chg c
+        |    ON b.o_custkey = c.o_custkey AND b.o_orderkey = c.o_orderkey
+        |  WHERE c.op IS NULL OR c.op <> 'D'
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderpriority, count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(o_totalprice), 2) AS price_sum
+        |FROM merged GROUP BY 1""".stripMargin,
+    // q31: conditional column-level UPDATE + conditional INSERT (cols) —
+    // inserted rows must carry NULL for the unassigned c_nationkey
+    "q31_merge_actions" ->
+      """WITH upd AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 5 = 0),
+        |ins AS (SELECT c_custkey + 10000000 AS c_custkey, upper(c_name) AS c_name, c_acctbal
+        |        FROM customer WHERE c_custkey % 7 = 0 AND c_acctbal >= 0.0),
+        |merged AS (
+        |  SELECT b.c_custkey, b.c_name,
+        |         CASE WHEN u.c_custkey IS NOT NULL AND u.c_acctbal < 1000.0
+        |              THEN u.c_acctbal * 2.0 ELSE b.c_acctbal END AS c_acctbal,
+        |         b.c_nationkey
+        |  FROM customer b LEFT JOIN upd u ON b.c_custkey = u.c_custkey
+        |  UNION ALL SELECT c_custkey, c_name, c_acctbal, NULL FROM ins)
+        |SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       count(c_nationkey) AS n_nation, round(sum(c_acctbal), 2) AS bal_sum
+        |FROM merged""".stripMargin)
 }
