@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{CosineSimExpr, HilbertKeyExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, RangeBucketExpr, ShingleHashesExpr, SimHash64Expr, SimHashOfHashesExpr, WinnowFingerprintExpr, WinnowMinsExpr, ZOrderKey}
+import graft.functions.{BandHashesExpr, CosineSimExpr, HilbertKeyExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, RangeBucketExpr, ShingleHashesExpr, SimHash64Expr, SimHashOfHashesExpr, WinnowFingerprintExpr, WinnowMinsExpr, ZOrderKey}
 
 /**
  * SparkSessionExtensions registration for the engine's custom Catalyst
@@ -117,6 +117,10 @@ object GraftExtensions {
     ("simhash_of_hashes", classOf[SimHashOfHashesExpr].getName, {
       case Seq(hs) => SimHashOfHashesExpr(hs)
       case _ => throw new IllegalArgumentException("simhash_of_hashes(array<long>)")
+    }),
+    ("band_hashes", classOf[BandHashesExpr].getName, {
+      case Seq(sig, b) => BandHashesExpr(sig, intLit(b, "band_hashes"))
+      case _ => throw new IllegalArgumentException("band_hashes(minhash_sig, bands)")
     }),
     ("winnow_mins", classOf[WinnowMinsExpr].getName, {
       case Seq(hs) => WinnowMinsExpr(hs, 4)

@@ -329,7 +329,7 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       val root = java.nio.file.Files.createTempDirectory("graft-q30").toString + "/t"
       val tbl = graft.table.GraftTable.create(s, root, orders.schema)
-      tbl.append(orders)
+      tbl.append(orders.coalesce(8)) // few right-sized files: the merge cost, not file-count overhead
       val chg = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
         .withColumn("op", when(pmod(col("o_orderkey"), lit(3)) === 0, "D").otherwise("U"))
       val ins = orders.filter(pmod(col("o_orderkey"), lit(11)) === 0)
@@ -359,7 +359,7 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
       val root = java.nio.file.Files.createTempDirectory("graft-q31").toString + "/t"
       val tbl = graft.table.GraftTable.create(s, root, cust.schema)
-      tbl.append(cust)
+      tbl.append(cust.coalesce(8))
       val upd = cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
       val ins = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
         .withColumn("c_custkey", col("c_custkey") + 10000000L)

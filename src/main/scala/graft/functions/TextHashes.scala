@@ -326,10 +326,34 @@ object TextHash {
     if (bestVotes > 0) best else und
   }
 
+  /** LSH band hashes of a MinHash signature: out(b) = fold of
+    * `xxhash64(acc, sig_i)` (acc0 = 17) over band b's rows — bit-identical
+    * to the `aggregate(slice(sig, b*r+1, r), 17L, xxhash64)` column fold it
+    * replaces (Spark's XxHash64 chains hashLong over its children starting
+    * from seed 42), in one pass over the signature. */
+  def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    val r = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 17L
+      var i = b * r
+      val end = i + r
+      while (i < end) { acc = XXH64.hashLong(sig(i), XXH64.hashLong(acc, SEED)); i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
   // ---- column builders -----------------------------------------------------
 
   def shingleHashes(text: Column, shingleN: Int): Column =
     Shims.column(ShingleHashesExpr(Shims.expression(text), shingleN))
+
+  /** band hashes of a minhash_sig array (bands must divide its length) */
+  def bandHashes(sig: Column, bands: Int): Column =
+    Shims.column(BandHashesExpr(Shims.expression(sig), bands))
 
   def minhashSig(shingleHashes: Column, numHashes: Int): Column =
     Shims.column(MinHashSigExpr(Shims.expression(shingleHashes), numHashes))
@@ -420,6 +444,27 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
       "org.apache.spark.unsafe.types.UTF8String")
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.langId($c, $mh, $ls, $u)")
   }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `band_hashes(sig, bands)` → array<long> of per-band LSH bucket hashes —
+  * the banding step of MinHash-LSH as one codegen'd pass (the previous
+  * per-band `aggregate(slice(...))` fold evaluated interpreted, sitting in
+  * the corpus-dedup hot path). `bands` must divide the signature length. */
+case class BandHashesExpr(child: Expression, bands: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(bands >= 1, "bands must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.bandHashes(TextHash.longsSkippingNulls(input.asInstanceOf[ArrayData]), bands))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
+        s"graft.functions.TextHash.bandHashes(graft.functions.TextHash.longsSkippingNulls($c), $bands))")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -39,14 +39,16 @@ object Cluster {
     require(curve == "zorder" || curve == "hilbert", s"unknown curve $curve")
   }
 
-  /** Hard ceiling on rows the boundary/heavy-host sample may collect to the
-    * driver, independent of table size. At 100 TB the OUTPUT FILE count is
-    * ~8×10^5; sampling 400 keys per output file would collect 3×10^8 rows —
-    * a driver OOM. Instead the shuffle fans out to at most
-    * [[maxShufflePartitions]] range partitions (each sorted run split into
-    * right-sized files by maxRecordsPerFile at write), so the sample only
-    * needs 400 keys per PARTITION, further capped here. */
-  val MaxSampleRows: Long = 2000000L
+  /** Hard ceiling on the boundary/heavy-host sample size, independent of
+    * table size. The sample is never collected — boundaries come from a
+    * distributed `percentile_approx` sketch and heavy hosts from a
+    * sample-side aggregate, so the driver holds O(nPart + heavy hosts),
+    * not O(sample) — which is why this cap can sit at 8M (the old
+    * driver-collected Row[] capped at 2M ≈ 200 MB of driver arrays; the cap
+    * now only bounds executor cache, and the 4× larger sample makes
+    * heavy-host detection proportionally less noisy at 10^12 rows: a
+    * threshold-sized host expects ~16 sample hits instead of ~4). */
+  val MaxSampleRows: Long = 8000000L
 
   /** Range-partition count for a rewrite: scales with the cluster (4 waves
     * of the session's shuffle parallelism), not with table size. */
@@ -166,24 +168,32 @@ object Cluster {
       // distinct host — unbounded at web scale; the sample estimate is
       // rows ≈ sampleCount / fraction and only needs the heavy tail)
       val fraction = sampleFraction(nPart, rowsTotal)
-      // NOTE: no `.limit()` before collect — CollectLimit executes the scan
-      // in sequential incremental partition batches (1, 4, 16, …), which
-      // serializes the sample pass and was measured to halve 8-core cluster
-      // throughput; the fraction alone bounds the expected sample size and
-      // binomial concentration makes >1.01× overshoot vanishingly unlikely
+      // NOTE: no `.limit()` before the aggregates — CollectLimit executes
+      // the scan in sequential incremental partition batches (1, 4, 16, …),
+      // which serializes the sample pass and was measured to halve 8-core
+      // cluster throughput; the fraction alone bounds the expected sample
+      // size. The sample itself STAYS DISTRIBUTED (persisted sample-sized):
+      // boundaries come from a percentile_approx quantile sketch and heavy
+      // hosts from a groupBy over the sample, so the driver receives
+      // O(nPart + heavy hosts) values — the previous collect() held up to
+      // 2M Row[] (~200 MB of z+host arrays) on the driver.
       val sampled = df
         .select(zkeyCol(dims, bounds).as("z"), hostCol(col("url")).as("host"))
         .sample(withReplacement = false, fraction, seed = 42)
-        .collect()
-      val heavyHosts: Seq[String] = sampled.groupBy(_.getString(1))
-        .collect { case (h, rows) if rows.length / fraction > saltThresholdRows => h }
-        .toSeq.sorted
-      val zSample = sampled.map(_.getLong(0)).sorted
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val heavyHosts: Seq[String] = sampled.groupBy("host").count()
+        .filter(col("count").cast("double") / lit(fraction) > saltThresholdRows)
+        .select("host").collect().map(_.getString(0)).toSeq.sorted
       val bds: Array[Long] =
-        if (nPart <= 1 || zSample.isEmpty) Array.empty
-        else (1 until nPart)
-          .map(i => zSample(math.min(zSample.length - 1, i * zSample.length / nPart)))
-          .distinct.toArray
+        if (nPart <= 1) Array.empty
+        else {
+          val qs = (1 until nPart).map(_.toDouble / nPart)
+          val row = sampled.agg(
+            percentile_approx(col("z"), typedLit(qs), lit(10000)).as("q")).head()
+          if (row.isNullAt(0)) Array.empty
+          else row.getSeq[Long](0).distinct.sorted.toArray
+        }
+      sampled.unpersist()
 
       // salt-perturbed key: XOR flips only the low bits (noise bits of the
       // ts dimension), so heavy-host ties get up to nSalts distinct keys

@@ -63,7 +63,6 @@ object Dedup {
     // recall while cutting candidate duplication (and band-join shuffle
     // volume) by the band count
     val effBands = if (threshold >= 1.0) 1 else bands
-    val r = numHashes / effBands
     // Shingle hashing + signatures happen ONCE, persisted one-row-per-doc.
     // The banded self-join then carries only (id, band-key) — exploding the
     // per-doc shingle arrays ×bands through the join exchange would amplify
@@ -73,12 +72,13 @@ object Dedup {
         shingleHashes(col(textCol), shingleN).as("_sh"))
       .withColumn("_sig", minhashSigFromHashes(col("_sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band hashes via the codegen'd kernel (the aggregate(slice(...)) fold
+    // this replaces evaluated interpreted — the repo's own higher-order-
+    // function trap, see CLAUDE.md — and is asserted bit-identical to it in
+    // TextVectorKernelsSpec)
     val banded = base.select(col("id"),
-      explode(array((0 until effBands).map { b =>
-        struct(lit(b).as("band"),
-          aggregate(slice(col("_sig"), b * r + 1, r), lit(17L),
-            (acc, x) => xxhash64(acc, x)).as("bh"))
-      }: _*)).as("bk"))
+        posexplode(graft.functions.TextHash.bandHashes(col("_sig"), effBands)).as(Seq("band", "bh")))
+      .select(col("id"), struct(col("band"), col("bh")).as("bk"))
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

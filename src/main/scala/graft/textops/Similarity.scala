@@ -102,4 +102,40 @@ object Similarity {
         (best, cand) => when(cand.getField("negdot") < best.getField("negdot"), cand).otherwise(best))
         .getField("cid"))
   }
+
+  /**
+   * IVF probe search, the query path over [[ivfAssign]]'s cells: rank the
+   * centroids against `query` driver-side (the centroid table is tiny by
+   * construction), keep the `nProbe` nearest cells, scan ONLY rows assigned
+   * to those cells, exact-cosine within them, top-k.
+   *
+   * At 100 TB the `_cell` column is what you bucket/partition the corpus by
+   * (e.g. `bucket(cells, _cell)` hidden partitioning after materializing
+   * the assignment), so the `isin` filter becomes file pruning and the scan
+   * cost is nProbe/cells of the corpus instead of all of it — the classic
+   * IVF trade of recall for a constant-fraction scan.
+   */
+  def ivfSearch(
+      assigned: DataFrame,
+      embCol: String,
+      idCol: String,
+      centroids: Seq[Seq[Double]],
+      query: Seq[Double],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    require(assigned.columns.contains("_cell"), "ivfSearch needs ivfAssign's _cell column")
+    require(nProbe >= 1 && nProbe <= centroids.size)
+    def dotS(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val qn = math.sqrt(dotS(query, query))
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) =>
+        (-dotS(c, query) / math.max(math.sqrt(dotS(c, c)) * qn, 1e-12), i) }
+      .take(nProbe).map(_._2)
+    assigned.filter(col("_cell").isin(probes: _*))
+      .select(col(idCol),
+        cosine(col(embCol).cast("array<double>"), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

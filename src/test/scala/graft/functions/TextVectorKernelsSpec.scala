@@ -36,6 +36,24 @@ class TextVectorKernelsSpec extends SparkSuite {
     wholeStageProject(vdf.select(VectorOps.cosine(col("v"), col("v")).as("c")))
   }
 
+  test("band hashes: codegen'd kernel is bit-identical to the aggregate(slice) fold") {
+    val bands = 4; val numHashes = 32
+    val df = spark.range(64)
+      .select(concat(lit("some web page text body number "), col("id")).as("text"))
+      .select(TextHash.minhashSig(TextHash.shingleHashes(col("text"), 3), numHashes).as("sig"))
+    val r = numHashes / bands
+    val viaFold = df.select(array((0 until bands).map { b =>
+      aggregate(slice(col("sig"), b * r + 1, r), lit(17L), (acc, x) => xxhash64(acc, x))
+    }: _*).as("bh")).collect().map(_.getSeq[Long](0))
+    val viaKernel = df.select(TextHash.bandHashes(col("sig"), bands).as("bh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaFold.toSeq.map(_.toVector) === viaKernel.toSeq.map(_.toVector))
+    // and it stays inside whole-stage codegen (the fold could not)
+    wholeStageProject(spark.range(4)
+      .select(array(col("id"), col("id") * 3, col("id") + 7, col("id") - 1).as("sig"))
+      .select(TextHash.bandHashes(col("sig"), 2).as("bh")))
+  }
+
   test("winnowing kernels stay inside whole-stage codegen") {
     val df = spark.range(4)
       .select(concat(lit("the quick brown fox jumps over dog "), col("id")).as("text"))

@@ -134,6 +134,24 @@ class ClusterSpec extends SparkSuite {
     assertSameRows(t.read(), pre, "rolled-file cluster scan")
   }
 
+  test("sketch-derived range boundaries keep partitions equi-depth") {
+    // boundaries now come from a distributed percentile_approx sketch, not
+    // a driver-collected sort — the balance of the resulting range
+    // partitions is the quality that matters (a skewed split starves or
+    // overloads shuffle partitions at scale)
+    val root = tmpDir("graft-balance")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 30000, hosts = 200, partitions = 8))
+    val totalBytes = t.files().map(_.bytes).sum
+    Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = totalBytes / 24)
+    val rows = t.files().map(_.rows)
+    assert(rows.size >= 12, s"expected many output files, got ${rows.size}")
+    val mean = rows.sum.toDouble / rows.size
+    // equi-depth: no file more than 3x the mean (sketch accuracy 10000 on a
+    // 400-per-partition sample is far tighter; 3x guards regressions only)
+    assert(rows.max <= mean * 3, s"unbalanced boundaries: max=${rows.max} mean=$mean")
+  }
+
   test("salting splits a pathologically hot host across partitions") {
     import spark.implicits._
     // one host dominating: without salt all its rows share a zkey prefix

@@ -110,6 +110,35 @@ class TextOpsSpec extends SparkSuite {
     assert(pairs.contains((5L, 1000L)))
   }
 
+  test("ivf probe search: recall vs brute force on planted clusters") {
+    // 4 well-separated clusters around orthogonal-ish centroids
+    val dim = 8
+    val centroids = (0 until 4).map(c => Seq.tabulate(dim)(d => if (d % 4 == c) 1.0 else 0.05))
+    val pts = for (c <- 0 until 4; i <- 0 until 50) yield {
+      val jitter = Seq.tabulate(dim)(d => math.sin(c * 131 + i * 17 + d) * 0.05)
+      ((c * 50 + i).toLong, centroids(c).lazyZip(jitter).map(_ + _).map(_.toFloat).toArray)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(df, "embedding", centroids)
+    // every point lands in its own cluster's cell (separation ≫ jitter)
+    assert(assigned.filter(col("_cell") =!= (col("vec_id") / 50).cast("int")).count() === 0)
+    val query = centroids(2).map(_ + 0.01)
+    val exact = Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      query.map(_.toFloat), 10).select("vec_id").as[Long].collect().toSet
+    val viaIvf = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+      centroids, query, k = 10, nProbe = 1).select("vec_id").as[Long].collect().toSet
+    // query sits inside cluster 2: probing its single cell recovers the
+    // exact top-k entirely
+    assert(viaIvf === exact, s"ivf=$viaIvf exact=$exact")
+    // nProbe = all cells degenerates to brute force on any query
+    val hard = Seq.tabulate(dim)(d => math.cos(d * 3) * 0.7)
+    val allProbe = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+      centroids, hard, k = 10, nProbe = 4).select("vec_id").as[Long].collect().toSet
+    val hardExact = Similarity.bruteForceTopK(df, "embedding", "vec_id",
+      hard.map(_.toFloat), 10).select("vec_id").as[Long].collect().toSet
+    assert(allProbe === hardExact)
+  }
+
   test("connected components + near-dup removal") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, unpaired 20
