@@ -51,14 +51,17 @@ object Bench {
     def sec: Double = tCompact + tCluster
   }
 
-  /** Single-thread fixed-work CPU reference (~0.15 s on an unloaded core;
-    * min of 3 runs): measures the host "weather" (CPU steal / neighbor
-    * load) bracketing a pass, so pairs whose windows were steal-afflicted
-    * can be IDENTIFIED rather than guessed at. A longer micro time means
-    * less CPU actually reached this process during the pass. */
-  private def microRef(): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
+  private val microSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** 8-thread fixed-work CPU reference (~0.1 s wall on an idle box; min of
+    * 3 runs): measures the host "weather" bracketing a pass. An earlier
+    * SINGLE-thread probe stayed flat through windows where pass times
+    * varied 2× — neighbor steal on this box shows up as FEWER CORES
+    * AVAILABLE (one thread still gets a whole core), so the probe must
+    * demand the same parallelism the measured passes do. Under a storm the
+    * 8 threads contend with the neighbors and the wall time stretches. */
+  private def microRef(threads: Int = 8): Double = {
+    def work(): Unit = {
       var x = 0x9E3779B97F4A7C15L
       var i = 0
       while (i < 40000000) {
@@ -66,7 +69,13 @@ object Bench {
         x ^= x >>> 33
         i += 1
       }
-      if (x == 42L) System.err.print("") // defeat dead-code elimination
+      microSink.addAndGet(x) // defeat dead-code elimination
+    }
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map(_ => new Thread(() => work()))
+      ts.foreach(_.start())
+      ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
     Seq(once(), once(), once()).min
@@ -214,6 +223,9 @@ object Bench {
         f""""scaling_efficiency_cluster":$effCluster%.3f,"scaling_efficiency_cluster_median":$effClusterMedian%.3f,""" +
         f""""scaling_efficiency_cluster_pairs":${arr(effsCluster)},"scaling_efficiency_compact":$effCompact%.3f,""" +
         f""""scaling_efficiency_minbased":$effMin%.3f,""" +
+        s""""passes":${passes.map { case (c, p) =>
+          f"""{"cpus":$c,"sec":${p.sec}%.2f,"cluster_sec":${p.tCluster}%.2f,"micro":${p.micro}%.3f}"""
+        }.mkString("[", ",", "]")},""" +
         f""""clean_pairs":${cleanAdjacent.size},"scaling_efficiency_pairs_clean":${arr(effsClean)},""" +
         f""""scaling_efficiency_median_clean":${median1(effsClean)}%.3f,""" +
         f""""scaling_efficiency_cluster_median_clean":${median1(effsCleanCluster)}%.3f,""" +

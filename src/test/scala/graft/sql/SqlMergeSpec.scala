@@ -211,6 +211,30 @@ class SqlMergeSpec extends SparkSuite {
     assert(t.read().as[(Long, String)].collect().toSet === Set((2L, "b"), (5L, "five")))
   }
 
+  test("delete-only MERGE touches only files whose bounds cover source keys") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-prune"), schema)
+    import spark.implicits._
+    // four appends → four files with disjoint id ranges
+    for (base <- Seq(0L, 1000L, 2000L, 3000L))
+      t.append((base until base + 100L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    assert(t.files().size === 4)
+    Seq((2010L, "x"), (2020L, "x")).toDF("id", "v").createOrReplaceTempView("prunesrc")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING prunesrc s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+    val snap = t.currentSnapshot.get
+    // the commit summary records how many files the merge read+rewrote: the
+    // matched-flag computation AND the merge join must both stay inside the
+    // one file whose [2000,2099] bounds cover the keys — no corpus scan
+    assert(snap.summary("touched-files") === "1", snap.summary.toString)
+    assert(snap.summary("removed-files") === "1", snap.summary.toString)
+    assert(t.read().count() === 398)
+  }
+
   test("unsupported shapes fail analysis with a clear message") {
     val t = mk(50)
     t.read().limit(1).createOrReplaceTempView("c4")

@@ -183,6 +183,22 @@ class HiddenPartitionSpec extends SparkSuite {
     assertSameRows(t.read(Some(pred)), t.read().filter(pred), "truncate-pruned scan")
   }
 
+  test("months transform groups files; trunc predicates prune via bounds mapping") {
+    val t = GraftTable.create(spark, tmpDir("graft-hp-months"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "months(warc_ts)"))
+    t.append(Synth.pages(spark, 2000, partitions = 2))
+    val files = t.files()
+    assert(files.forall(_.path.contains("gp_months_warc_ts=")))
+    val months = files.map(f => f.minValues("warc_ts").toLong / (86400L * 1000000L) / 28).distinct
+    assert(months.size >= 1) // corpus spans ~30 days → 1-2 month dirs
+    val someMonth = t.read()
+      .select(trunc(to_date(col("warc_ts")), "month").as("m")).orderBy("m").head().getDate(0)
+    val pred = trunc(to_date(col("warc_ts")), "month") === lit(someMonth)
+    assertSameRows(t.read(Some(pred)), t.read().filter(pred), "month-transform scan")
+    if (files.size > 1 && months.size > 1)
+      assert(t.planFiles(Some(pred)).size < files.size)
+  }
+
   test("SQL DDL accepts multi-transform PARTITIONED BY with bucket") {
     val root = tmpDir("graft-hp-ddl")
     spark.sql(
