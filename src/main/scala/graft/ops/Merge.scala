@@ -147,8 +147,19 @@ object Merge {
       versionCol: String = "warc_ts",
       targetFileBytes: Long = 128L * 1024 * 1024,
       runId: String = java.util.UUID.randomUUID.toString,
-      latestWins: Boolean = true): Snapshot = {
+      latestWins: Boolean = true,
+      notMatchedBySourceDelete: Option[Column] = None,
+      notMatchedBySourceSet: Option[(Column, Map[String, Column])] = None): Snapshot = {
     require(keyCols.nonEmpty, "at least one key column")
+    // NOT MATCHED BY SOURCE clauses act on TARGET rows without a source
+    // match (ANSI); their condition/assignments evaluate on target columns.
+    // They are ANSI-mode only — under latest-wins CDC semantics "absent
+    // from this change batch" carries no meaning.
+    val nmbs = notMatchedBySourceDelete.nonEmpty || notMatchedBySourceSet.nonEmpty
+    require(!nmbs || !latestWins,
+      "NOT MATCHED BY SOURCE requires ANSI semantics (latestWins = false)")
+    require(notMatchedBySourceDelete.isEmpty || notMatchedBySourceSet.isEmpty,
+      "at most one NOT MATCHED BY SOURCE action")
     val spark = table.spark
     val t0 = System.nanoTime()
     val log = Maintenance.start(table, runId, "merge")
@@ -198,15 +209,43 @@ object Merge {
         src0
       }
 
+    val nmbsSetCols: Set[String] = notMatchedBySourceSet.map(_._2.keySet).getOrElse(Set.empty)
+    nmbsSetCols.foreach(c => require(cols.contains(c), s"NOT MATCHED BY SOURCE assigns unknown column $c"))
+    nmbsSetCols.intersect(keyCols.toSet).headOption.foreach(c =>
+      throw new IllegalArgumentException(s"NOT MATCHED BY SOURCE must not assign key column $c"))
+
     val leadDt = schema.fields.find(_.name == keyCols.head).get.dataType
-    val touched = touchedFiles(table, src.select(keyC: _*), keyCols)
+    val keyTouched = touchedFiles(table, src.select(keyC: _*), keyCols)
+    // NOT MATCHED BY SOURCE widens the rewrite to every file that may hold
+    // a row its condition matches (the whole table when unconditional —
+    // inherent to the semantics); the condition prunes via file stats
+    val touched =
+      if (!nmbs) keyTouched
+      else {
+        val cond = notMatchedBySourceDelete.orElse(notMatchedBySourceSet.map(_._1)).get
+        (keyTouched ++ table.planFiles(Some(cond))).groupBy(_.path).map(_._2.head).toSeq
+      }
     val base =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
 
+    // NOT MATCHED BY SOURCE condition/assignments precompute on the TARGET
+    // side BEFORE the join (only target columns are in scope — no
+    // ambiguity with same-named source columns is possible)
+    val baseAug = {
+      var b = base
+      for (c <- notMatchedBySourceDelete)
+        b = b.withColumn("_nmbs_del", coalesce(c.cast("boolean"), lit(false)))
+      for ((c, set) <- notMatchedBySourceSet) {
+        b = b.withColumn("_nmbs_upd", coalesce(c.cast("boolean"), lit(false)))
+        for ((name, v) <- set) b = b.withColumn(s"_tset_$name", v)
+      }
+      b
+    }
+
     // explicit presence markers: with composite keys (or nullable key
     // columns) "which side is absent" must not be inferred from key nullness
-    val t = base.withColumn("_t_present", lit(true)).alias("t")
+    val t = baseAug.withColumn("_t_present", lit(true)).alias("t")
     val s = src.withColumn("_s_present", lit(true)).alias("s")
     val joinCond = keyCols.map(k => t(k) === s(k)).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
@@ -216,22 +255,35 @@ object Merge {
     val applies =
       if (latestWins) sP && tP && s(versionCol) >= t(versionCol)
       else sP && tP
-    val keep = when(!sP, lit(true)) // unmatched target row: kept
+    // unmatched target rows: kept, unless a NOT MATCHED BY SOURCE DELETE fires
+    val keepUnmatchedTarget =
+      notMatchedBySourceDelete.map(_ => !t("_nmbs_del")).getOrElse(lit(true))
+    val keep = when(!sP, keepUnmatchedTarget)
       .when(applies && del, lit(false)) // newest change is a delete
       .when(!tP && del, lit(false)) // delete for an absent key: no-op
       .otherwise(lit(true))
+    // a source may legitimately omit schema columns it never writes (e.g. a
+    // column-level UPDATE with no INSERT clause): full-row images read
+    // missing source columns as typed NULLs — the branches referencing them
+    // are unreachable for such sources, but Catalyst resolves them anyway
+    val srcCols = src.columns.toSet
+    def sOr(c: String, dt: org.apache.spark.sql.types.DataType): Column =
+      if (srcCols.contains(c)) s(c) else lit(null).cast(dt)
     val merged = joined
       .filter(keep)
       .select(schema.fields.toSeq.map { f =>
         val c = f.name
-        val updImage = if (setCols.isEmpty) s(c)
+        val updImage = if (setCols.isEmpty) sOr(c, f.dataType)
           else if (setCols.contains(c)) s(s"_set_$c").cast(f.dataType) else t(c)
-        val insImage = if (insCols.isEmpty) s(c)
+        val insImage = if (insCols.isEmpty) sOr(c, f.dataType)
           else if (insCols.contains(c)) s(s"_ins_$c").cast(f.dataType)
           else if (keyCols.contains(c)) s(c) // key columns always carry over
           else lit(null).cast(f.dataType)
-        when(applies && !del, updImage)
+        val withMain = when(applies && !del, updImage)
           .when(!tP && sP, insImage) // insert (del rows were filtered above)
+        (if (nmbsSetCols.contains(c))
+          withMain.when(!sP && t("_nmbs_upd"), t(s"_tset_$c").cast(f.dataType))
+        else withMain)
           .otherwise(t(c)).as(c)
       }: _*)
 

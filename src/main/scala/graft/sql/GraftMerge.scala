@@ -50,6 +50,11 @@ import graft.table.GraftTable
  *     optionally conditional — applied to EVERY unmatched source row
  *     regardless of matched-clause conditions (ANSI), which is why the
  *     command computes an explicit per-row matched flag below
+ *   - at most ONE `WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET c =
+ *     expr` clause, optionally conditional; condition and values reference
+ *     TARGET columns only (they evaluate on target rows with no source
+ *     match). Unconditional forms rewrite the whole table — inherent to
+ *     the semantics; conditional forms prune files by the condition.
  *   - all clause conditions and assignment values may reference SOURCE
  *     columns only (they are evaluated on the change rows; a target-side
  *     reference would silently rebind to the same-named source column)
@@ -83,8 +88,6 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def convert(m: MergeIntoTable, path: String): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
     val keyCols = keyColsOf(m.mergeCondition)
     if (keyCols.distinct.size != keyCols.size)
       fail(s"duplicate key column in ON clause: ${keyCols.mkString(", ")}")
@@ -147,7 +150,49 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (!deleteFirst && update.get._1.isEmpty)
         fail("DELETE after an unconditional UPDATE is unreachable (first matching clause wins)")
     }
-    if (update.isEmpty && delete.isEmpty && m.notMatchedActions.isEmpty)
+    // NOT MATCHED BY SOURCE: acts on target rows absent from the source;
+    // conditions/assignments evaluate on TARGET columns (before the join)
+    val sourceAlias = m.sourceTable match {
+      case SubqueryAlias(ident, _) => Some(ident.name)
+      case _ => None
+    }
+    def targetOnly(e: Expression, what: String): ExprHolder = {
+      for (a <- e.collect { case a: UnresolvedAttribute => a })
+        if (a.nameParts.length > 1 && sourceAlias.contains(a.nameParts.head))
+          fail(s"$what may reference TARGET columns only, got source-side ${a.name} " +
+            "(it is evaluated on target rows that have NO source match)")
+      ExprHolder(e.transformUp {
+        case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+      })
+    }
+    var nmbsDelete = false
+    var nmbsDeleteCond: Option[ExprHolder] = None
+    var nmbsUpdate = Seq.empty[(String, ExprHolder)]
+    var nmbsUpdateCond: Option[ExprHolder] = None
+    var hasNmbsUpdate = false
+    m.notMatchedBySourceActions.foreach { a =>
+      if (nmbsDelete || hasNmbsUpdate) fail("at most one NOT MATCHED BY SOURCE action")
+      a match {
+        case DeleteAction(c) =>
+          nmbsDelete = true
+          nmbsDeleteCond = c.map(targetOnly(_, "NOT MATCHED BY SOURCE DELETE condition"))
+        case UpdateAction(c, asg, _) =>
+          hasNmbsUpdate = true
+          nmbsUpdateCond = c.map(targetOnly(_, "NOT MATCHED BY SOURCE UPDATE condition"))
+          nmbsUpdate = asg.map { x =>
+            val name = x.key match {
+              case u: UnresolvedAttribute => u.nameParts.last
+              case other => fail(s"NOT MATCHED BY SOURCE UPDATE must assign plain columns, got $other")
+            }
+            if (keyCols.contains(name)) fail(s"UPDATE must not assign key column $name")
+            name -> targetOnly(x.value, s"NOT MATCHED BY SOURCE UPDATE value for $name")
+          }
+          if (nmbsUpdate.isEmpty) fail("NOT MATCHED BY SOURCE UPDATE needs explicit assignments")
+        case other => fail(s"unsupported NOT MATCHED BY SOURCE action $other")
+      }
+    }
+    if (update.isEmpty && delete.isEmpty && m.notMatchedActions.isEmpty &&
+        !nmbsDelete && !hasNmbsUpdate)
       fail("no supported action")
 
     val (insert, insertCond, insertValues) = m.notMatchedActions match {
@@ -170,7 +215,12 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
       deleteFirst = deleteFirst,
       insertUnmatched = insert,
       insertCond = insertCond,
-      insertValues = insertValues)
+      insertValues = insertValues,
+      nmbsDelete = nmbsDelete,
+      nmbsDeleteCond = nmbsDeleteCond,
+      hasNmbsUpdate = hasNmbsUpdate,
+      nmbsUpdateCond = nmbsUpdateCond,
+      nmbsUpdate = nmbsUpdate)
   }
 }
 
@@ -202,7 +252,12 @@ case class GraftMergeCommand(
     deleteFirst: Boolean,
     insertUnmatched: Boolean,
     insertCond: Option[ExprHolder],
-    insertValues: Seq[(String, ExprHolder)]) extends LeafRunnableCommand {
+    insertValues: Seq[(String, ExprHolder)],
+    nmbsDelete: Boolean = false,
+    nmbsDeleteCond: Option[ExprHolder] = None,
+    hasNmbsUpdate: Boolean = false,
+    nmbsUpdateCond: Option[ExprHolder] = None,
+    nmbsUpdate: Seq[(String, ExprHolder)] = Seq.empty) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(source)
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
@@ -250,7 +305,16 @@ case class GraftMergeCommand(
       .withColumn("_deleted", col("_matched") && delFlag)
       .drop("_matched")
 
-    val snap = Merge.into(table, src, keyCols, latestWins = false)
+    val nmbsDel: Option[Column] =
+      if (!nmbsDelete) None
+      else Some(nmbsDeleteCond.map(h => Shims.column(h.e)).getOrElse(lit(true)))
+    val nmbsSet: Option[(Column, Map[String, Column])] =
+      if (!hasNmbsUpdate) None
+      else Some((
+        nmbsUpdateCond.map(h => Shims.column(h.e)).getOrElse(lit(true)),
+        nmbsUpdate.map { case (c, h) => c -> Shims.column(h.e) }.toMap))
+    val snap = Merge.into(table, src, keyCols, latestWins = false,
+      notMatchedBySourceDelete = nmbsDel, notMatchedBySourceSet = nmbsSet)
     Seq(Row(snap.id))
   }
 }

@@ -211,6 +211,43 @@ class SqlMergeSpec extends SparkSuite {
     assert(t.read().as[(Long, String)].collect().toSet === Set((2L, "b"), (5L, "five")))
   }
 
+  test("NOT MATCHED BY SOURCE: delete and update variants") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType),
+      StructField("stale", LongType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-nmbs"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L), (4L, "d", 1L))
+      .toDF("id", "v", "stale"))
+    Seq((1L, "A!"), (9L, "nine")).toDF("id", "v").createOrReplaceTempView("nmbssrc")
+    // full sync: upsert the source, delete target rows the source no longer
+    // carries — but only those marked stale
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING nmbssrc s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND t.stale = 1 THEN DELETE""".stripMargin).collect()
+    assert(t.read().select("id", "v").as[(Long, String)].collect().toSet ===
+      Set((1L, "A!"), (2L, "b"), (9L, "nine")))
+
+    // UPDATE variant: flag rows the source no longer carries
+    Seq((2L, "B2")).toDF("id", "v").createOrReplaceTempView("nmbssrc2")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING nmbssrc2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET stale = 9""".stripMargin).collect()
+    assert(t.read().as[(Long, String, Option[Long])].collect().toSet ===
+      Set((1L, "A!", Some(9L)), (2L, "B2", Some(0L)), (9L, "nine", Some(9L))))
+
+    // target-only reference rule: a source-side column in the condition fails
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING nmbssrc2 s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND s.v = 'x' THEN DELETE""".stripMargin))
+    assert(ex.getMessage.contains("TARGET columns only"), ex.getMessage)
+  }
+
   test("delete-only MERGE touches only files whose bounds cover source keys") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
