@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.`/path` — injected AFTER the merge/DML rules so their targets
     // are converted before this rule would resolve them as plain relations
     ext.injectHintResolutionRule(session => graft.sql.GraftRelationRule(session))
+    // OPTIMIZE / VACUUM have no Spark grammar production — parser wrap
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

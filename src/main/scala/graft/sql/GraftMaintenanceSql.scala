@@ -1,0 +1,98 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+import graft.ops.{Cluster, Compact, Expire}
+import graft.table.GraftTable
+
+/**
+ * SQL maintenance statements — the last operations a graft user would
+ * otherwise need the programmatic API for (the reference drives its whole
+ * lifecycle through generated SQL scripts, `hive/HiveTableIR.java`; an
+ * Iceberg/Delta user expects the same of a lakehouse):
+ *
+ * {{{
+ *   OPTIMIZE graft.`/path`                      -- bin-packing compaction
+ *   OPTIMIZE graft.`/path` ZORDER               -- full Z-order rewrite
+ *   OPTIMIZE graft.`/path` ZORDER HILBERT       -- Hilbert-curve variant
+ *   VACUUM graft.`/path`                        -- snapshot expiry + GC
+ *   VACUUM graft.`/path` RETAIN 20 SNAPSHOTS
+ * }}}
+ *
+ * Spark's grammar has no OPTIMIZE/VACUUM productions, so these cannot ride
+ * the resolution-rule route the other statements use — the session parser
+ * is wrapped ([[GraftSqlParser]] via `injectParser`), intercepting exactly
+ * these two shapes and delegating EVERYTHING else (including errors)
+ * verbatim to Spark's parser.
+ */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s*(?:(ZORDER)(?:\s+(HILBERT))?)?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(path, zorder, hilbert) =>
+      GraftOptimizeCommand(path, zorder != null, hilbert != null)
+    case VacuumRe(path, retain) =>
+      GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(10))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+/** `OPTIMIZE graft.`path`` → compaction; `… ZORDER [HILBERT]` → full
+  * clustering rewrite. Returns (operation, snapshot_id); snapshot_id -1
+  * when the pass was a no-op (nothing to compact / empty table). */
+case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType)(),
+    AttributeReference("snapshot_id", LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    if (zorder) {
+      val curve = if (hilbert) "hilbert" else "zorder"
+      val snap = Cluster.zorderRewrite(t, Cluster.ZDims(curve = curve))
+      Seq(Row(s"cluster-$curve", snap.map(_.id).getOrElse(-1L)))
+    } else {
+      val snap = Compact.run(t)
+      Seq(Row("compact", snap.map(_.id).getOrElse(-1L)))
+    }
+  }
+}
+
+/** `VACUUM graft.`path` [RETAIN n SNAPSHOTS]` → snapshot expiry with
+  * retained-snapshot GC (default: last 10). Returns counts. */
+case class GraftVacuumCommand(path: String, retain: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("removed_snapshots", LongType)(),
+    AttributeReference("deleted_data_files", LongType)(),
+    AttributeReference("deleted_manifests", LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val r = Expire.expire(t, retainLast = retain)
+    Seq(Row(r.removedSnapshots.size.toLong, r.deletedDataFiles.size.toLong,
+      r.deletedManifests.size.toLong))
+  }
+}
