@@ -55,16 +55,29 @@ object Compact {
         }
       case _ => small.sortBy(_.path)
     })
+    // hidden partitioning: bin-pack WITHIN a partition tuple — a group
+    // spanning partition values would be re-split by partitionBy at write,
+    // defeating the packing (one group → one file only holds per dir).
+    // Pre-spec files (no partition dirs) pack together; their rewrite
+    // adopts the dir layout.
+    val specs = table.partitionSpecs
+    def partKey(f: DataFileMeta): String =
+      specs.flatMap(sp => sp.dirValue(f.path).map(v => s"${sp.name}=$v")).mkString("/")
+    val byPart: Seq[Seq[DataFileMeta]] =
+      if (specs.isEmpty) Seq(ordered)
+      else ordered.groupBy(partKey).toSeq.sortBy(_._1).map(_._2)
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[DataFileMeta]]
-    var cur = Vector.empty[DataFileMeta]
-    var curBytes = 0L
-    for (f <- ordered) {
-      if (curBytes > 0 && curBytes + f.bytes > targetBytes) {
-        groups += cur; cur = Vector.empty; curBytes = 0L
+    for (part <- byPart) {
+      var cur = Vector.empty[DataFileMeta]
+      var curBytes = 0L
+      for (f <- part) {
+        if (curBytes > 0 && curBytes + f.bytes > targetBytes) {
+          groups += cur; cur = Vector.empty; curBytes = 0L
+        }
+        cur :+= f; curBytes += f.bytes
       }
-      cur :+= f; curBytes += f.bytes
+      if (cur.nonEmpty) groups += cur
     }
-    if (cur.nonEmpty) groups += cur
     val useful = groups.filter(_.size >= 2).toSeq
     if (useful.isEmpty) None else Some(Plan(snap.id, useful))
   }

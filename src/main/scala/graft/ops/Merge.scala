@@ -54,7 +54,9 @@ object Merge {
   /** Canonical bound-string encoding of a key column, matching
     * [[graft.table.Bounds]] (timestamps → epoch micros, dates → epoch days,
     * numerics/strings verbatim) so interval comparisons against file stats
-    * are in the same space. */
+    * are in the same space. TIMESTAMP_NTZ keys assume a UTC session
+    * timezone (all engine entry points set one) — the NTZ→TZ cast reads
+    * wall time in the session zone, and file stats store raw micros. */
   private def canonicalKey(c: Column, dt: DataType): Column = dt match {
     case TimestampType    => unix_micros(c).cast("string")
     case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("string")

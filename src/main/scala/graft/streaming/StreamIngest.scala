@@ -20,9 +20,14 @@ import graft.table.GraftTable
 object StreamIngest {
 
   /** Table-property key holding the last committed batch id of one stream
-    * (keyed by checkpoint dir, so several streams can feed one table). */
-  def batchProperty(checkpointDir: String): String =
-    s"stream-batch-${Integer.toHexString(checkpointDir.hashCode)}"
+    * (keyed by checkpoint dir, so several streams can feed one table; md5 —
+    * a 32-bit hashCode collision would silently cross the streams'
+    * watermarks and skip batches). */
+  def batchProperty(checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    s"stream-batch-${d.take(8).map(b => f"$b%02x").mkString}"
+  }
 
   /** Start ingesting `stream` (must match the table schema) into `table`.
     * `checkpointDir` carries source offsets AND the last committed batch id. */

@@ -183,6 +183,22 @@ class HiddenPartitionSpec extends SparkSuite {
     assertSameRows(t.read(Some(pred)), t.read().filter(pred), "truncate-pruned scan")
   }
 
+  test("compaction bin-packs within partition values, one output file per day") {
+    val t = GraftTable.create(spark, tmpDir("graft-hp-compact"), Synth.pageSchema, prop)
+    // three small appends → ≥3 small files per day dir
+    for (seed <- Seq(1, 2, 3))
+      t.append(Synth.pages(spark, 600, partitions = 1, seed = seed))
+    val preByDay = t.files().groupBy(f => t.partitionSpecs.head.dirValue(f.path).get)
+    assert(preByDay.values.forall(_.size >= 3))
+    val pre = t.read()
+    Compact.run(t, targetBytes = 1L << 30)
+    val postByDay = t.files().groupBy(f => t.partitionSpecs.head.dirValue(f.path).get)
+    assert(postByDay.keySet === preByDay.keySet)
+    assert(postByDay.values.forall(_.size === 1),
+      s"one packed file per day expected: ${postByDay.view.mapValues(_.size).toMap}")
+    assertSameRows(t.read(), pre, "partition-aware compaction scan")
+  }
+
   test("months transform groups files; trunc predicates prune via bounds mapping") {
     val t = GraftTable.create(spark, tmpDir("graft-hp-months"), Synth.pageSchema,
       Map(PartitionSpec.Property -> "months(warc_ts)"))
