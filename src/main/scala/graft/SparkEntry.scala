@@ -376,6 +376,29 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // J3: full-sync MERGE — WHEN NOT MATCHED BY SOURCE acts on target rows
+    // the change set no longer carries (conditional delete)
+    "q32_merge_sync" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+      val root = java.nio.file.Files.createTempDirectory("graft-q32").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, cust.schema)
+      tbl.append(cust.coalesce(8))
+      cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1.0)
+        .createOrReplaceTempView("q32src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING q32src s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE AND t.c_mktsegment = 'BUILDING' THEN DELETE""".stripMargin)
+        .collect()
+      val out = tbl.read()
+        .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("key_sum"),
+          round(sum("c_acctbal"), 2).as("bal_sum"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -611,5 +634,18 @@ object SparkEntry {
         |  UNION ALL SELECT c_custkey, c_name, c_acctbal, NULL FROM ins)
         |SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
         |       count(c_nationkey) AS n_nation, round(sum(c_acctbal), 2) AS bal_sum
+        |FROM merged""".stripMargin,
+    // q32: upsert + conditional NOT-MATCHED-BY-SOURCE delete replayed
+    // relationally — rows absent from the source survive unless BUILDING
+    "q32_merge_sync" ->
+      """WITH src AS (SELECT c_custkey, c_mktsegment, c_acctbal + 1.0 AS c_acctbal
+        |             FROM customer WHERE c_custkey % 3 = 0),
+        |merged AS (
+        |  SELECT b.c_custkey,
+        |         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE b.c_acctbal END AS bal
+        |  FROM customer b LEFT JOIN src s ON b.c_custkey = s.c_custkey
+        |  WHERE s.c_custkey IS NOT NULL OR b.c_mktsegment <> 'BUILDING')
+        |SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       round(sum(bal), 2) AS bal_sum
         |FROM merged""".stripMargin)
 }
