@@ -332,6 +332,12 @@ object TextHash {
     * replaces (Spark's XxHash64 chains hashLong over its children starting
     * from seed 42), in one pass over the signature. */
   def bandHashes(sig: Array[Long], bands: Int): Array[Long] = {
+    if (sig.length == 0) return Array.emptyLongArray
+    // fail fast: truncated bands silently change near-dup recall, and
+    // bands > |sig| would give every row the constant hash 17 — an LSH
+    // self-join on that degenerates to an O(n^2) corpus cross product
+    require(bands <= sig.length && sig.length % bands == 0,
+      s"band_hashes: bands ($bands) must divide the signature length (${sig.length})")
     val r = sig.length / bands
     val out = new Array[Long](bands)
     var b = 0

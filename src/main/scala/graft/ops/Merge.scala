@@ -36,6 +36,9 @@ import graft.table.{Bounds, DataFileMeta, GraftTable, Snapshot}
  * front door ([[graft.sql.GraftMergeRule]]) lowers column-level MERGE
  * actions onto them:
  *  - `_deleted` boolean: the row is a delete (see above);
+ *  - `_noop` boolean: the row asserts PRESENCE only — its matched target
+ *    row is kept unchanged (it is "matched by source" for the NOT MATCHED
+ *    BY SOURCE clauses without any matched clause applying to it);
  *  - `_set_<col>`: column-level UPDATE image — when any `_set_*` column is
  *    present, a matched update replaces ONLY the assigned columns and keeps
  *    the target's values for the rest (ANSI `UPDATE SET c = expr`);
@@ -217,7 +220,14 @@ object Merge {
       throw new IllegalArgumentException(s"NOT MATCHED BY SOURCE must not assign key column $c"))
 
     val leadDt = schema.fields.find(_.name == keyCols.head).get.dataType
-    val keyTouched = touchedFiles(table, src.select(keyC: _*), keyCols)
+    // `_noop` rows join (their targets are "matched by source") but must
+    // not WIDEN the rewrite: a file is only touched by keys some clause
+    // fires for — untouched files keep their noop-matched rows by simply
+    // not being rewritten
+    val planSrc =
+      if (src.columns.contains("_noop")) src.filter(!coalesce(col("_noop"), lit(false)))
+      else src
+    val keyTouched = touchedFiles(table, planSrc.select(keyC: _*), keyCols)
     // NOT MATCHED BY SOURCE widens the rewrite to every file that may hold
     // a row its condition matches (the whole table when unconditional —
     // inherent to the semantics); the condition prunes via file stats
@@ -254,6 +264,8 @@ object Merge {
     val sP = coalesce(s("_s_present"), lit(false))
     val tP = coalesce(t("_t_present"), lit(false))
     val del = coalesce(s("_deleted"), lit(false))
+    val noop =
+      if (source.columns.contains("_noop")) coalesce(s("_noop"), lit(false)) else lit(false)
     val applies =
       if (latestWins) sP && tP && s(versionCol) >= t(versionCol)
       else sP && tP
@@ -263,6 +275,7 @@ object Merge {
     val keep = when(!sP, keepUnmatchedTarget)
       .when(applies && del, lit(false)) // newest change is a delete
       .when(!tP && del, lit(false)) // delete for an absent key: no-op
+      .when(!tP && noop, lit(false)) // presence assertion for an absent key
       .otherwise(lit(true))
     // a source may legitimately omit schema columns it never writes (e.g. a
     // column-level UPDATE with no INSERT clause): full-row images read
@@ -281,7 +294,7 @@ object Merge {
           else if (insCols.contains(c)) s(s"_ins_$c").cast(f.dataType)
           else if (keyCols.contains(c)) s(c) // key columns always carry over
           else lit(null).cast(f.dataType)
-        val withMain = when(applies && !del, updImage)
+        val withMain = when(applies && !del && !noop, updImage)
           .when(!tP && sP, insImage) // insert (del rows were filtered above)
         (if (nmbsSetCols.contains(c))
           withMain.when(!sP && t("_nmbs_upd"), t(s"_tset_$c").cast(f.dataType))

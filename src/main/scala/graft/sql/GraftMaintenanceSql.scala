@@ -71,6 +71,13 @@ case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean)
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftTable.load(session, path)
     if (zorder) {
+      // the Z-dims are the north rule's (lang, url-host, warc_ts) — fail
+      // with a real message instead of a mid-job unresolved-column error
+      // on other schemas (plain OPTIMIZE and VACUUM are schema-agnostic)
+      val needed = Seq("url", "warc_ts", "lang").filterNot(t.schema.fieldNames.contains)
+      if (needed.nonEmpty) throw new IllegalArgumentException(
+        s"OPTIMIZE ... ZORDER clusters on (lang, url-host, warc_ts) and needs columns " +
+          s"${needed.mkString(", ")}; for other schemas use the programmatic Cluster API")
       val curve = if (hilbert) "hilbert" else "zorder"
       val snap = Cluster.zorderRewrite(t, Cluster.ZDims(curve = curve))
       Seq(Row(s"cluster-$curve", snap.map(_.id).getOrElse(-1L)))

@@ -268,6 +268,18 @@ case class GraftMergeCommand(
     (updateSet ++ insertValues).map(_._1).filterNot(schema.fieldNames.contains).foreach(c =>
       throw new IllegalArgumentException(s"graft MERGE INTO: assignment to unknown column $c"))
     var src = Shims.dataFrame(session, source)
+    // star actions take the WHOLE source row: a source missing schema
+    // columns would silently write NULLs into them (Spark/Delta reject
+    // this at analysis, and so do we)
+    val starAction =
+      (hasUpdate && updateSet.isEmpty, insertUnmatched && insertValues.isEmpty) match {
+        case (true, _) => Some("UPDATE SET *")
+        case (_, true) => Some("INSERT *")
+        case _         => None
+      }
+    for (star <- starAction; c <- schema.fieldNames if !src.columns.contains(c))
+      throw new IllegalArgumentException(
+        s"graft MERGE INTO: $star requires the source to carry every table column; missing $c")
     // ANSI: a NULL clause condition behaves as FALSE
     def flag(h: Option[ExprHolder], default: Boolean): Column =
       h.map(x => coalesce(Shims.column(x.e).cast("boolean"), lit(false)))
@@ -277,7 +289,11 @@ case class GraftMergeCommand(
 
     // per-row matched flag: key tuples are read from the files whose bounds
     // can contain a source key (touched files) — bounded by the change set,
-    // not the table (a delete-only MERGE at 100 TB must not scan the corpus)
+    // not the table (a delete-only MERGE at 100 TB must not scan the corpus).
+    // Merge.into re-plans touched files on the clause-FILTERED source below:
+    // deliberate — the second pass is a key-only source scan, and planning
+    // on the narrower set can exclude whole table files from the rewrite,
+    // which dominates the repeated scan at scale.
     val touched = Merge.touchedFiles(table, src.select(keyCols.map(col): _*), keyCols)
     src =
       if (touched.isEmpty) src.withColumn("_matched", lit(false))
@@ -298,11 +314,16 @@ case class GraftMergeCommand(
     val insC = flag(insertCond, default = true)
     // keep only rows some clause applies to: matched rows a matched clause
     // fires for, unmatched rows the insert clause admits — everything else
-    // must leave its target row (or absence) untouched
+    // must leave its target row (or absence) untouched. With a NOT MATCHED
+    // BY SOURCE clause, matched rows no clause fires for must STAY in the
+    // source as presence-only `_noop` rows: dropping them would make their
+    // target rows look unmatched-by-source and get wrongly deleted/updated.
+    val nmbs = nmbsDelete || hasNmbsUpdate
     src = src
-      .filter((col("_matched") && (updFlag || delFlag)) ||
+      .filter((col("_matched") && (updFlag || delFlag || lit(nmbs))) ||
         (!col("_matched") && lit(insertUnmatched) && insC))
       .withColumn("_deleted", col("_matched") && delFlag)
+      .withColumn("_noop", col("_matched") && !updFlag && !delFlag)
       .drop("_matched")
 
     val nmbsDel: Option[Column] =

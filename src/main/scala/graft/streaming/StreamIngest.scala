@@ -49,7 +49,15 @@ object StreamIngest {
         // history grows, and it survives snapshot expiry (the previous
         // per-snapshot summary scan was O(history) per micro-batch and
         // forgot committed ids once expiry aged their snapshots out)
-        val already = table.metadata.properties.get(prop).exists(_.toLong >= batchId)
+        val md = table.metadata
+        val already = md.properties.get(prop) match {
+          case Some(w) => w.toLong >= batchId
+          // property absent = table written by a pre-watermark version:
+          // fall back to the old per-snapshot summary scan ONCE (the next
+          // append records the property and this branch never runs again)
+          case None =>
+            md.snapshots.exists(_.summary.get("stream-batch-id").contains(batchId.toString))
+        }
         if (!already && !batch.isEmpty) {
           table.append(batch, Map("stream-batch-id" -> batchId.toString),
             propertyUpdates = Map(prop -> batchId.toString))

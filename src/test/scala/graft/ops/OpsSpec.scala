@@ -287,6 +287,33 @@ class MergeSpec extends SparkSuite {
       s"expected a strict subset, got ${touched.size}/${files.size}")
   }
 
+  test("timestamp keys plan touched files in canonical micros encoding") {
+    // regression: interval-stabbing with cast(ts as string) would compare
+    // "2024-01-02 …" text against micros bounds and throw (or worse);
+    // canonical encoding maps the key to epoch micros like the file stats
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("warc_ts", TimestampType, nullable = false),
+      StructField("v", LongType)))
+    val t = GraftTable.create(spark, tmpDir("graft-ts-key"), schema)
+    import spark.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // two files with disjoint ts ranges
+    t.append((1 to 50).map(i => (s"u$i", day(1 + i % 5), i.toLong)).toDF("url", "warc_ts", "v").coalesce(1))
+    t.append((1 to 50).map(i => (s"u$i", day(20 + i % 5), i.toLong + 100)).toDF("url", "warc_ts", "v").coalesce(1))
+    assert(t.files().size === 2)
+    // composite (url, warc_ts): only the second file's range is touched —
+    // via the RESIDUAL ts column (url ranges collide across both files)
+    val keys = Seq(("u7", day(22))).toDF("url", "warc_ts")
+    val touched = Merge.touchedFiles(t, keys, Seq("url", "warc_ts"))
+    assert(touched.size === 1, s"ts residual must prune: ${touched.size}")
+    assert(touched.head.minValues("warc_ts").toLong > day(10).getTime * 1000L)
+    // and a ts-LEADING key works through the interval index itself
+    val touchedLead = Merge.touchedFiles(t, keys.select("warc_ts"), Seq("warc_ts"))
+    assert(touchedLead.size === 1)
+  }
+
   test("composite-key touched-file planning prunes on residual key columns") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

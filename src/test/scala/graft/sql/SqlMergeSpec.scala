@@ -248,6 +248,55 @@ class SqlMergeSpec extends SparkSuite {
     assert(ex.getMessage.contains("TARGET columns only"), ex.getMessage)
   }
 
+  test("NMBS with a conditional matched clause leaves matched-but-unfired rows alone") {
+    // regression: a matched row whose conditional matched clause does NOT
+    // fire is still matched-by-source — the NMBS clause must never touch it
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-nmbs-cond"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // 1: matched + clause fires; 2: matched, clause does NOT fire; 3: absent
+    Seq((1L, "A", "U"), (2L, "x", "X")).toDF("id", "v", "op")
+      .createOrReplaceTempView("nmbscond")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING nmbscond s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "A"), (2L, "b")), "row 2 is matched (clause unfired) and must survive; row 3 deletes")
+    // same shape with the NMBS UPDATE variant
+    Seq((1L, "A2", "U")).toDF("id", "v", "op").createOrReplaceTempView("nmbscond2")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING nmbscond2 s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'Z' THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'GONE'""".stripMargin).collect()
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "A"), (2L, "GONE")), "row 1 matched-unfired survives; row 2 unmatched gets flagged")
+  }
+
+  test("star actions reject sources missing table columns") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType), StructField("w", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-star"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a", "keep")).toDF("id", "v", "w"))
+    Seq((1L, "A")).toDF("id", "v").createOrReplaceTempView("narrowsrc")
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING narrowsrc s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect())
+    assert(ex.getMessage.contains("missing w"), ex.getMessage)
+    // column-level actions on the same narrow source are fine
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING narrowsrc s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin).collect()
+    assert(t.read().as[(Long, String, String)].collect().toSet === Set((1L, "A", "keep")))
+  }
+
   test("delete-only MERGE touches only files whose bounds cover source keys") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
