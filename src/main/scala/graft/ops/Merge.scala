@@ -250,7 +250,10 @@ object Merge {
         b = b.withColumn("_nmbs_del", coalesce(c.cast("boolean"), lit(false)))
       for ((c, set) <- notMatchedBySourceSet) {
         b = b.withColumn("_nmbs_upd", coalesce(c.cast("boolean"), lit(false)))
-        for ((name, v) <- set) b = b.withColumn(s"_tset_$name", v)
+        // values evaluate only where the clause condition holds (lazy If
+        // branches): an ANSI-throwing assignment must not abort the merge
+        // via rows the clause never applies to
+        for ((name, v) <- set) b = b.withColumn(s"_tset_$name", when(col("_nmbs_upd"), v))
       }
       b
     }
@@ -280,10 +283,13 @@ object Merge {
     // a source may legitimately omit schema columns it never writes (e.g. a
     // column-level UPDATE with no INSERT clause): full-row images read
     // missing source columns as typed NULLs — the branches referencing them
-    // are unreachable for such sources, but Catalyst resolves them anyway
-    val srcCols = src.columns.toSet
+    // are unreachable for such sources, but Catalyst resolves them anyway.
+    // Membership follows the session resolver (case-insensitive by default),
+    // like the column resolution s(c) itself performs.
+    val resolver = spark.sessionState.analyzer.resolver
+    val srcCols = src.columns.toSeq
     def sOr(c: String, dt: org.apache.spark.sql.types.DataType): Column =
-      if (srcCols.contains(c)) s(c) else lit(null).cast(dt)
+      if (srcCols.exists(resolver(_, c))) s(c) else lit(null).cast(dt)
     val merged = joined
       .filter(keep)
       .select(schema.fields.toSeq.map { f =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types.LongType
 
@@ -277,15 +277,17 @@ case class GraftMergeCommand(
         case (_, true) => Some("INSERT *")
         case _         => None
       }
-    for (star <- starAction; c <- schema.fieldNames if !src.columns.contains(c))
+    // column-name membership must follow the session resolver (Spark is
+    // case-insensitive by default — an exact-match check would spuriously
+    // reject SELECT 1 AS ID for target column id)
+    val resolver = session.sessionState.analyzer.resolver
+    for (star <- starAction; c <- schema.fieldNames if !src.columns.exists(resolver(_, c)))
       throw new IllegalArgumentException(
         s"graft MERGE INTO: $star requires the source to carry every table column; missing $c")
     // ANSI: a NULL clause condition behaves as FALSE
     def flag(h: Option[ExprHolder], default: Boolean): Column =
       h.map(x => coalesce(Shims.column(x.e).cast("boolean"), lit(false)))
         .getOrElse(lit(default))
-    for ((c, h) <- updateSet) src = src.withColumn(s"_set_$c", Shims.column(h.e))
-    for ((c, h) <- insertValues) src = src.withColumn(s"_ins_$c", Shims.column(h.e))
 
     // per-row matched flag: key tuples are read from the files whose bounds
     // can contain a source key (touched files) — bounded by the change set,
@@ -312,6 +314,14 @@ case class GraftMergeCommand(
     val (updFlag, delFlag) =
       if (deleteFirst) (updC && !delC, delC) else (updC, delC && !updC)
     val insC = flag(insertCond, default = true)
+    // assignment values evaluate ONLY on rows their clause fires for (the
+    // If branches are lazy per row) — an ANSI-throwing expression like
+    // CAST(s.x AS BIGINT) must not abort the merge when evaluated on a row
+    // the clause never applies to (unfired matched rows, insert rows)
+    for ((c, h) <- updateSet)
+      src = src.withColumn(s"_set_$c", when(col("_matched") && updFlag, Shims.column(h.e)))
+    for ((c, h) <- insertValues)
+      src = src.withColumn(s"_ins_$c", when(!col("_matched") && insC, Shims.column(h.e)))
     // keep only rows some clause applies to: matched rows a matched clause
     // fires for, unmatched rows the insert clause admits — everything else
     // must leave its target row (or absence) untouched. With a NOT MATCHED
@@ -319,12 +329,25 @@ case class GraftMergeCommand(
     // source as presence-only `_noop` rows: dropping them would make their
     // target rows look unmatched-by-source and get wrongly deleted/updated.
     val nmbs = nmbsDelete || hasNmbsUpdate
-    src = src
-      .filter((col("_matched") && (updFlag || delFlag || lit(nmbs))) ||
+    val firing = src
+      .filter((col("_matched") && (updFlag || delFlag)) ||
         (!col("_matched") && lit(insertUnmatched) && insC))
       .withColumn("_deleted", col("_matched") && delFlag)
-      .withColumn("_noop", col("_matched") && !updFlag && !delFlag)
-      .drop("_matched")
+      .withColumn("_noop", lit(false))
+    src =
+      if (!nmbs) firing.drop("_matched")
+      else {
+        // presence-only rows: deduped per key and dropped when the key also
+        // has a firing row — ANSI cardinality errors only when a target row
+        // is actually MODIFIED by more than one source row, and the
+        // uniqueness check downstream must see exactly that
+        val noopRows = src.filter(col("_matched") && !updFlag && !delFlag)
+          .dropDuplicates(keyCols)
+          .join(firing.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .withColumn("_deleted", lit(false))
+          .withColumn("_noop", lit(true))
+        firing.unionByName(noopRows).drop("_matched")
+      }
 
     val nmbsDel: Option[Column] =
       if (!nmbsDelete) None

@@ -279,13 +279,21 @@ object PredicatePrune {
     case _ => None
   }
 
-  /** Smallest string greater than every string with this prefix, if any. */
+  /** A string greater (in UTF-8 byte order) than every string with this
+    * prefix, if any. An increment landing in the surrogate range would be a
+    * LONE surrogate — UTF-8 encoding replaces those with '?' (0x3F), which
+    * compares SMALLER than real prefix extensions and would prune files
+    * unsoundly — so the increment jumps to U+E000, the first scalar after
+    * the block (still byte-wise greater than any extension: 0xEE.. > 0xED..
+    * at the first differing byte). Jumping yields a LARGER successor, which
+    * only keeps more files — always sound. */
   private[table] def successor(prefix: String): Option[String] = {
     val chars = prefix.toCharArray
     var i = chars.length - 1
     while (i >= 0) {
       if (chars(i) != Char.MaxValue) {
-        chars(i) = (chars(i) + 1).toChar
+        val next = chars(i) + 1
+        chars(i) = (if (next >= 0xD800 && next <= 0xDFFF) 0xE000 else next).toChar
         return Some(new String(chars, 0, i + 1))
       }
       i -= 1

@@ -277,6 +277,56 @@ class SqlMergeSpec extends SparkSuite {
       Set((1L, "A"), (2L, "GONE")), "row 1 matched-unfired survives; row 2 unmatched gets flagged")
   }
 
+  test("assignment expressions never evaluate on rows their clause does not fire for") {
+    // ANSI mode: CAST('junk' AS BIGINT) throws — but only op='U' rows reach
+    // the assignment, so the junk payload on unfired/insert rows must not
+    // abort the merge (Spark/Delta guard update exprs with the condition)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-ansi-guard"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, 0L), (2L, 0L)).toDF("id", "n"))
+    Seq((1L, "41", "U"), (2L, "junk", "X"), (9L, "junk", "I"))
+      .toDF("id", "payload", "op").createOrReplaceTempView("guardsrc")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING guardsrc s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET n = CAST(s.payload AS BIGINT) + 1
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    assert(t.read().as[(Long, Long)].collect().toSet === Set((1L, 42L), (2L, 0L)))
+  }
+
+  test("duplicate matched rows that fire no clause do not trip the cardinality check") {
+    // ANSI cardinality errors only when a target row is MODIFIED by more
+    // than one source row; presence-only duplicates (kept for NMBS) are fine
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-noopdup"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // id=2 appears TWICE, neither row fires the conditional update; id=1
+    // has one firing row AND one unfired row (must not double-count either)
+    Seq((1L, "A", "U"), (1L, "x", "X"), (2L, "x", "X"), (2L, "y", "X"))
+      .toDF("id", "v", "op").createOrReplaceTempView("noopdup")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING noopdup s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
+    assert(t.read().as[(Long, String)].collect().toSet ===
+      Set((1L, "A"), (2L, "b")), "ids 1,2 matched by source; 3 deleted")
+    // but two FIRING rows for one key still error
+    Seq((1L, "p", "U"), (1L, "q", "U")).toDF("id", "v", "op")
+      .createOrReplaceTempView("noopdup2")
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING noopdup2 s ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect())
+    assert(ex.getMessage.contains("multiple rows"), ex.getMessage)
+  }
+
   test("star actions reject sources missing table columns") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
