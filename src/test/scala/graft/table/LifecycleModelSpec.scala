@@ -47,8 +47,32 @@ class LifecycleModelSpec extends SparkSuite {
       val steps = 10 + rnd.nextInt(4)
       val oplog = mutable.Buffer.empty[String]
       for (_ <- 0 until steps) {
-        val op = rnd.nextInt(6)
+        val op = rnd.nextInt(7)
         oplog += (op match {
+          case 6 => // ANSI merge: update + delete + insert in one pass
+            if (tombstones.nonEmpty) "mergeSkipped(tombstones)" // merge refuses, by design
+            else {
+              val shuffled = rnd.shuffle(visible)
+              val upd = shuffled.take(1 + rnd.nextInt(6))
+              val del = shuffled.drop(upd.size).take(rnd.nextInt(4))
+              val tag = s"m$nextBatch"; nextBatch += 1
+              val ins = (0 until 1 + rnd.nextInt(4)).map(i => MRow(s"$tag/u$i", s"INS-$tag-$i"))
+              val ts = new java.sql.Timestamp(1735689600000L)
+              val html = Array[Byte](1, 2)
+              val src = (
+                upd.map(r => (r.url, ts, html, s"UPD-${r.text}", "en", false)) ++
+                del.map(r => (r.url, ts, html, "DEL", "en", true)) ++
+                ins.map(r => (r.url, ts, html, r.text, "en", false)))
+                .toDF("url", "warc_ts", "html", "text", "lang", "_deleted")
+              graft.ops.Merge.into(tbl, src, Seq("url"), latestWins = false)
+              val updMap = upd.map(r => r.url -> s"UPD-${r.text}").toMap
+              val delSet = del.map(_.url).toSet
+              val newRows = rows.toSeq
+                .map(r => updMap.get(r.url).fold(r)(t => MRow(r.url, t)))
+                .filterNot(r => delSet.contains(r.url)) ++ ins
+              rows.clear(); rows ++= newRows
+              s"merge(u=${upd.size},d=${del.size},i=${ins.size})"
+            }
           case 0 | 1 => appendBatch()
           case 2 => // MoR delete a sample of currently-visible keys
             val candidates = visible.map(_.url).distinct
