@@ -264,6 +264,22 @@ object TextHash {
     out
   }
 
+  /** long[] that REJECTS null elements: for kernels where element POSITION
+    * is semantic (band boundaries over a MinHash signature) — silently
+    * skipping a null would shift every later element into the wrong band
+    * and corrupt results without any error. */
+  def longsRejectingNulls(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i),
+        s"null element at position $i: positions are semantic here (band alignment) — " +
+          "null signature elements cannot be skipped")
+      i += 1
+    }
+    a.toLongArray()
+  }
+
   /** per-bit majority vote over arbitrary 64-bit feature hashes — the
     * SimHash core, usable with any caller-chosen token hash. */
   def simhashVote(th: Array[Long]): Long = {
@@ -466,11 +482,11 @@ case class BandHashesExpr(child: Expression, bands: Int)
   override def prettyName: String = "band_hashes"
   override protected def nullSafeEval(input: Any): Any =
     UnsafeArrayData.fromPrimitiveArray(
-      TextHash.bandHashes(TextHash.longsSkippingNulls(input.asInstanceOf[ArrayData]), bands))
+      TextHash.bandHashes(TextHash.longsRejectingNulls(input.asInstanceOf[ArrayData]), bands))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
-        s"graft.functions.TextHash.bandHashes(graft.functions.TextHash.longsSkippingNulls($c), $bands))")
+        s"graft.functions.TextHash.bandHashes(graft.functions.TextHash.longsRejectingNulls($c), $bands))")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

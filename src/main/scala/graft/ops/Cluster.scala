@@ -143,19 +143,40 @@ object Cluster {
     val inputs = onlyFiles.getOrElse(table.files())
     if (inputs.isEmpty) return None
     val schema = table.schema
-    val totalBytes = inputs.map(_.bytes).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val commitUuid = s"cluster-$runId"
-    val dir = s"${table.dataDir}/$commitUuid"
 
-    if (!(log.doneSteps.contains("rewrite") && FileIO.exists(s"$dir/_SUCCESS"))) {
+    // hidden partitioning: cluster WITHIN each partition tuple — the global
+    // range exchange interleaves partition values across every task, and
+    // partitionBy at write would then split each sorted run into one file
+    // set per value it contains (~nPart x values tiny files) AND insert a
+    // write-side sort on the partition columns that destroys the z order
+    // the pass exists to produce. One rewrite group per partition tuple
+    // keeps "one sorted run -> one right-sized file" exact; pre-spec files
+    // (no partition dirs) form their own group whose rewrite adopts the
+    // dir layout (a one-time split).
+    val specs = table.partitionSpecs
+    def partKey(f: DataFileMeta): String =
+      specs.flatMap(sp => sp.dirValue(f.path).map(v => s"${sp.name}=$v")).mkString("/")
+    val groups: Seq[(Int, Seq[DataFileMeta])] =
+      (if (specs.isEmpty) Seq(inputs)
+       else inputs.groupBy(partKey).toSeq.sortBy(_._1).map(_._2))
+        .zipWithIndex.map(_.swap)
+
+    /** One group's rewrite: sample -> boundaries+heavy hosts -> steered
+      * range exchange -> in-partition sort -> rolled write. */
+    def rewriteGroup(gi: Int, gInputs: Seq[DataFileMeta]): Unit = {
+      val dir = s"${table.dataDir}/$commitUuid-p$gi"
+      val done = log.doneSteps.contains(s"part$gi") && FileIO.exists(s"$dir/_SUCCESS")
+      if (done) return
       FileIO.deleteRecursively(dir)
       // MoR tombstones are applied during the rewrite; a FULL rewrite
       // (onlyFiles empty) then clears them at commit — materialization
       val df = table.applyTombstones(
-        spark.read.schema(schema).parquet(inputs.map(table.absPath): _*))
-      val rowsTotal = inputs.map(_.rows).sum
-      val bounds = boundsFromMeta(df, inputs) // no scan in the common case
+        spark.read.schema(schema).parquet(gInputs.map(table.absPath): _*))
+      val gBytes = gInputs.map(_.bytes).sum
+      val rowsTotal = gInputs.map(_.rows).sum
+      val nOut = math.max(1, math.ceil(gBytes.toDouble / targetFileBytes).toInt)
+      val bounds = boundsFromMeta(df, gInputs) // no scan in the common case
 
       // the shuffle fans out to nPart range partitions (cluster-sized, NOT
       // file-count-sized); each sorted partition run is split into
@@ -181,19 +202,25 @@ object Cluster {
         .select(zkeyCol(dims, bounds).as("z"), hostCol(col("url")).as("host"))
         .sample(withReplacement = false, fraction, seed = 42)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val heavyHosts: Seq[String] = sampled.groupBy("host").count()
-        .filter(col("count").cast("double") / lit(fraction) > saltThresholdRows)
-        .select("host").collect().map(_.getString(0)).toSeq.sorted
-      val bds: Array[Long] =
-        if (nPart <= 1) Array.empty
-        else {
-          val qs = (1 until nPart).map(_.toDouble / nPart)
-          val row = sampled.agg(
-            percentile_approx(col("z"), typedLit(qs), lit(10000)).as("q")).head()
-          if (row.isNullAt(0)) Array.empty
-          else row.getSeq[Long](0).distinct.sorted.toArray
-        }
-      sampled.unpersist()
+      val (heavyHosts: Seq[String], bds: Array[Long]) =
+        try {
+          val hh = sampled.groupBy("host").count()
+            .filter(col("count").cast("double") / lit(fraction) > saltThresholdRows)
+            .select("host").collect().map(_.getString(0)).toSeq.sorted
+          val b: Array[Long] =
+            if (nPart <= 1) Array.empty
+            else {
+              val qs = (1 until nPart).map(_.toDouble / nPart)
+              // sketch resolution must exceed the quantile spacing or
+              // adjacent boundaries collapse and distinct() under-partitions
+              val accuracy = math.max(10000, nPart * 4)
+              val row = sampled.agg(
+                percentile_approx(col("z"), typedLit(qs), lit(accuracy)).as("q")).head()
+              if (row.isNullAt(0)) Array.empty
+              else row.getSeq[Long](0).distinct.sorted.toArray
+            }
+          (hh, b)
+        } finally sampled.unpersist() // also on failure: 8M cached rows must not leak
 
       // salt-perturbed key: XOR flips only the low bits (noise bits of the
       // ts dimension), so heavy-host ties get up to nSalts distinct keys
@@ -201,15 +228,36 @@ object Cluster {
       val salted = withZKey(df, dims, bounds, heavyHosts, nSalts)
         .withColumn("_zs", col("_zkey").bitwiseXOR(col("_salt").cast("long")))
 
-      spark.sparkContext.setJobDescription(s"zorder-rewrite $runId (${inputs.size} files, $nOut out, $nPart partitions)")
+      spark.sparkContext.setJobDescription(
+        s"zorder-rewrite $runId group $gi (${gInputs.size} files, $nOut out, $nPart partitions)")
       val sorted = RangeShuffle.byRange(salted, col("_zs"), bds)
         .sortWithinPartitions(col("_zs"))
       val rowsPerFile = if (nOut > nPart) math.max(1L, rowsTotal / nOut) else 0L
-      table.writeDataFiles(sorted, commitUuid, rowsPerFile) // selects schema cols, dropping _zkey/_salt/_zs
-      log = Maintenance.markDone(table, log, "rewrite")
+      table.writeDataFiles(sorted, s"$commitUuid-p$gi", rowsPerFile) // selects schema cols, dropping _zkey/_salt/_zs
+      synchronized { log = Maintenance.markDone(table, log, s"part$gi") }
     }
-    val added = graft.table.StatsCollector.collect(
-      spark, schema, table.root, FileIO.listFilesRecursively(dir, ".parquet"), commitUuid)
+
+    if (groups.size == 1) rewriteGroup(groups.head._1, groups.head._2)
+    else {
+      // groups are independent pipelines; run a few concurrently so small
+      // partition values do not serialize the pass (same pattern as Compact)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, groups.size),
+        r => { val t = new Thread(r, "graft-cluster"); t.setDaemon(true); t })
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(groups.map { case (gi, g) =>
+          scala.concurrent.Future(rewriteGroup(gi, g))
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+
+    val added = groups.flatMap { case (gi, _) =>
+      graft.table.StatsCollector.collect(spark, schema, table.root,
+        FileIO.listFilesRecursively(s"${table.dataDir}/$commitUuid-p$gi", ".parquet"),
+        s"$commitUuid-p$gi")
+    }
     val removed = inputs.map(_.path).toSet
     val committed = table.replaceFiles(removed, added, "cluster",
       Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts",

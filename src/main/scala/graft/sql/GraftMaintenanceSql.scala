@@ -38,10 +38,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
 
+  // graft tables are PATH-addressed: only intercept backticked identifiers
+  // that look like paths, so OPTIMIZE/VACUUM over a real catalog schema that
+  // happens to be named `graft` (e.g. Delta's) still reaches the delegate
+  private def isPath(p: String): Boolean = p.contains("/")
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(path, zorder, hilbert) =>
+    case OptimizeRe(path, zorder, hilbert) if isPath(path) =>
       GraftOptimizeCommand(path, zorder != null, hilbert != null)
-    case VacuumRe(path, retain) =>
+    case VacuumRe(path, retain) if isPath(path) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(10))
     case _ => delegate.parsePlan(sqlText)
   }

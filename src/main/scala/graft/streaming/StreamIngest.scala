@@ -52,11 +52,15 @@ object StreamIngest {
         val md = table.metadata
         val already = md.properties.get(prop) match {
           case Some(w) => w.toLong >= batchId
-          // property absent = table written by a pre-watermark version:
-          // fall back to the old per-snapshot summary scan ONCE (the next
-          // append records the property and this branch never runs again)
+          // property absent AND no stream has ever recorded one = table
+          // written by a pre-watermark version: fall back to the old
+          // per-snapshot summary scan ONCE (the next append records the
+          // property and this branch never runs again). If ANY stream has
+          // a property, the legacy summaries belong to OTHER streams — the
+          // un-keyed fallback would wrongly skip this stream's batch ids.
           case None =>
-            md.snapshots.exists(_.summary.get("stream-batch-id").contains(batchId.toString))
+            !md.properties.keys.exists(_.startsWith("stream-batch-")) &&
+              md.snapshots.exists(_.summary.get("stream-batch-id").contains(batchId.toString))
         }
         if (!already && !batch.isEmpty) {
           table.append(batch, Map("stream-batch-id" -> batchId.toString),

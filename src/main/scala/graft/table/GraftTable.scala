@@ -50,14 +50,21 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def metadataAt(version: Int): TableMetadata =
     MetaJson.readTableMetadata(FileIO.readString(s"$metadataDir/v$version.json"))
 
-  def schema: StructType = StructType.fromDDL(metadata.schemaDdl)
+  def schema: StructType = schemaOf(metadata)
+
+  private def schemaOf(md: TableMetadata): StructType = StructType.fromDDL(md.schemaDdl)
 
   /** Hidden-partitioning transforms, if the table declares any (see
     * [[PartitionSpec]]); validated against the schema. */
-  def partitionSpecs: Seq[PartitionSpec] =
-    metadata.properties.get(PartitionSpec.Property).map(PartitionSpec.parseMulti)
+  def partitionSpecs: Seq[PartitionSpec] = {
+    val md = metadata
+    specsOf(md, schemaOf(md))
+  }
+
+  private def specsOf(md: TableMetadata, sch: StructType): Seq[PartitionSpec] =
+    md.properties.get(PartitionSpec.Property).map(PartitionSpec.parseMulti)
       .getOrElse(Seq.empty)
-      .map { sp => sp.validate(schema); sp }
+      .map { sp => sp.validate(sch); sp }
 
   /** First (or only) hidden-partitioning transform. */
   def partitionSpec: Option[PartitionSpec] = partitionSpecs.headOption
@@ -65,8 +72,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def currentSnapshot: Option[Snapshot] = metadata.currentSnapshot
 
   /** All data files of a snapshot (current if unspecified). */
-  def files(snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
-    val md = metadata
+  def files(snapshotId: Option[Long] = None): Seq[DataFileMeta] =
+    filesOf(metadata, snapshotId)
+
+  private def filesOf(md: TableMetadata, snapshotId: Option[Long]): Seq[DataFileMeta] = {
     val snap = snapshotId match {
       case Some(id) => md.snapshot(id).getOrElse(
         throw new IllegalArgumentException(s"unknown snapshot $id"))
@@ -89,11 +98,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   // ---- scan planning -------------------------------------------------------
 
   /** Files that may contain rows matching `predicate` — min/max pruning. */
-  def planFiles(predicate: Option[Column], snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
-    val all = files(snapshotId)
+  def planFiles(predicate: Option[Column], snapshotId: Option[Long] = None): Seq[DataFileMeta] =
+    planFilesOf(metadata, predicate, snapshotId)
+
+  private def planFilesOf(md: TableMetadata, predicate: Option[Column],
+      snapshotId: Option[Long]): Seq[DataFileMeta] = {
+    val all = filesOf(md, snapshotId)
     predicate match {
-      case Some(p) => PredicatePrune.prune(schema, all, p, partitionSpecs)
-      case None    => all
+      case Some(p) =>
+        val sch = schemaOf(md)
+        PredicatePrune.prune(sch, all, p, specsOf(md, sch))
+      case None => all
     }
   }
 
@@ -107,10 +122,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * residual filtering remain Catalyst + Parquet pushdown.
    */
   def read(predicate: Option[Column] = None, snapshotId: Option[Long] = None): DataFrame = {
-    val sch = schema
-    val planned = planFiles(predicate, snapshotId)
-    val df = applyTombstones(
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, planned, partitionSpecs),
+    // ONE metadata read per scan: every helper below derives from this md —
+    // the getter-per-helper pattern cost ~7 full metadata parses per read(),
+    // a latency amplifier on an object store (see class scaladoc)
+    val md = metadata
+    val sch = schemaOf(md)
+    val planned = planFilesOf(md, predicate, snapshotId)
+    val df = applyTombstonesOf(md,
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+        spark, sch, root, planned, specsOf(md, sch)),
       snapshotId)
     predicate match {
       case Some(p) => df.filter(p)
@@ -177,8 +197,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   // ---- merge-on-read equality deletes (tombstones) ---------------------------
 
   /** Tombstone (equality-delete) file metas of a snapshot. */
-  def tombstones(snapshotId: Option[Long] = None): Seq[DataFileMeta] = {
-    val md = metadata
+  def tombstones(snapshotId: Option[Long] = None): Seq[DataFileMeta] =
+    tombstonesOf(metadata, snapshotId)
+
+  private def tombstonesOf(md: TableMetadata, snapshotId: Option[Long]): Seq[DataFileMeta] = {
     val snap = snapshotId match {
       case Some(id) => md.snapshot(id).getOrElse(
         throw new IllegalArgumentException(s"unknown snapshot $id"))
@@ -195,8 +217,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * ALL tombstone columns). Broadcast while the set is small (the intended
     * MoR niche); beyond [[TombstoneBroadcastRowCap]] rows it falls back to a
     * shuffled anti-join rather than an OOM. No-op when no tombstones exist. */
-  def applyTombstones(df: DataFrame, snapshotId: Option[Long] = None): DataFrame = {
-    val dels = tombstones(snapshotId)
+  def applyTombstones(df: DataFrame, snapshotId: Option[Long] = None): DataFrame =
+    applyTombstonesOf(metadata, df, snapshotId)
+
+  private def applyTombstonesOf(md: TableMetadata, df: DataFrame,
+      snapshotId: Option[Long]): DataFrame = {
+    val dels = tombstonesOf(md, snapshotId)
     if (dels.isEmpty) df
     else {
       val delDf = spark.read.parquet(dels.map(absPath): _*).distinct()
@@ -316,10 +342,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * the consumer must see exactly what `read()` at `to` would show for
     * these rows (a key tombstoned before `from` and re-appended inside the
     * range is hidden from full reads, so it must be hidden here too). */
-  private def incrementalResult(added: Seq[DataFileMeta], to: Long): DataFrame =
-    applyTombstones(
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, schema, root, added, partitionSpecs),
+  private def incrementalResult(added: Seq[DataFileMeta], to: Long): DataFrame = {
+    val md = metadata
+    val sch = schemaOf(md)
+    applyTombstonesOf(md,
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+        spark, sch, root, added, specsOf(md, sch)),
       Some(to))
+  }
 
   // ---- writes --------------------------------------------------------------
 
@@ -336,14 +366,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // micros are required for warc_ts pruning bounds
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // select in schema order so files are column-identical across commits
-    val cols = schema.fieldNames.map(df.col).toSeq
+    val md = metadata // one read: schema + partition specs derive from it
+    val sch = schemaOf(md)
+    val cols = sch.fieldNames.map(df.col).toSeq
     val base = df.select(cols: _*)
     // hidden partitioning: group rows by the transforms so each file covers
     // ONE partition tuple (the derived columns live only in dir names —
     // partitionBy removes them from file contents, keeping old and new files
     // column-identical)
-    val specs = partitionSpecs
-    val sch = schema
+    val specs = specsOf(md, sch)
     val prepared = specs.foldLeft(base)((df, sp) => df.withColumn(sp.name, sp.column(sch)))
     val writer = prepared.write
       // parquet drops chunk stats entirely once min+max exceed ~4 KB, which
@@ -360,7 +391,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     (if (specs.isEmpty) withRoll else withRoll.partitionBy(specs.map(_.name): _*))
       .mode("errorifexists").parquet(dir)
     val written = FileIO.listFilesRecursively(dir, ".parquet")
-    StatsCollector.collect(spark, schema, root, written, commitUuid)
+    StatsCollector.collect(spark, sch, root, written, commitUuid)
   }
 
   /** Append-only commit: parent manifests + one new manifest.

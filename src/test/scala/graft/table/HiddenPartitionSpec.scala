@@ -183,6 +183,27 @@ class HiddenPartitionSpec extends SparkSuite {
     assertSameRows(t.read(Some(pred)), t.read().filter(pred), "truncate-pruned scan")
   }
 
+  test("cluster rewrite on a bucketed table stays per-partition: no file explosion") {
+    // regression: a GLOBAL range exchange interleaves bucket values across
+    // every task; partitionBy would then write ~tasks x buckets tiny files
+    // and re-sort by the partition column, destroying the z order
+    val t = GraftTable.create(spark, tmpDir("graft-hp-bucket-cluster"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(4, url)"))
+    t.append(Synth.pages(spark, 4000, hosts = 20, partitions = 4))
+    val pre = t.read()
+    val totalBytes = t.files().map(_.bytes).sum
+    Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = totalBytes / 8)
+    val files = t.files()
+    // ~8 size-targeted files (+ slack for per-bucket rounding), NOT
+    // buckets x range-partitions
+    assert(files.size <= 16, s"bucketed cluster rewrite exploded: ${files.size} files")
+    assert(files.forall(_.path.contains("gp_bucket_4_url=")))
+    // within each bucket the z order held: per-file host/ts bounds are tight
+    assertSameRows(t.read(), pre, "bucketed cluster scan equality")
+    val someUrl = t.read().select("url").orderBy("url").head().getString(0)
+    assert(t.planFiles(Some(col("url") === lit(someUrl))).size <= files.size / 2)
+  }
+
   test("compaction bin-packs within partition values, one output file per day") {
     val t = GraftTable.create(spark, tmpDir("graft-hp-compact"), Synth.pageSchema, prop)
     // three small appends → ≥3 small files per day dir
