@@ -129,7 +129,8 @@ object Cluster {
       runId: String = java.util.UUID.randomUUID.toString,
       saltThresholdRows: Long = 2000000L,
       nSalts: Int = 16,
-      onlyFiles: Option[Seq[DataFileMeta]] = None): Option[Snapshot] = {
+      onlyFiles: Option[Seq[DataFileMeta]] = None,
+      jobParallelism: Int = 4): Option[Snapshot] = {
     val spark = table.spark
     val t0 = System.nanoTime()
     var log = Maintenance.start(table, runId, "cluster")
@@ -155,19 +156,22 @@ object Cluster {
     // (no partition dirs) form their own group whose rewrite adopts the
     // dir layout (a one-time split).
     val specs = table.partitionSpecs
-    def partKey(f: DataFileMeta): String =
-      specs.flatMap(sp => sp.dirValue(f.path).map(v => s"${sp.name}=$v")).mkString("/")
     val groups: Seq[(Int, Seq[DataFileMeta])] =
       (if (specs.isEmpty) Seq(inputs)
-       else inputs.groupBy(partKey).toSeq.sortBy(_._1).map(_._2))
+       else inputs.groupBy(f => graft.table.PartitionSpec.fileKey(specs, f))
+         .toSeq.sortBy(_._1).map(_._2))
         .zipWithIndex.map(_.swap)
 
     /** One group's rewrite: sample -> boundaries+heavy hosts -> steered
-      * range exchange -> in-partition sort -> rolled write. */
-    def rewriteGroup(gi: Int, gInputs: Seq[DataFileMeta]): Unit = {
+      * range exchange -> in-partition sort -> rolled write. Returns the
+      * group's output file metas (footers read once, inside the group's
+      * own parallel slot). */
+    def rewriteGroup(gi: Int, gInputs: Seq[DataFileMeta]): Seq[DataFileMeta] = {
       val dir = s"${table.dataDir}/$commitUuid-p$gi"
       val done = log.doneSteps.contains(s"part$gi") && FileIO.exists(s"$dir/_SUCCESS")
-      if (done) return
+      if (done) // resume: the write completed earlier; re-read its footers
+        return graft.table.StatsCollector.collect(spark, schema, table.root,
+          FileIO.listFilesRecursively(dir, ".parquet"), s"$commitUuid-p$gi")
       FileIO.deleteRecursively(dir)
       // MoR tombstones are applied during the rewrite; a FULL rewrite
       // (onlyFiles empty) then clears them at commit — materialization
@@ -233,31 +237,39 @@ object Cluster {
       val sorted = RangeShuffle.byRange(salted, col("_zs"), bds)
         .sortWithinPartitions(col("_zs"))
       val rowsPerFile = if (nOut > nPart) math.max(1L, rowsTotal / nOut) else 0L
-      table.writeDataFiles(sorted, s"$commitUuid-p$gi", rowsPerFile) // selects schema cols, dropping _zkey/_salt/_zs
+      // writeDataFiles collects the fresh footers already — reuse them
+      val metas = table.writeDataFiles(sorted, s"$commitUuid-p$gi", rowsPerFile) // selects schema cols, dropping _zkey/_salt/_zs
       synchronized { log = Maintenance.markDone(table, log, s"part$gi") }
+      metas
     }
 
-    if (groups.size == 1) rewriteGroup(groups.head._1, groups.head._2)
-    else {
-      // groups are independent pipelines; run a few concurrently so small
-      // partition values do not serialize the pass (same pattern as Compact)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(4, groups.size),
-        r => { val t = new Thread(r, "graft-cluster"); t.setDaemon(true); t })
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(groups.map { case (gi, g) =>
-          scala.concurrent.Future(rewriteGroup(gi, g))
-        }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
-    }
+    val perGroup: Seq[(Seq[DataFileMeta], Seq[DataFileMeta])] =
+      if (groups.size == 1) Seq((rewriteGroup(groups.head._1, groups.head._2), groups.head._2))
+      else {
+        // groups are independent pipelines; run a few concurrently so small
+        // partition values do not serialize the pass (same pattern as Compact)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(jobParallelism, groups.size),
+          r => { val t = new Thread(r, "graft-cluster"); t.setDaemon(true); t })
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fut = scala.concurrent.Future.sequence(groups.map { case (gi, g) =>
+          scala.concurrent.Future((rewriteGroup(gi, g), g))
+        })
+        try {
+          val r = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
+          pool.shutdown()
+          r
+        } catch { case e: Throwable =>
+          // fail fast but do NOT leave sibling group jobs writing into
+          // staging dirs a same-runId retry would delete from under them
+          pool.shutdownNow()
+          pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+          throw e
+        }
+      }
 
-    val added = groups.flatMap { case (gi, _) =>
-      graft.table.StatsCollector.collect(spark, schema, table.root,
-        FileIO.listFilesRecursively(s"${table.dataDir}/$commitUuid-p$gi", ".parquet"),
-        s"$commitUuid-p$gi")
-    }
+    val added = perGroup.flatMap(_._1)
     val removed = inputs.map(_.path).toSet
     val committed = table.replaceFiles(removed, added, "cluster",
       Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts",
@@ -266,8 +278,11 @@ object Cluster {
       // a full rewrite read every file with tombstones applied → clear them
       clearDeletes = onlyFiles.isEmpty)
     Maintenance.markCommitted(table, log, committed.id)
+    // lineage per GROUP: an output derives only from its own partition
+    // group's inputs (whole-rewrite attribution was wrong for multi-group)
+    val sourcesPerOutput = perGroup.flatMap { case (outs, srcs) => outs.map(o => o.path -> srcs) }.toMap
     Lineage.record(spark, table, runId, committed.id, "cluster", added,
-      added.map(o => o.path -> inputs).toMap, (System.nanoTime() - t0) / 1000000)
+      sourcesPerOutput, (System.nanoTime() - t0) / 1000000)
     Some(committed)
   }
 

@@ -61,11 +61,10 @@ object Compact {
     // Pre-spec files (no partition dirs) pack together; their rewrite
     // adopts the dir layout.
     val specs = table.partitionSpecs
-    def partKey(f: DataFileMeta): String =
-      specs.flatMap(sp => sp.dirValue(f.path).map(v => s"${sp.name}=$v")).mkString("/")
     val byPart: Seq[Seq[DataFileMeta]] =
       if (specs.isEmpty) Seq(ordered)
-      else ordered.groupBy(partKey).toSeq.sortBy(_._1).map(_._2)
+      else ordered.groupBy(f => graft.table.PartitionSpec.fileKey(specs, f))
+        .toSeq.sortBy(_._1).map(_._2)
     val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[DataFileMeta]]
     for (part <- byPart) {
       var cur = Vector.empty[DataFileMeta]
@@ -127,7 +126,15 @@ object Compact {
           (metas, group)
         }
       }
-    val finished = Await.result(Future.sequence(results), Duration.Inf)
+    val finished =
+      try Await.result(Future.sequence(results), Duration.Inf)
+      catch { case e: Throwable =>
+        // fail fast but do NOT leave sibling group jobs writing into staging
+        // dirs a same-runId retry would deleteRecursively from under them
+        pool.shutdownNow()
+        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        throw e
+      }
     pool.shutdown()
 
     val added = finished.flatMap(_._1)

@@ -38,10 +38,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
 
-  // graft tables are PATH-addressed: only intercept backticked identifiers
-  // that look like paths, so OPTIMIZE/VACUUM over a real catalog schema that
+  // graft tables are PATH-addressed: intercept backticked identifiers that
+  // look like paths — or single-segment relative paths where a graft table
+  // actually exists — so OPTIMIZE/VACUUM over a real catalog schema that
   // happens to be named `graft` (e.g. Delta's) still reaches the delegate
-  private def isPath(p: String): Boolean = p.contains("/")
+  private def isPath(p: String): Boolean =
+    p.contains("/") || graft.table.FileIO.exists(s"$p/metadata/v1.json")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(path, zorder, hilbert) if isPath(path) =>

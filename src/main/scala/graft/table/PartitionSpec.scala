@@ -136,6 +136,12 @@ object PartitionSpec {
         "hours(col), months(col), years(col), bucket(n, col), truncate(w, col)")
   }
 
+  /** Partition-tuple key of a data file under `specs` (dir values joined;
+    * empty string for pre-spec files) — THE grouping rule partition-aware
+    * maintenance shares (Compact bin-packing, Cluster rewrite groups). */
+  def fileKey(specs: Seq[PartitionSpec], f: graft.table.DataFileMeta): String =
+    specs.flatMap(sp => sp.dirValue(f.path).map(v => s"${sp.name}=$v")).mkString("/")
+
   /** Parse a comma-separated multi-transform spec, e.g.
     * `bucket(16, host), days(warc_ts)`. */
   def parseMulti(s: String): Seq[PartitionSpec] = {
