@@ -399,6 +399,33 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // S7/R3 end-to-end: the reference's HDFS delimited sink with the
+    // insert/delete split (HdfsTargetAdapter.java:37-152) — write the
+    // ctrl-A CSV dirs, read them back, prove byte-fidelity per op branch
+    // against the input (unknown _op kinds are dropped, per the contract)
+    "q33_delimited_roundtrip" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .withColumn("_op",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, "other") // must be dropped
+            .when(pmod(col("o_orderkey"), lit(5)) === 0, "delete")
+            .otherwise("insert"))
+      val out = java.nio.file.Files.createTempDirectory("graft-q33").toString + "/d"
+      graft.sources.Delimited.write(src, out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("o_orderpriority", StringType)))
+      val back = graft.sources.Delimited.read(s, s"$out/insert", schema).withColumn("op", lit("insert"))
+        .unionByName(graft.sources.Delimited.read(s, s"$out/delete", schema).withColumn("op", lit("delete")))
+      val res = back.groupBy("op")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("o_totalprice"), 2).as("price_sum"),
+          countDistinct("o_orderpriority").as("n_prio"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(out)
+      res
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -647,5 +674,14 @@ object SparkEntry {
         |  WHERE s.c_custkey IS NOT NULL OR b.c_mktsegment <> 'BUILDING')
         |SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
         |       round(sum(bal), 2) AS bal_sum
-        |FROM merged""".stripMargin)
+        |FROM merged""".stripMargin,
+    // q33: the CSV roundtrip must preserve every surviving row exactly, so
+    // the read-back aggregates equal the same aggregates over the input
+    "q33_delimited_roundtrip" ->
+      """SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'insert' END AS op,
+        |       count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(o_totalprice), 2) AS price_sum,
+        |       count(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1""".stripMargin)
 }
