@@ -1,9 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.graftshim.GraftRelation
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
+import graft.streaming.GraftStreamSource
 import graft.table.{FileIO, GraftTable}
 
 /**
@@ -19,9 +22,34 @@ import graft.table.{FileIO, GraftTable}
  * HadoopFsRelation, so WHERE clauses in SQL over this source prune data
  * files from snapshot min/max metadata before the scan is planned.
  */
-class GraftDataSource extends RelationProvider with CreatableRelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming CDC read: spark.readStream.format("graft").load(root) -----
+  // (see graft.streaming.GraftStreamSource for offset/batch semantics)
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft streaming source derives its schema from table metadata; " +
+      "do not pass a schema to readStream")
+    val root = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft streaming source requires a path: spark.readStream.format(\"graft\").load(<table root>)"))
+    (shortName(), GraftTable.load(sqlContext.sparkSession, root).schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftStreamSource(sqlContext.sparkSession, parameters)
 
   /**
    * `df.write.format("graft").mode(...).save(root)`:

@@ -296,10 +296,28 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * throw, directing the caller to a full-table diff.
    */
   def incrementalRead(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    val (added, to) = incrementalFiles(fromSnapshotId, toSnapshotId)
+    incrementalResult(added, to)
+  }
+
+  /**
+   * The file-level diff behind [[incrementalRead]]: data files APPENDED in
+   * `(fromSnapshotId, to]`, plus the resolved `to` id (so callers apply that
+   * snapshot's tombstones). `skipChangeCommits = true` silently SKIPS
+   * row-changing commits (merge / update / delete / overwrite /
+   * tombstone-materializing rewrites) instead of throwing — the streaming
+   * CDC source's opt-out, mirroring the append-only contract a tailing
+   * consumer accepts: appends land, rewrites of already-delivered rows are
+   * never re-delivered or retracted.
+   */
+  def incrementalFiles(
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None,
+      skipChangeCommits: Boolean = false): (Seq[DataFileMeta], Long) = {
     val md = metadata
     val rowPreserving = Set("compact", "cluster", "rewrite-manifests")
     val to = toSnapshotId.orElse(md.currentSnapshotId).getOrElse(
-      throw new IllegalArgumentException("incrementalRead on an empty table"))
+      throw new IllegalArgumentException("incremental read on an empty table"))
     require(md.snapshot(fromSnapshotId).nonEmpty || fromSnapshotId == 0,
       s"unknown or expired snapshot $fromSnapshotId")
     var cursor = md.snapshot(to).getOrElse(
@@ -318,24 +336,27 @@ class GraftTable private (val root: String, val spark: SparkSession) {
           // rows (a key tombstoned before `from`, re-appended in-range, then
           // materialized away would otherwise be returned here while read()
           // at `to` hides it)
-          if (cursor.summary.get("materialized-tombstones").contains("true"))
+          if (cursor.summary.get("materialized-tombstones").contains("true") && !skipChangeCommits)
             throw new IllegalArgumentException(
               s"snapshot ${cursor.id} ('$op') materialized tombstones and is not " +
                 "row-preserving; file-level incremental read is append-only — " +
                 "diff full snapshots instead")
         case op =>
-          throw new IllegalArgumentException(
-            s"snapshot ${cursor.id} is a row-changing '$op' commit; " +
-              "file-level incremental read is append-only — diff full snapshots instead")
+          if (!skipChangeCommits)
+            throw new IllegalArgumentException(
+              s"snapshot ${cursor.id} is a row-changing '$op' commit; " +
+                "file-level incremental read is append-only — diff full snapshots " +
+                "instead (streaming readers: option skip-change-commits=true)")
+          // skipped: the change commit's file additions are not emitted
       }
       cursor = cursor.parentId.flatMap(md.snapshot).getOrElse {
         if (cursor.parentId.contains(fromSnapshotId) || (cursor.parentId.isEmpty && fromSnapshotId == 0))
-          return incrementalResult(added.toSeq, to)
+          return (added.toSeq, to)
         throw new IllegalArgumentException(
           s"snapshot chain from $to to $fromSnapshotId broken (expired snapshot?)")
       }
     }
-    incrementalResult(added.toSeq, to)
+    (added.toSeq, to)
   }
 
   /** Incremental-read result with the `to` snapshot's tombstones applied —

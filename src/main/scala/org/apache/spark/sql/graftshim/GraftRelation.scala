@@ -98,16 +98,20 @@ object GraftRelation {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
 
-  /** DataFrame whose scan prunes files from Catalyst's pushed-down filters. */
+  /** DataFrame whose scan prunes files from Catalyst's pushed-down filters.
+    * `isStreaming = true` marks the plan as a streaming micro-batch leaf —
+    * required of DataFrames a DSv1 streaming `Source.getBatch` returns
+    * (MicroBatchExecution splices the plan into the streaming query). */
   def dataFrame(
       spark: SparkSession,
       tableSchema: StructType,
       rootDir: String,
       metas: Seq[DataFileMeta],
-      specs: Seq[PartitionSpec] = Seq.empty): DataFrame = {
+      specs: Seq[PartitionSpec] = Seq.empty,
+      isStreaming: Boolean = false): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     org.apache.spark.sql.classic.Dataset.ofRows(
       classic,
-      LogicalRelation(relation(spark, tableSchema, rootDir, metas, specs), isStreaming = false))
+      LogicalRelation(relation(spark, tableSchema, rootDir, metas, specs), isStreaming = isStreaming))
   }
 }

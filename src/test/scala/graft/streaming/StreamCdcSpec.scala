@@ -1,0 +1,167 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSuite
+import graft.run.Synth
+import graft.table.GraftTable
+
+/**
+ * Streaming CDC read of a graft table (`spark.readStream.format("graft")`):
+ * the continuous form of the reference's checkpointed incremental-load loop
+ * (`util/TimeStampUtil.java:53-109`).
+ */
+class StreamCdcSpec extends SparkSuite {
+
+  private def pagesTagged(n: Long, seed: Long, tag: String): DataFrame =
+    Synth.pages(spark, n, partitions = 2, seed = seed)
+      .withColumn("url", concat(col("url"), lit(s"?b=$tag")))
+
+  /** Run the CDC stream until drained, collecting (batchId, urls) pairs. */
+  private def drain(
+      root: String,
+      ckpt: String,
+      sink: ConcurrentLinkedQueue[(Long, Seq[String])],
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = options.foldLeft(spark.readStream.format("graft")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(root).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val urls = batch.select("url").collect().map(_.getString(0)).toSeq
+        sink.add((batchId, urls)); ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
+
+  test("tail appends exactly once: initial snapshot, incremental batches, checkpoint restart") {
+    val root = tmpDir("graft-cdc")
+    val ckpt = tmpDir("graft-cdc-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(100, 1, "a"))
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    def urls: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.flatMap(_._2)
+    }
+
+    // first run: the table's current contents arrive as the initial batch
+    drain(root, ckpt, got)
+    assert(urls.size == 100 && urls.distinct.size == 100, "initial snapshot delivered once")
+
+    // two more appends while the stream is down; restart from the checkpoint
+    t.append(pagesTagged(50, 2, "b"))
+    t.append(pagesTagged(30, 3, "c"))
+    drain(root, ckpt, got)
+    assert(urls.size == 180 && urls.distinct.size == 180,
+      s"appends delivered exactly once across restart (got ${urls.size})")
+    assert(urls.count(_.endsWith("?b=b")) == 50 && urls.count(_.endsWith("?b=c")) == 30)
+
+    // restart with nothing new: no rows, no duplicate delivery
+    drain(root, ckpt, got)
+    assert(urls.size == 180, "idle restart must deliver nothing")
+
+    // compaction is row-preserving: invisible to the tail
+    graft.ops.Compact.run(t, targetBytes = 1L << 30)
+    t.append(pagesTagged(20, 4, "d"))
+    drain(root, ckpt, got)
+    assert(urls.size == 200 && urls.distinct.size == 200,
+      "compaction emits nothing; the post-compaction append arrives once")
+  }
+
+  test("starting-snapshot-id tails from a snapshot instead of delivering the initial contents") {
+    val root = tmpDir("graft-cdc-tail")
+    val ckpt = tmpDir("graft-cdc-tail-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(100, 1, "old"))
+    val from = t.currentSnapshot.get.id
+    t.append(pagesTagged(40, 2, "new"))
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    drain(root, ckpt, got, Map("starting-snapshot-id" -> from.toString))
+    import scala.jdk.CollectionConverters._
+    val urls = got.asScala.toSeq.flatMap(_._2)
+    assert(urls.size == 40 && urls.forall(_.endsWith("?b=new")),
+      "only rows appended after the starting snapshot are delivered")
+  }
+
+  test("row-changing commit fails the query by default; skip-change-commits skips it") {
+    val root = tmpDir("graft-cdc-merge")
+    val ckpt = tmpDir("graft-cdc-merge-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(60, 1, "a"))
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    drain(root, ckpt, got) // initial snapshot committed to the checkpoint
+
+    // a merge (copy-on-write rewrite) lands in the undelivered range
+    val upd = t.read().limit(5)
+      .withColumn("warc_ts", col("warc_ts") + expr("interval 400 days"))
+      .withColumn("text", lit("rewritten"))
+    graft.ops.Merge.into(t, upd, Seq("url"))
+    t.append(pagesTagged(10, 2, "late"))
+
+    val ex = intercept[StreamingQueryException] { drain(root, ckpt, got) }
+    assert(ex.getMessage.contains("row-changing") || Option(ex.getCause).exists(
+      c => String.valueOf(c.getMessage).contains("row-changing")),
+      s"query must fail naming the row-changing commit, got: ${ex.getMessage}")
+
+    // opt-out: the merge is skipped, the append still arrives exactly once
+    import scala.jdk.CollectionConverters._
+    val before = got.asScala.toSeq.flatMap(_._2).size
+    drain(root, ckpt, got, Map("skip-change-commits" -> "true"))
+    val urls = got.asScala.toSeq.flatMap(_._2)
+    assert(urls.size == before + 10 && urls.count(_.endsWith("?b=late")) == 10,
+      "skip-change-commits: merge emits nothing, append delivered once")
+  }
+
+  test("tombstones at the batch snapshot are applied to delivered rows") {
+    val root = tmpDir("graft-cdc-mor")
+    val ckpt = tmpDir("graft-cdc-mor-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(20, 1, "base"))
+    val from = t.currentSnapshot.get.id
+
+    // append 30 rows, then MoR-tombstone 7 of them before the stream runs
+    t.append(pagesTagged(30, 2, "x"))
+    import spark.implicits._
+    val dead = t.read().filter(col("url").endsWith("?b=x"))
+      .select("url").as[String].take(7).toSeq
+    t.deleteByKeysMoR(dead.toDF("url"))
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    drain(root, ckpt, got, Map(
+      "starting-snapshot-id" -> from.toString, "skip-change-commits" -> "true"))
+    import scala.jdk.CollectionConverters._
+    val urls = got.asScala.toSeq.flatMap(_._2)
+    assert(urls.size == 23, s"tombstoned keys must not be delivered (got ${urls.size})")
+    assert(dead.forall(u => !urls.contains(u)))
+  }
+
+  test("max-snapshots-per-trigger bounds each micro-batch to the chain prefix") {
+    val root = tmpDir("graft-cdc-cap")
+    val ckpt = tmpDir("graft-cdc-cap-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(10, 1, "s1"))
+    val from = t.currentSnapshot.get.id
+    t.append(pagesTagged(11, 2, "s2"))
+    t.append(pagesTagged(12, 3, "s3"))
+    t.append(pagesTagged(13, 4, "s4"))
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    drain(root, ckpt, got, Map(
+      "starting-snapshot-id" -> from.toString, "max-snapshots-per-trigger" -> "1"))
+    import scala.jdk.CollectionConverters._
+    val batches = got.asScala.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(batches.map(_._2.size) == Seq(11, 12, 13),
+      s"one append per micro-batch, in commit order (got ${batches.map(_._2.size)})")
+    assert(batches.flatMap(_._2).distinct.size == 36)
+  }
+}
