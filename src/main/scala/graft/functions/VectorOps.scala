@@ -61,6 +61,31 @@ object VectorOps {
     dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
   }
 
+  /** argmax over centroids of dot(v, centroid): the IVF cell-assignment
+    * kernel. `cents` is flat nCents×dim row-major. Strictly-greater
+    * replacement keeps the earliest index on ties (matching the replaced
+    * fold's `cand < best` strict comparison); NaN dots never win; null
+    * elements are skipped (see [[hyperplaneSig]]). Returns -1 only when no
+    * dot is comparable (all NaN / -Inf). */
+  def argMaxDot(v: ArrayData, cents: Array[Double], nCents: Int, dim: Int): Int = {
+    val n = math.min(v.numElements(), dim)
+    var best = -1
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < nCents) {
+      val off = c * dim
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) d += v.getDouble(i) * cents(off + i)
+        i += 1
+      }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Deterministic ±1 hyperplanes — same Random(seed) draw order as the
     * original column formulation, so signatures are bit-identical for
     * vectors of ≤ maxDim dims (see [[HyperplaneSigExpr]] for the longer
@@ -77,6 +102,9 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimExpr(Shims.expression(a), Shims.expression(b)))
+
+  def argMaxDot(v: Column, centroids: Seq[Seq[Double]]): Column =
+    Shims.column(ArgMaxDotExpr(Shims.expression(v), centroids))
 }
 
 /** `hyperplane_sig(array<double>)` → long. Inputs coerce to array<double>
@@ -99,6 +127,37 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, seed: Long, maxDim: I
     val ref = ctx.addReferenceObj("hyperplanes", planes, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.VectorOps.hyperplaneSig($c, $ref, $bits, $maxDim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `argmax_dot(array<double>)` → int: nearest-centroid (max inner product)
+  * assignment for IVF cells. The centroid matrix is a broadcast-sized
+  * literal flattened once on first eval; the per-row work is one tight
+  * nCents×dim multiply-add loop inside whole-stage codegen — replacing an
+  * `aggregate(transform(…))` fold that evaluated interpreted with a boxed
+  * struct allocation per centroid per row (the exact higher-order-function
+  * trap the band-hash kernel already closed). Vectors shorter than the
+  * centroid dim use the common prefix; longer vectors ignore extra dims. */
+case class ArgMaxDotExpr(child: Expression, centroids: Seq[Seq[Double]])
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(centroids.nonEmpty, "argmax_dot needs at least one centroid")
+  require(centroids.map(_.size).distinct.size == 1,
+    "argmax_dot centroids must share one dimensionality")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType, containsNull = false))
+
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+  private def dim: Int = centroids.head.size
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmax_dot"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.argMaxDot(input.asInstanceOf[ArrayData], flat, centroids.size, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", flat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorOps.argMaxDot($c, $ref, ${centroids.size}, $dim)")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

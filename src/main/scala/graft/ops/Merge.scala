@@ -318,15 +318,38 @@ object Merge {
       // range-partition the merged output on the leading key WITHOUT sampling
       // the child (repartitionByRange would re-execute the full-outer join
       // just to pick boundaries): equi-depth boundaries come from the touched
-      // files' key bounds weighted by row counts — free, from metadata
+      // files' key bounds weighted by row counts — free, from metadata.
+      // EVERY supported key type maps into an order-preserving Long space
+      // matching its canonical bound encoding (strings → 8-byte packed
+      // prefix, timestamps → epoch micros, dates → epoch days, integrals
+      // verbatim), so post-merge files carry TIGHT per-file key bounds and
+      // the NEXT merge's touchedFiles interval index prunes — a hash
+      // scatter would leave every output file spanning the whole key space
+      val steer: Option[(Column, String => Long)] = leadDt match {
+        case StringType =>
+          Some((graft.functions.ZOrder.packedPrefix(col(keyCols.head), 8),
+            (s: String) => graft.functions.ZOrder.packPrefixScala(s)))
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some((col(keyCols.head).cast("long"), (s: String) => s.toLong))
+        case TimestampType =>
+          Some((unix_micros(col(keyCols.head)), (s: String) => s.toLong))
+        case TimestampNTZType =>
+          Some((unix_micros(col(keyCols.head).cast("timestamp")), (s: String) => s.toLong))
+        case DateType =>
+          Some((unix_date(col(keyCols.head)).cast("long"), (s: String) => s.toLong))
+        case _ => None // float/double/decimal keys: no packed encoding
+      }
+      val bds = steer.map { case (_, enc) =>
+        RangeShuffle.boundariesFromFileMeta(touched, keyCols.head, nOut, enc)
+      }
       val out =
-        if (nOut > 1 && leadDt == StringType) {
-          val bds = RangeShuffle.boundariesFromFileMeta(touched, keyCols.head, nOut,
-            s => graft.functions.ZOrder.packPrefixScala(s))
-          RangeShuffle.byRange(merged,
-            graft.functions.ZOrder.packedPrefix(col(keyCols.head), 8), bds)
-        } else if (nOut > 1) merged.repartition(nOut, keyC: _*)
-        else merged
+        if (nOut <= 1) merged
+        else (steer, bds) match {
+          // empty boundaries = no touched file carried bounds: range
+          // steering would collapse to one partition — scatter instead
+          case (Some((kc, _)), Some(b)) if b.nonEmpty => RangeShuffle.byRange(merged, kc, b)
+          case _ => merged.repartition(nOut, keyC: _*)
+        }
       table.writeDataFiles(out, commitUuid)
       Maintenance.markDone(table, log, "rewrite")
     }

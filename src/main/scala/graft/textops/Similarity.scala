@@ -85,23 +85,14 @@ object Similarity {
 
   /**
    * IVF-style search: assign every vector to its nearest of `centroids`
-   * (argmin distance — a broadcast of the small centroid table), then
+   * (max inner product via the codegen'd [[graft.functions.ArgMaxDotExpr]]
+   * kernel — one tight loop per row over a flattened centroid matrix), then
    * search only the query's probe cells. Centroids here are caller-chosen
    * (e.g. sampled vectors) — k-means training is out of scope of a scan op.
    */
-  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
-    val cents = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), typedLit(c).as("cv"))
-    }: _*)
+  def ivfAssign(df: DataFrame, embCol: String, centroids: Seq[Seq[Double]]): DataFrame =
     df.withColumn("_cell",
-      aggregate(
-        transform(cents, c => struct(
-          (lit(-1.0) * dot(col(embCol).cast("array<double>"), c.getField("cv"))).as("negdot"),
-          c.getField("cid").as("cid"))),
-        struct(lit(Double.MaxValue).as("negdot"), lit(-1).as("cid")),
-        (best, cand) => when(cand.getField("negdot") < best.getField("negdot"), cand).otherwise(best))
-        .getField("cid"))
-  }
+      graft.functions.VectorOps.argMaxDot(col(embCol).cast("array<double>"), centroids))
 
   /**
    * IVF probe search, the query path over [[ivfAssign]]'s cells: rank the

@@ -266,6 +266,38 @@ class TextVectorKernelsSpec extends SparkSuite {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("argmax-dot kernel matches the aggregate(transform) fold and stays codegen'd") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val cents = Seq.fill(8)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val df = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(dim)(d => math.sin(i * 5 + d * 3) + math.cos(i + d)))
+    }.toDF("id", "v")
+    // the replaced higher-order formulation (negdot fold, earliest-wins ties)
+    val centsLit = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedLit(c).as("cv"))
+    }: _*)
+    def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val viaFold = df.select(col("id"),
+      aggregate(
+        transform(centsLit, c => struct(
+          (lit(-1.0) * dotHof(col("v"), c.getField("cv"))).as("negdot"),
+          c.getField("cid").as("cid"))),
+        struct(lit(Double.MaxValue).as("negdot"), lit(-1).as("cid")),
+        (best, cand) => when(cand.getField("negdot") < best.getField("negdot"), cand).otherwise(best))
+        .getField("cid").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaKernel = df.select(col("id"), VectorOps.argMaxDot(col("v"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaFold === viaKernel, "cell assignment must be bit-identical to the fold")
+    assert(viaKernel.values.toSet.size > 2, "assignments should spread across cells")
+    // and the kernel stays inside whole-stage codegen (the fold could not)
+    wholeStageProject(spark.range(4)
+      .select(array(col("id") * 0.5, col("id") * -1.0, lit(0.25)).as("v"))
+      .select(VectorOps.argMaxDot(col("v"), Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 2.0))).as("c")))
+  }
+
   test("hyperplane signature is deterministic and splits space") {
     val vs = (0 until 32).map(i => (i.toLong, Seq.tabulate(8)(d => math.sin(i * 3 + d).toDouble)))
     val df = vs.toDF("id", "v")

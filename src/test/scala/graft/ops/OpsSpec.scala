@@ -314,6 +314,42 @@ class MergeSpec extends SparkSuite {
     assert(touchedLead.size === 1)
   }
 
+  test("merge output of a timestamp key is range-clustered; the next merge prunes") {
+    // regression: non-string leading keys were hash-repartitioned, so every
+    // post-merge file spanned the whole key space and the NEXT merge's
+    // touchedFiles planning degenerated to a full rewrite
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("warc_ts", TimestampType, nullable = false),
+      StructField("payload", StringType)))
+    val t = GraftTable.create(spark, tmpDir("graft-ts-range"), schema)
+    import spark.implicits._
+    def ts(dayMinute: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + dayMinute * 60000L)
+    val pay = "x" * 64
+    // four ts-disjoint files covering minutes [0, 8000)
+    for (b <- 0 until 4)
+      t.append((b * 2000 until (b + 1) * 2000).map(m => (ts(m), pay))
+        .toDF("warc_ts", "payload").coalesce(1))
+    assert(t.files().size === 4)
+    // ANSI merge touching every file, small target files => several outputs
+    val src = (0 until 8000 by 7).map(m => (ts(m), "updated")).toDF("warc_ts", "payload")
+    Merge.into(t, src, Seq("warc_ts"), latestWins = false, targetFileBytes = 48 * 1024)
+    val out = t.files().filter(_.commitUuid.startsWith("merge-"))
+    assert(out.size > 1, s"expected several merge output files, got ${out.size}")
+    // per-file micros bounds must be (near-)disjoint: sorted by min, each
+    // file's max stays below the next file's min — range steering, not hash
+    val sorted = out.map(f => (f.minValues("warc_ts").toLong, f.maxValues("warc_ts").toLong))
+      .sortBy(_._1)
+    for (Seq((_, hi), (lo2, _)) <- sorted.sliding(2))
+      assert(hi <= lo2, s"post-merge file bounds overlap: $sorted")
+    // a narrow follow-up change set now touches a strict subset of files
+    val narrow = (0 until 500 by 11).map(m => (ts(m), "again")).toDF("warc_ts", "payload")
+    val touched = Merge.touchedFiles(t, narrow.select("warc_ts"), Seq("warc_ts"))
+    assert(touched.size < t.files().size,
+      s"expected pruning on the second merge: ${touched.size}/${t.files().size}")
+  }
+
   test("composite-key touched-file planning prunes on residual key columns") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

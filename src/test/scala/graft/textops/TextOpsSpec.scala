@@ -139,6 +139,44 @@ class TextOpsSpec extends SparkSuite {
     assert(allProbe === hardExact)
   }
 
+  test("ivf cells as hidden bucket partitions: probe filter prunes data files") {
+    // the 100 TB path the ivfSearch scaladoc promises: materialize `_cell`,
+    // bucket the table on it, and the probe-cell IN filter becomes FILE
+    // pruning through Catalyst's pushed-down filters — nProbe/cells of the
+    // corpus is scanned, not all of it
+    import graft.table.{GraftTable, PartitionSpec}
+    val dim = 8
+    val centroids = (0 until 8).map(c => Seq.tabulate(dim)(d => if (d == c) 1.0 else 0.05))
+    val pts = for (c <- 0 until 8; i <- 0 until 40) yield (
+      (c * 40 + i).toLong,
+      centroids(c).zipWithIndex.map { case (v, d) => v + math.sin(c * 131 + i * 17 + d) * 0.05 })
+    val df = pts.toDF("vec_id", "embedding").repartition(4)
+    val assigned = Similarity.ivfAssign(df, "embedding", centroids)
+    val t = GraftTable.create(spark, tmpDir("graft-ivf-bucket"), assigned.schema,
+      Map(PartitionSpec.Property -> "bucket(8, _cell)"))
+    t.append(assigned)
+    val all = t.files()
+    assert(all.size >= 8, s"expected one file set per bucket dir, got ${all.size}")
+
+    // metadata planning prunes the probe cell to its bucket's files …
+    val planned = t.planFiles(Some(col("_cell").isin(3)))
+    assert(planned.nonEmpty && planned.size < all.size,
+      s"bucket pruning must drop non-probe files: ${planned.size}/${all.size}")
+    // … and the SAME pruning happens inside Catalyst on a real scan
+    val scanned = t.read().filter(col("_cell").isin(3))
+      .select(input_file_name()).distinct().count()
+    assert(scanned == planned.size,
+      s"executed scan read $scanned files, planner promised ${planned.size}")
+
+    // search through the bucketed table matches search over the raw frame
+    val query = centroids(3).map(_ + 0.01)
+    val viaTable = Similarity.ivfSearch(t.read(), "embedding", "vec_id",
+      centroids, query, k = 5, nProbe = 1).select("vec_id").as[Long].collect().toSet
+    val viaRaw = Similarity.ivfSearch(assigned, "embedding", "vec_id",
+      centroids, query, k = 5, nProbe = 1).select("vec_id").as[Long].collect().toSet
+    assert(viaTable === viaRaw && viaTable.nonEmpty)
+  }
+
   test("connected components + near-dup removal") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, unpaired 20
