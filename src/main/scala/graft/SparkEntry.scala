@@ -426,6 +426,47 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(out)
       res
+    }),
+
+    // J3: FULL ANSI clause matrix in one statement — several conditional
+    // matched clauses (DELETE + two UPDATEs with DIFFERENT column sets,
+    // first-match-wins via the `_setw_*` masks), several conditional
+    // INSERT clauses (different column sets via `_insw_*`), and BOTH
+    // NOT MATCHED BY SOURCE actions (delete-first order)
+    "q34_merge_multi" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment")
+      val root = java.nio.file.Files.createTempDirectory("graft-q34").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, cust.schema)
+      tbl.append(cust.coalesce(8))
+      val m = cust.filter(pmod(col("c_custkey"), lit(4)) === 0)
+      val i = cust.filter(pmod(col("c_custkey"), lit(9)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L)
+      m.unionByName(i).createOrReplaceTempView("q34src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING q34src s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.c_acctbal < 0.0 THEN DELETE
+           |WHEN MATCHED AND s.c_nationkey % 2 = 0 THEN UPDATE SET c_acctbal = s.c_acctbal + 50.0
+           |WHEN MATCHED THEN UPDATE SET c_name = upper(s.c_name), c_mktsegment = 'RESYNC'
+           |WHEN NOT MATCHED AND s.c_acctbal >= 5000.0 THEN
+           |  INSERT (c_custkey, c_name, c_acctbal) VALUES (s.c_custkey, s.c_name, s.c_acctbal + 7.5)
+           |WHEN NOT MATCHED THEN
+           |  INSERT (c_custkey, c_name, c_acctbal, c_mktsegment)
+           |  VALUES (s.c_custkey, lower(s.c_name), s.c_acctbal, s.c_mktsegment)
+           |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 100.0 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND t.c_mktsegment = 'BUILDING' THEN
+           |  UPDATE SET c_acctbal = t.c_acctbal - 1.0""".stripMargin).collect()
+      val out = tbl.read().agg(
+        count(lit(1)).as("n_rows"),
+        sum("c_custkey").as("key_sum"),
+        round(sum("c_acctbal"), 2).as("bal_sum"),
+        count(col("c_nationkey")).as("n_nation"),
+        count(col("c_mktsegment")).as("n_seg"),
+        countDistinct(col("c_mktsegment")).as("n_seg_d"),
+        count(when(col("c_name") === upper(col("c_name")), 1)).as("n_upper"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -683,5 +724,49 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS price_sum,
         |       count(DISTINCT o_orderpriority) AS n_prio
         |FROM orders WHERE o_orderkey % 7 <> 0
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    // q34: the full clause matrix replayed relationally. Matched rows:
+    // first-match-wins across DELETE / UPDATE(acctbal) / UPDATE(name,seg) —
+    // each update keeps the OTHER clause's columns at target values.
+    // Unmatched source rows: first-match-wins across two INSERTs with
+    // different column sets (mktsegment NULL for the first). Target rows
+    // with no source match: delete-first, then the BUILDING update.
+    "q34_merge_multi" ->
+      """WITH m AS (SELECT * FROM customer WHERE c_custkey % 4 = 0),
+        |i AS (SELECT c_custkey + 20000000 AS c_custkey, c_name, c_acctbal,
+        |             c_nationkey, c_mktsegment
+        |      FROM customer WHERE c_custkey % 9 = 0),
+        |tgt AS (
+        |  SELECT b.c_custkey,
+        |         CASE WHEN s.c_custkey IS NOT NULL AND s.c_acctbal >= 0.0
+        |                   AND s.c_nationkey % 2 <> 0
+        |              THEN upper(s.c_name) ELSE b.c_name END AS c_name,
+        |         CASE WHEN s.c_custkey IS NOT NULL AND s.c_acctbal >= 0.0
+        |                   AND s.c_nationkey % 2 = 0
+        |              THEN s.c_acctbal + 50.0
+        |              WHEN s.c_custkey IS NULL AND b.c_acctbal >= 100.0
+        |                   AND b.c_mktsegment = 'BUILDING'
+        |              THEN b.c_acctbal - 1.0
+        |              ELSE b.c_acctbal END AS c_acctbal,
+        |         b.c_nationkey,
+        |         CASE WHEN s.c_custkey IS NOT NULL AND s.c_acctbal >= 0.0
+        |                   AND s.c_nationkey % 2 <> 0
+        |              THEN 'RESYNC' ELSE b.c_mktsegment END AS c_mktsegment
+        |  FROM customer b LEFT JOIN m s ON b.c_custkey = s.c_custkey
+        |  WHERE NOT (s.c_custkey IS NOT NULL AND s.c_acctbal < 0.0)
+        |    AND NOT (s.c_custkey IS NULL AND b.c_acctbal < 100.0)),
+        |insr AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 7.5 AS c_acctbal,
+        |         CAST(NULL AS BIGINT) AS c_nationkey, CAST(NULL AS VARCHAR) AS c_mktsegment
+        |  FROM i WHERE c_acctbal >= 5000.0
+        |  UNION ALL
+        |  SELECT c_custkey, lower(c_name), c_acctbal, NULL, c_mktsegment
+        |  FROM i WHERE c_acctbal < 5000.0),
+        |merged AS (SELECT * FROM tgt UNION ALL SELECT * FROM insr)
+        |SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       round(sum(c_acctbal), 2) AS bal_sum,
+        |       count(c_nationkey) AS n_nation, count(c_mktsegment) AS n_seg,
+        |       count(DISTINCT c_mktsegment) AS n_seg_d,
+        |       count(CASE WHEN c_name = upper(c_name) THEN 1 END) AS n_upper
+        |FROM merged""".stripMargin)
 }

@@ -42,9 +42,18 @@ import graft.table.{Bounds, DataFileMeta, GraftTable, Snapshot}
  *  - `_set_<col>`: column-level UPDATE image — when any `_set_*` column is
  *    present, a matched update replaces ONLY the assigned columns and keeps
  *    the target's values for the rest (ANSI `UPDATE SET c = expr`);
+ *  - `_setw_<col>` boolean: per-row assignment mask for `_set_<col>` — when
+ *    present, the update writes the column only where the mask is true and
+ *    keeps the target value elsewhere. This is how MULTIPLE update clauses
+ *    with different assigned column sets lower (first-match-wins: the row
+ *    fired by clause A must keep target values for columns only clause B
+ *    assigns — a NULL `_set_` value alone cannot distinguish "assign NULL"
+ *    from "not assigned by the firing clause");
  *  - `_ins_<col>`: column-level INSERT image — when any `_ins_*` column is
  *    present, an insert takes the assigned columns and NULL for the rest
- *    (ANSI `INSERT (cols) VALUES (…)`).
+ *    (ANSI `INSERT (cols) VALUES (…)`);
+ *  - `_insw_<col>` boolean: per-row assignment mask for `_ins_<col>`,
+ *    symmetric to `_setw_<col>` (multiple insert clauses).
  *
  * Scale design: touched-file planning broadcasts only the per-file
  * [min,max] key intervals (tiny), maps each source key tuple to overlapping
@@ -154,17 +163,19 @@ object Merge {
       runId: String = java.util.UUID.randomUUID.toString,
       latestWins: Boolean = true,
       notMatchedBySourceDelete: Option[Column] = None,
-      notMatchedBySourceSet: Option[(Column, Map[String, Column])] = None): Snapshot = {
+      notMatchedBySourceSet: Option[(Column, Map[String, Column])] = None,
+      notMatchedBySourceDeleteFirst: Boolean = true): Snapshot = {
     require(keyCols.nonEmpty, "at least one key column")
     // NOT MATCHED BY SOURCE clauses act on TARGET rows without a source
     // match (ANSI); their condition/assignments evaluate on target columns.
     // They are ANSI-mode only — under latest-wins CDC semantics "absent
-    // from this change batch" carries no meaning.
+    // from this change batch" carries no meaning. BOTH actions may be
+    // given (ANSI allows a conditional UPDATE and a conditional DELETE
+    // together); `notMatchedBySourceDeleteFirst` fixes their first-match-
+    // wins order.
     val nmbs = notMatchedBySourceDelete.nonEmpty || notMatchedBySourceSet.nonEmpty
     require(!nmbs || !latestWins,
       "NOT MATCHED BY SOURCE requires ANSI semantics (latestWins = false)")
-    require(notMatchedBySourceDelete.isEmpty || notMatchedBySourceSet.isEmpty,
-      "at most one NOT MATCHED BY SOURCE action")
     val spark = table.spark
     val t0 = System.nanoTime()
     val log = Maintenance.start(table, runId, "merge")
@@ -183,6 +194,12 @@ object Merge {
     // image to assigned columns, `_ins_*` narrows the insert image
     val setCols = source.columns.collect { case c if c.startsWith("_set_") => c.stripPrefix("_set_") }.toSet
     val insCols = source.columns.collect { case c if c.startsWith("_ins_") => c.stripPrefix("_ins_") }.toSet
+    // per-row assignment masks (see class doc) — emitted when several
+    // clauses assign different column sets
+    val setwCols = source.columns.collect { case c if c.startsWith("_setw_") => c.stripPrefix("_setw_") }.toSet
+    val inswCols = source.columns.collect { case c if c.startsWith("_insw_") => c.stripPrefix("_insw_") }.toSet
+    require(setwCols.subsetOf(setCols) && inswCols.subsetOf(insCols),
+      "mask columns (_setw_/_insw_) require matching _set_/_ins_ image columns")
     (setCols ++ insCols).foreach(c =>
       require(cols.contains(c), s"MERGE action assigns unknown column $c"))
     setCols.intersect(keyCols.toSet).headOption.foreach(c =>
@@ -198,21 +215,7 @@ object Merge {
           .orderBy(col(versionCol).desc, col("_deleted").desc)
         src0.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-      } else {
-        // ANSI MERGE: a target row matched by MORE THAN ONE source row is an
-        // error, not an arbitrary pick — and no version column is needed.
-        // One parallel aggregate job (a .limit(1).collect() here would run
-        // the groupBy through CollectLimit's sequential partition batches);
-        // an example key is collected only on the failure path.
-        val dups = src0.groupBy(keyC: _*).count().filter(col("count") > 1)
-        if (dups.count() > 0) {
-          val ex = dups.select(keyC: _*).head()
-          throw new IllegalArgumentException(
-            s"MERGE source has multiple rows for key '${ex.toSeq.mkString(",")}' " +
-              s"(${keyCols.mkString(",")} must be unique in the source)")
-        }
-        src0
-      }
+      } else src0 // ANSI: cardinality is checked against MATCHED keys below
 
     val nmbsSetCols: Set[String] = notMatchedBySourceSet.map(_._2.keySet).getOrElse(Set.empty)
     nmbsSetCols.foreach(c => require(cols.contains(c), s"NOT MATCHED BY SOURCE assigns unknown column $c"))
@@ -234,22 +237,48 @@ object Merge {
     val touched =
       if (!nmbs) keyTouched
       else {
-        val cond = notMatchedBySourceDelete.orElse(notMatchedBySourceSet.map(_._1)).get
+        val cond = (notMatchedBySourceDelete.toSeq ++ notMatchedBySourceSet.map(_._1)).reduce(_ || _)
         (keyTouched ++ table.planFiles(Some(cond))).groupBy(_.path).map(_._2.head).toSeq
       }
     val base =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
 
+    if (!latestWins) {
+      // ANSI MERGE: an error only when a TARGET row would be modified by
+      // more than one source row — multiple NOT MATCHED inserts of one key
+      // are legal (each inserts). The zero-dup fast path costs ONE source
+      // aggregate; the touched-file semi-join runs only when duplicate
+      // keys exist at all. (A .limit(1).collect() would run the groupBy
+      // through CollectLimit's sequential partition batches.)
+      val dups = src.groupBy(keyC: _*).agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
+      if (dups.count() > 0) {
+        val offending = dups.select(keyC: _*).join(
+          base.select(keyC: _*), keyCols, "left_semi")
+        for (ex <- offending.limit(1).collect().headOption)
+          throw new IllegalArgumentException(
+            s"MERGE source has multiple rows for matched key '${ex.toSeq.mkString(",")}' " +
+              s"(a target row must not be modified by more than one source row)")
+      }
+    }
+
     // NOT MATCHED BY SOURCE condition/assignments precompute on the TARGET
     // side BEFORE the join (only target columns are in scope — no
     // ambiguity with same-named source columns is possible)
     val baseAug = {
       var b = base
-      for (c <- notMatchedBySourceDelete)
-        b = b.withColumn("_nmbs_del", coalesce(c.cast("boolean"), lit(false)))
-      for ((c, set) <- notMatchedBySourceSet) {
-        b = b.withColumn("_nmbs_upd", coalesce(c.cast("boolean"), lit(false)))
+      // first-match-wins when BOTH actions exist: the later clause only
+      // fires where the earlier one did not
+      val delRaw = notMatchedBySourceDelete.map(c => coalesce(c.cast("boolean"), lit(false)))
+      val updRaw = notMatchedBySourceSet.map { case (c, _) => coalesce(c.cast("boolean"), lit(false)) }
+      val (delFires, updFires) = (delRaw, updRaw) match {
+        case (Some(d), Some(u)) =>
+          if (notMatchedBySourceDeleteFirst) (Some(d), Some(u && !d)) else (Some(d && !u), Some(u))
+        case other => other
+      }
+      for (d <- delFires) b = b.withColumn("_nmbs_del", d)
+      for (u <- updFires; (_, set) <- notMatchedBySourceSet) {
+        b = b.withColumn("_nmbs_upd", u)
         // values evaluate only where the clause condition holds (lazy If
         // branches): an ANSI-throwing assignment must not abort the merge
         // via rows the clause never applies to
@@ -295,10 +324,20 @@ object Merge {
       .select(schema.fields.toSeq.map { f =>
         val c = f.name
         val updImage = if (setCols.isEmpty) sOr(c, f.dataType)
-          else if (setCols.contains(c)) s(s"_set_$c").cast(f.dataType) else t(c)
+          else if (setCols.contains(c)) {
+            val v = s(s"_set_$c").cast(f.dataType)
+            // per-row mask: the firing clause may not assign this column
+            if (setwCols.contains(c))
+              when(coalesce(s(s"_setw_$c"), lit(false)), v).otherwise(t(c))
+            else v
+          } else t(c)
         val insImage = if (insCols.isEmpty) sOr(c, f.dataType)
-          else if (insCols.contains(c)) s(s"_ins_$c").cast(f.dataType)
-          else if (keyCols.contains(c)) s(c) // key columns always carry over
+          else if (insCols.contains(c)) {
+            val v = s(s"_ins_$c").cast(f.dataType)
+            if (inswCols.contains(c))
+              when(coalesce(s(s"_insw_$c"), lit(false)), v) // else NULL
+            else v
+          } else if (keyCols.contains(c)) s(c) // key columns always carry over
           else lit(null).cast(f.dataType)
         val withMain = when(applies && !del && !noop, updImage)
           .when(!tP && sP, insImage) // insert (del rows were filtered above)

@@ -38,12 +38,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
 
-  // graft tables are PATH-addressed: intercept backticked identifiers that
-  // look like paths — or single-segment relative paths where a graft table
-  // actually exists — so OPTIMIZE/VACUUM over a real catalog schema that
-  // happens to be named `graft` (e.g. Delta's) still reaches the delegate
-  private def isPath(p: String): Boolean =
-    p.contains("/") || graft.table.FileIO.exists(s"$p/metadata/v1.json")
+  // graft tables are PATH-addressed: intercept only identifiers that look
+  // like paths (contain a slash — `./name` works for a table in the CWD).
+  // A bare single-segment identifier always reaches the delegate: probing
+  // the local filesystem for it would let a same-named directory relative
+  // to the driver CWD hijack OPTIMIZE/VACUUM aimed at a genuine catalog
+  // schema named `graft`
+  private def isPath(p: String): Boolean = p.contains("/")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(path, zorder, hilbert) if isPath(path) =>

@@ -24,8 +24,10 @@ import graft.table.GraftTable
  *   USING changes s
  *   ON t.host = s.host AND t.url = s.url          -- composite keys supported
  *   WHEN MATCHED AND s.op = 'D' THEN DELETE
- *   WHEN MATCHED THEN UPDATE SET text = s.text    -- or UPDATE SET *
- *   WHEN NOT MATCHED THEN INSERT (url, host, text) VALUES (s.url, s.host, s.text)
+ *   WHEN MATCHED AND s.op = 'T' THEN UPDATE SET text = s.text
+ *   WHEN MATCHED THEN UPDATE SET lang = s.lang    -- or UPDATE SET *
+ *   WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (url, host, text) VALUES (s.url, s.host, s.text)
+ *   WHEN NOT MATCHED BY SOURCE AND t.lang = 'xx' THEN DELETE
  * }}}
  *
  * The rule runs in the analyzer's EARLY (hint-resolution) batch: it must
@@ -41,23 +43,29 @@ import graft.table.GraftTable
  *
  * Supported shapes (anything else fails analysis with a clear error):
  *   - ON: a conjunction of equi-conditions `t.k1 = s.k1 AND … AND t.kn = s.kn`
- *     (the reference's all-rowkey-component join, `hive/HiveTableIR.java:311-315`)
- *   - at most ONE update clause: `UPDATE SET *` or `UPDATE SET c = expr, …`,
- *     optionally conditional
- *   - at most ONE delete clause, optionally conditional, before or after the
- *     update clause (ANSI first-match-wins ordering is honored)
- *   - at most ONE insert clause: `INSERT *` or `INSERT (cols) VALUES (…)`,
- *     optionally conditional — applied to EVERY unmatched source row
- *     regardless of matched-clause conditions (ANSI), which is why the
- *     command computes an explicit per-row matched flag below
- *   - at most ONE `WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET c =
- *     expr` clause, optionally conditional; condition and values reference
- *     TARGET columns only (they evaluate on target rows with no source
- *     match). Unconditional forms rewrite the whole table — inherent to
- *     the semantics; conditional forms prune files by the condition.
- *   - all clause conditions and assignment values may reference SOURCE
- *     columns only (they are evaluated on the change rows; a target-side
- *     reference would silently rebind to the same-named source column)
+ *     (the reference's all-rowkey-component join, `hive/HiveTableIR.java:311-315`);
+ *     when both sides are qualified, one qualifier must be the target alias
+ *     and the other the source alias
+ *   - ANY number of matched clauses (`UPDATE SET *`, `UPDATE SET c = expr, …`,
+ *     `DELETE`), each optionally conditional, applied FIRST-MATCH-WINS in
+ *     statement order (Spark's parser enforces that an unconditional clause
+ *     is last)
+ *   - ANY number of `WHEN NOT MATCHED THEN INSERT` clauses (`INSERT *` or
+ *     `INSERT (cols) VALUES (…)`), first-match-wins per unmatched source
+ *     row, applied regardless of matched-clause conditions (ANSI), which is
+ *     why the command computes an explicit per-row matched flag below
+ *   - up to one `WHEN NOT MATCHED BY SOURCE THEN DELETE` AND one `… THEN
+ *     UPDATE SET c = expr` clause, each optionally conditional, first-match-
+ *     wins in statement order; conditions and values reference TARGET
+ *     columns only (they evaluate on target rows with no source match).
+ *     Unconditional forms rewrite the whole table — inherent to the
+ *     semantics; conditional forms prune files by the condition.
+ *   - all matched/insert clause conditions and assignment values may
+ *     reference SOURCE columns only (they are evaluated on the change rows).
+ *     Target-qualified references fail loudly, and an UNQUALIFIED reference
+ *     whose name is also a target column fails as ambiguous (it would
+ *     silently bind to the source, diverging from ANSI) — qualify with the
+ *     source alias.
  */
 case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -78,32 +86,60 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft MERGE INTO: $msg")
 
-  /** ON clause → ordered key column names (conjunction of equi-conditions). */
-  private def keyColsOf(cond: Expression): Seq[String] = cond match {
-    case And(l, r) => keyColsOf(l) ++ keyColsOf(r)
+  /** ON clause → ordered key column names (conjunction of equi-conditions).
+    * Qualifier sanity: `t.k = t.k` / `s.k = s.k` compares one relation to
+    * itself and silently matches every row pair — rejected. */
+  private def keyColsOf(cond: Expression,
+      targetAlias: Option[String], sourceAlias: Option[String]): Seq[String] = cond match {
+    case And(l, r) =>
+      keyColsOf(l, targetAlias, sourceAlias) ++ keyColsOf(r, targetAlias, sourceAlias)
     case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last == b.nameParts.last => Seq(a.nameParts.last)
+        if a.nameParts.last == b.nameParts.last =>
+      val qa = if (a.nameParts.length > 1) Some(a.nameParts.head) else None
+      val qb = if (b.nameParts.length > 1) Some(b.nameParts.head) else None
+      if (qa.nonEmpty && qa == qb)
+        fail(s"ON condition ${a.name} = ${b.name} compares one relation to itself; " +
+          "join the target to the source (t.<k> = s.<k>)")
+      for (ta <- targetAlias; sa <- sourceAlias; x <- qa; y <- qb)
+        if (Set(x, y) != Set(ta, sa))
+          fail(s"ON condition ${a.name} = ${b.name} must join the target alias '$ta' " +
+            s"to the source alias '$sa'")
+      Seq(a.nameParts.last)
     case other =>
       fail(s"ON must be a conjunction of equi-conditions t.<k> = s.<k>, got $other")
   }
 
   private def convert(m: MergeIntoTable, path: String): LogicalPlan = {
-    val keyCols = keyColsOf(m.mergeCondition)
-    if (keyCols.distinct.size != keyCols.size)
-      fail(s"duplicate key column in ON clause: ${keyCols.mkString(", ")}")
-
     val targetAlias = m.targetTable match {
       case SubqueryAlias(ident, _) => Some(ident.name)
       case _ => None
     }
+    val sourceAlias = m.sourceTable match {
+      case SubqueryAlias(ident, _) => Some(ident.name)
+      case _ => None
+    }
+    val keyCols = keyColsOf(m.mergeCondition, targetAlias, sourceAlias)
+    if (keyCols.distinct.size != keyCols.size)
+      fail(s"duplicate key column in ON clause: ${keyCols.mkString(", ")}")
+
+    // target schema for ambiguity detection on unqualified references —
+    // membership follows the session resolver (case-insensitive by default)
+    val targetFields = GraftTable.load(session, path).schema.fieldNames.toSeq
+    val resolver = session.sessionState.analyzer.resolver
+
     // every carried expression evaluates on the SOURCE rows before the merge
     // join — a target-side reference would silently rebind to the same-named
     // SOURCE column after qualifier stripping, deciding on the wrong relation
     def sourceOnly(e: Expression, what: String): ExprHolder = {
-      for (a <- e.collect { case a: UnresolvedAttribute => a })
+      for (a <- e.collect { case a: UnresolvedAttribute => a }) {
         if (a.nameParts.length > 1 && targetAlias.contains(a.nameParts.head))
           fail(s"$what may reference SOURCE columns only, got target-side ${a.name} " +
             "(it is evaluated on the change rows before the merge join)")
+        if (a.nameParts.length == 1 && targetFields.exists(resolver(_, a.nameParts.head)))
+          fail(s"$what: unqualified reference ${a.name} is ambiguous — a target column " +
+            "of that name exists but the clause evaluates on SOURCE rows; qualify " +
+            "with the source alias")
+      }
       ExprHolder(e.transformUp {
         case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
       })
@@ -120,42 +156,28 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         name -> sourceOnly(a.value, s"$what value for $name")
       }
 
-    // matched clauses: at most one update-kind + one delete, order preserved
-    // (ANSI first-match-wins: the flags are combined order-aware in run()).
-    // Spark's parser already enforces that an unconditional clause is last.
-    var update: Option[(Option[Expression], Seq[(String, ExprHolder)])] = None
-    var delete: Option[Option[Expression]] = None
-    var deleteFirst = false
-    m.matchedActions.foreach {
+    // matched clauses in statement order (ANSI first-match-wins; Spark's
+    // parser already enforces that an unconditional clause is last)
+    val matched: Seq[MatchedClause] = m.matchedActions.map {
       case UpdateStarAction(c) =>
-        if (update.nonEmpty) fail("at most one UPDATE clause")
-        update = Some((c, Seq.empty))
+        MatchedClause(isDelete = false, c.map(sourceOnly(_, "UPDATE condition")),
+          Seq.empty, star = true)
       case UpdateAction(c, asg, _) =>
-        if (update.nonEmpty) fail("at most one UPDATE clause")
         val set = assignments(asg, "UPDATE SET")
         if (set.isEmpty) fail("UPDATE with no assignments")
         set.map(_._1).filter(keyCols.contains).foreach(k =>
           fail(s"UPDATE must not assign key column $k"))
-        update = Some((c, set))
+        MatchedClause(isDelete = false, c.map(sourceOnly(_, "UPDATE condition")), set, star = false)
       case DeleteAction(c) =>
-        if (delete.nonEmpty) fail("at most one DELETE clause")
-        deleteFirst = update.isEmpty
-        delete = Some(c)
+        MatchedClause(isDelete = true, c.map(sourceOnly(_, "DELETE condition")), Seq.empty, star = false)
       case other => fail(s"unsupported matched action $other")
     }
-    // unreachable-clause guards behind the parser's unconditional-last rule
-    if (update.nonEmpty && delete.nonEmpty) {
-      if (deleteFirst && delete.get.isEmpty)
-        fail("UPDATE after an unconditional DELETE is unreachable (first matching clause wins)")
-      if (!deleteFirst && update.get._1.isEmpty)
-        fail("DELETE after an unconditional UPDATE is unreachable (first matching clause wins)")
-    }
+    // defensive unreachable-clause guard behind the parser's rule
+    matched.dropRight(1).filter(_.cond.isEmpty).foreach(_ =>
+      fail("an unconditional matched clause must be last (later clauses are unreachable)"))
+
     // NOT MATCHED BY SOURCE: acts on target rows absent from the source;
     // conditions/assignments evaluate on TARGET columns (before the join)
-    val sourceAlias = m.sourceTable match {
-      case SubqueryAlias(ident, _) => Some(ident.name)
-      case _ => None
-    }
     def targetOnly(e: Expression, what: String): ExprHolder = {
       for (a <- e.collect { case a: UnresolvedAttribute => a })
         if (a.nameParts.length > 1 && sourceAlias.contains(a.nameParts.head))
@@ -170,13 +192,16 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     var nmbsUpdate = Seq.empty[(String, ExprHolder)]
     var nmbsUpdateCond: Option[ExprHolder] = None
     var hasNmbsUpdate = false
+    var nmbsDeleteFirst = true
     m.notMatchedBySourceActions.foreach { a =>
-      if (nmbsDelete || hasNmbsUpdate) fail("at most one NOT MATCHED BY SOURCE action")
       a match {
         case DeleteAction(c) =>
+          if (nmbsDelete) fail("at most one NOT MATCHED BY SOURCE DELETE clause")
           nmbsDelete = true
+          nmbsDeleteFirst = !hasNmbsUpdate
           nmbsDeleteCond = c.map(targetOnly(_, "NOT MATCHED BY SOURCE DELETE condition"))
         case UpdateAction(c, asg, _) =>
+          if (hasNmbsUpdate) fail("at most one NOT MATCHED BY SOURCE UPDATE clause")
           hasNmbsUpdate = true
           nmbsUpdateCond = c.map(targetOnly(_, "NOT MATCHED BY SOURCE UPDATE condition"))
           nmbsUpdate = asg.map { x =>
@@ -191,36 +216,38 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         case other => fail(s"unsupported NOT MATCHED BY SOURCE action $other")
       }
     }
-    if (update.isEmpty && delete.isEmpty && m.notMatchedActions.isEmpty &&
-        !nmbsDelete && !hasNmbsUpdate)
-      fail("no supported action")
+    // unreachable-clause guard: an unconditional first clause swallows all
+    m.notMatchedBySourceActions.map {
+      case DeleteAction(c) => c; case UpdateAction(c, _, _) => c; case _ => None
+    }.dropRight(1).filter(_.isEmpty).foreach(_ =>
+      fail("an unconditional NOT MATCHED BY SOURCE clause must be last"))
 
-    val (insert, insertCond, insertValues) = m.notMatchedActions match {
-      case Seq() => (false, None, Seq.empty[(String, ExprHolder)])
-      case Seq(InsertStarAction(c)) => (true, c.map(sourceOnly(_, "INSERT condition")), Seq.empty)
-      case Seq(InsertAction(c, asg)) =>
+    // insert clauses in statement order (first-match-wins per unmatched row)
+    val inserts: Seq[InsertClause] = m.notMatchedActions.map {
+      case InsertStarAction(c) =>
+        InsertClause(c.map(sourceOnly(_, "INSERT condition")), Seq.empty, star = true)
+      case InsertAction(c, asg) =>
         val vals = assignments(asg, "INSERT")
         keyCols.filterNot(vals.map(_._1).contains).foreach(k =>
           fail(s"INSERT (cols) VALUES must assign key column $k"))
-        (true, c.map(sourceOnly(_, "INSERT condition")), vals)
-      case other => fail(s"at most one WHEN NOT MATCHED clause, got ${other.size}")
+        InsertClause(c.map(sourceOnly(_, "INSERT condition")), vals, star = false)
+      case other => fail(s"unsupported not-matched action $other")
     }
+    inserts.dropRight(1).filter(_.cond.isEmpty).foreach(_ =>
+      fail("an unconditional INSERT clause must be last (later clauses are unreachable)"))
+
+    if (matched.isEmpty && inserts.isEmpty && !nmbsDelete && !hasNmbsUpdate)
+      fail("no supported action")
 
     GraftMergeCommand(path, m.sourceTable, keyCols,
-      hasUpdate = update.nonEmpty,
-      updateCond = update.flatMap(_._1).map(sourceOnly(_, "UPDATE condition")),
-      updateSet = update.map(_._2).getOrElse(Seq.empty),
-      hasDelete = delete.nonEmpty,
-      deleteCond = delete.flatten.map(sourceOnly(_, "DELETE condition")),
-      deleteFirst = deleteFirst,
-      insertUnmatched = insert,
-      insertCond = insertCond,
-      insertValues = insertValues,
+      matched = matched,
+      inserts = inserts,
       nmbsDelete = nmbsDelete,
       nmbsDeleteCond = nmbsDeleteCond,
       hasNmbsUpdate = hasNmbsUpdate,
       nmbsUpdateCond = nmbsUpdateCond,
-      nmbsUpdate = nmbsUpdate)
+      nmbsUpdate = nmbsUpdate,
+      nmbsDeleteFirst = nmbsDeleteFirst)
   }
 }
 
@@ -229,35 +256,46 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   * command for carrying it (it resolves against the source at run time). */
 case class ExprHolder(e: Expression)
 
+/** One `WHEN MATCHED` clause in statement order. `star` = `UPDATE SET *`
+  * (expanded to explicit per-column assignments at run time when several
+  * clauses coexist). */
+case class MatchedClause(
+    isDelete: Boolean,
+    cond: Option[ExprHolder],
+    set: Seq[(String, ExprHolder)],
+    star: Boolean)
+
+/** One `WHEN NOT MATCHED THEN INSERT` clause in statement order. */
+case class InsertClause(
+    cond: Option[ExprHolder],
+    values: Seq[(String, ExprHolder)],
+    star: Boolean)
+
 /** Runs [[graft.ops.Merge.into]] for a SQL MERGE statement; returns the
   * committed snapshot id as the statement result.
   *
   * Lowering: the source is augmented with a per-row `_matched` flag (a
   * left join against the DISTINCT key tuples read from the TOUCHED files
-  * only — never a full-table scan), clause conditions become
-  * first-match-wins boolean flags evaluated matched-side only (ANSI: a
-  * NULL clause condition is false, and matched-clause conditions never
-  * affect unmatched rows), rows no clause applies to are filtered out, and
-  * column-level assignments become `_set_*`/`_ins_*` image columns for
+  * only — never a full-table scan); clause conditions become
+  * first-match-wins fire flags evaluated matched-side only (ANSI: a NULL
+  * clause condition is false, and matched-clause conditions never affect
+  * unmatched rows); rows no clause applies to are filtered out; and
+  * column-level assignments become `_set_*`/`_ins_*` image columns — plus
+  * `_setw_*`/`_insw_*` per-row assignment masks when SEVERAL clauses of a
+  * kind exist (the firing clause may not assign every imaged column) — for
   * [[graft.ops.Merge.into]]'s projection. */
 case class GraftMergeCommand(
     path: String,
     source: LogicalPlan,
     keyCols: Seq[String],
-    hasUpdate: Boolean,
-    updateCond: Option[ExprHolder],
-    updateSet: Seq[(String, ExprHolder)],
-    hasDelete: Boolean,
-    deleteCond: Option[ExprHolder],
-    deleteFirst: Boolean,
-    insertUnmatched: Boolean,
-    insertCond: Option[ExprHolder],
-    insertValues: Seq[(String, ExprHolder)],
+    matched: Seq[MatchedClause],
+    inserts: Seq[InsertClause],
     nmbsDelete: Boolean = false,
     nmbsDeleteCond: Option[ExprHolder] = None,
     hasNmbsUpdate: Boolean = false,
     nmbsUpdateCond: Option[ExprHolder] = None,
-    nmbsUpdate: Seq[(String, ExprHolder)] = Seq.empty) extends LeafRunnableCommand {
+    nmbsUpdate: Seq[(String, ExprHolder)] = Seq.empty,
+    nmbsDeleteFirst: Boolean = true) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] = Seq(source)
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
@@ -265,14 +303,15 @@ case class GraftMergeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
     val schema = table.schema
-    (updateSet ++ insertValues).map(_._1).filterNot(schema.fieldNames.contains).foreach(c =>
-      throw new IllegalArgumentException(s"graft MERGE INTO: assignment to unknown column $c"))
+    (matched.flatMap(_.set) ++ inserts.flatMap(_.values)).map(_._1)
+      .filterNot(schema.fieldNames.contains).foreach(c =>
+        throw new IllegalArgumentException(s"graft MERGE INTO: assignment to unknown column $c"))
     var src = Shims.dataFrame(session, source)
     // star actions take the WHOLE source row: a source missing schema
     // columns would silently write NULLs into them (Spark/Delta reject
     // this at analysis, and so do we)
     val starAction =
-      (hasUpdate && updateSet.isEmpty, insertUnmatched && insertValues.isEmpty) match {
+      (matched.exists(cl => !cl.isDelete && cl.star), inserts.exists(_.star)) match {
         case (true, _) => Some("UPDATE SET *")
         case (_, true) => Some("INSERT *")
         case _         => None
@@ -285,9 +324,8 @@ case class GraftMergeCommand(
       throw new IllegalArgumentException(
         s"graft MERGE INTO: $star requires the source to carry every table column; missing $c")
     // ANSI: a NULL clause condition behaves as FALSE
-    def flag(h: Option[ExprHolder], default: Boolean): Column =
-      h.map(x => coalesce(Shims.column(x.e).cast("boolean"), lit(false)))
-        .getOrElse(lit(default))
+    def flag(h: Option[ExprHolder]): Column =
+      h.map(x => coalesce(Shims.column(x.e).cast("boolean"), lit(false))).getOrElse(lit(true))
 
     // per-row matched flag: key tuples are read from the files whose bounds
     // can contain a source key (touched files) — bounded by the change set,
@@ -308,22 +346,67 @@ case class GraftMergeCommand(
           .drop("_matched_t")
       }
 
-    // first-match-wins combination of the matched clauses
-    val updC = flag(updateCond, hasUpdate)
-    val delC = flag(deleteCond, hasDelete)
-    val (updFlag, delFlag) =
-      if (deleteFirst) (updC && !delC, delC) else (updC, delC && !updC)
-    val insC = flag(insertCond, default = true)
-    // assignment values evaluate ONLY on rows their clause fires for (the
-    // If branches are lazy per row) — an ANSI-throwing expression like
-    // CAST(s.x AS BIGINT) must not abort the merge when evaluated on a row
-    // the clause never applies to (unfired matched rows, insert rows)
-    for ((c, h) <- updateSet)
-      src = src.withColumn(s"_set_$c", when(col("_matched") && updFlag, Shims.column(h.e)))
-    for ((c, h) <- insertValues)
-      src = src.withColumn(s"_ins_$c", when(!col("_matched") && insC, Shims.column(h.e)))
+    // first-match-wins fire flags: clause i fires iff its condition holds
+    // and no earlier clause's did
+    def fires(flags: Seq[Column]): Seq[Column] =
+      flags.zipWithIndex.map { case (f, i) =>
+        flags.take(i).foldLeft(f)((acc, prev) => acc && !prev)
+      }
+    val mFires = fires(matched.map(cl => flag(cl.cond)))
+    def orAll(cs: Seq[Column]): Column = cs.reduceOption(_ || _).getOrElse(lit(false))
+    val delFlag = orAll(matched.zip(mFires).collect { case (cl, f) if cl.isDelete => f })
+    val updFlag = orAll(matched.zip(mFires).collect { case (cl, f) if !cl.isDelete => f })
+    val iFires = fires(inserts.map(cl => flag(cl.cond)))
+    val insFlag = orAll(iFires)
+
+    // column-level images. A SINGLE star clause keeps the full-row image
+    // path (no `_set_`/`_ins_` columns — the source row IS the image);
+    // otherwise stars expand to explicit per-column assignments and each
+    // imaged column gets a first-match-wins value chain. Values evaluate
+    // ONLY on rows their clause fires for (lazy If branches) — an
+    // ANSI-throwing expression must not abort the merge via rows the
+    // clause never applies to.
+    val updClauses = matched.zip(mFires).filter(!_._1.isDelete)
+    val emitSet = updClauses.nonEmpty && !(updClauses.size == 1 && updClauses.head._1.star)
+    if (emitSet) {
+      def setOf(cl: MatchedClause): Seq[(String, Column)] =
+        if (cl.star) schema.fieldNames.filterNot(keyCols.contains).toSeq.map(c => c -> col(c))
+        else cl.set.map { case (c, h) => c -> Shims.column(h.e) }
+      val perCol = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Column, Column)]]
+      for ((cl, f) <- updClauses; (c, v) <- setOf(cl))
+        perCol(c) = perCol.getOrElse(c, Vector.empty) :+ (f, v)
+      val needMask = updClauses.size > 1
+      for ((c, cases) <- perCol) {
+        val img = cases.tail.foldLeft(
+          when(col("_matched") && cases.head._1, cases.head._2)) {
+          case (acc, (f, v)) => acc.when(col("_matched") && f, v)
+        }
+        src = src.withColumn(s"_set_$c", img)
+        if (needMask)
+          src = src.withColumn(s"_setw_$c", col("_matched") && orAll(cases.map(_._1)))
+      }
+    }
+    val emitIns = inserts.nonEmpty && !(inserts.size == 1 && inserts.head.star)
+    if (emitIns) {
+      def valsOf(cl: InsertClause): Seq[(String, Column)] =
+        if (cl.star) schema.fieldNames.toSeq.map(c => c -> col(c))
+        else cl.values.map { case (c, h) => c -> Shims.column(h.e) }
+      val perCol = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Column, Column)]]
+      for ((cl, f) <- inserts.zip(iFires); (c, v) <- valsOf(cl))
+        perCol(c) = perCol.getOrElse(c, Vector.empty) :+ (f, v)
+      val needMask = inserts.size > 1
+      for ((c, cases) <- perCol) {
+        val img = cases.tail.foldLeft(
+          when(!col("_matched") && cases.head._1, cases.head._2)) {
+          case (acc, (f, v)) => acc.when(!col("_matched") && f, v)
+        }
+        src = src.withColumn(s"_ins_$c", img)
+        if (needMask)
+          src = src.withColumn(s"_insw_$c", !col("_matched") && orAll(cases.map(_._1)))
+      }
+    }
     // keep only rows some clause applies to: matched rows a matched clause
-    // fires for, unmatched rows the insert clause admits — everything else
+    // fires for, unmatched rows an insert clause admits — everything else
     // must leave its target row (or absence) untouched. With a NOT MATCHED
     // BY SOURCE clause, matched rows no clause fires for must STAY in the
     // source as presence-only `_noop` rows: dropping them would make their
@@ -331,7 +414,7 @@ case class GraftMergeCommand(
     val nmbs = nmbsDelete || hasNmbsUpdate
     val firing = src
       .filter((col("_matched") && (updFlag || delFlag)) ||
-        (!col("_matched") && lit(insertUnmatched) && insC))
+        (!col("_matched") && insFlag))
       .withColumn("_deleted", col("_matched") && delFlag)
       .withColumn("_noop", lit(false))
     src =
@@ -358,7 +441,8 @@ case class GraftMergeCommand(
         nmbsUpdateCond.map(h => Shims.column(h.e)).getOrElse(lit(true)),
         nmbsUpdate.map { case (c, h) => c -> Shims.column(h.e) }.toMap))
     val snap = Merge.into(table, src, keyCols, latestWins = false,
-      notMatchedBySourceDelete = nmbsDel, notMatchedBySourceSet = nmbsSet)
+      notMatchedBySourceDelete = nmbsDel, notMatchedBySourceSet = nmbsSet,
+      notMatchedBySourceDeleteFirst = nmbsDeleteFirst)
     Seq(Row(snap.id))
   }
 }

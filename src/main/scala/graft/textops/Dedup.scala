@@ -57,7 +57,13 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bands >= 1 && bands <= numHashes,
+      s"minhashNearDups: bands=$bands must be in [1, numHashes=$numHashes]")
+    // a non-divisible (numHashes, bands) pair truncates the tail hashes —
+    // bands × (numHashes/bands) are used — matching the pre-kernel
+    // aggregate(slice) fold's behavior instead of throwing mid-job (the
+    // codegen'd band kernel itself requires exact divisibility)
+    val effHashes = (numHashes / bands) * bands
     // threshold 1.0 keeps only identical shingle sets, whose signatures are
     // identical in EVERY band — one full-signature band has the same exact
     // recall while cutting candidate duplication (and band-join shuffle
@@ -70,7 +76,7 @@ object Dedup {
     // the heavy arrays are joined back only for surviving candidate pairs.
     val base = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleN).as("_sh"))
-      .withColumn("_sig", minhashSigFromHashes(col("_sh"), numHashes))
+      .withColumn("_sig", minhashSigFromHashes(col("_sh"), effHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band hashes via the codegen'd kernel (the aggregate(slice(...)) fold
     // this replaces evaluated interpreted — the repo's own higher-order-

@@ -401,4 +401,150 @@ class SqlMergeSpec extends SparkSuite {
          |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
     assert(ex4.getMessage.contains("SOURCE columns only"), ex4.getMessage)
   }
+
+  test("several conditional matched clauses: first-match-wins, per-clause column sets") {
+    val t = mk(60)
+    val pre = t.read().select("url", "text", "lang").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val src = t.read().orderBy("url").limit(30)
+      .withColumn("op",
+        when(col("url").substr(-1, 1) === "0", "D")
+          .when(col("url").substr(-1, 1).isin("1", "2", "3"), "A")
+          .otherwise("B"))
+      .withColumn("newtext", lit("CLAUSE_A_TEXT"))
+      .withColumn("newlang", lit("xx"))
+    src.createOrReplaceTempView("mc_src")
+    val ops = src.select("url", "op").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("D", "A", "B").subsetOf(ops.values.toSet), s"need all three ops, got ${ops.values.toSet}")
+
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING mc_src s ON t.url = s.url
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED AND s.op = 'A' THEN UPDATE SET text = s.newtext
+         |WHEN MATCHED THEN UPDATE SET lang = s.newlang""".stripMargin).collect()
+
+    val post = t.read().select("url", "text", "lang").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    for ((u, op) <- ops) op match {
+      case "D" => assert(!post.contains(u), s"$u should be deleted")
+      case "A" =>
+        // clause A assigns ONLY text: lang must keep the target value (mask)
+        assert(post(u) === ((("CLAUSE_A_TEXT"), pre(u)._2)), s"$u: ${post(u)} vs pre ${pre(u)}")
+      case "B" =>
+        assert(post(u) === ((pre(u)._1, "xx")), s"$u: ${post(u)} vs pre ${pre(u)}")
+    }
+    for ((u, v) <- pre if !ops.contains(u))
+      assert(post(u) === v, s"untouched row $u changed")
+    assert(post.size === 60 - ops.values.count(_ == "D"))
+  }
+
+  test("several insert clauses: first-match-wins, per-clause insert images") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("a", StringType), StructField("b", StringType),
+      StructField("c", LongType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-ins"), schema)
+    t.append((1L to 20L).map(k => (k, s"a$k", s"b$k", k)).toDF("k", "a", "b", "c"))
+    Seq((101L, "x1", "y1", 10L, "X"), (102L, "x2", "y2", 20L, "Z"), (103L, "x3", "y3", 30L, "X"))
+      .toDF("k", "a", "b", "c", "kind").createOrReplaceTempView("ins_src")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING ins_src s ON t.k = s.k
+         |WHEN NOT MATCHED AND s.kind = 'X' THEN INSERT (k, a) VALUES (s.k, upper(s.a))
+         |WHEN NOT MATCHED THEN INSERT (k, b, c) VALUES (s.k, s.b, s.c + 1)""".stripMargin).collect()
+    val rows = t.read().filter(col("k") > 100).orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.toSeq === Seq(
+      (101L, Some("X1"), None, None),        // clause 1: only (k, a)
+      (102L, None, Some("y2"), Some(21L)),   // clause 2: only (k, b, c)
+      (103L, Some("X3"), None, None)))
+    assert(t.read().count() === 23)
+  }
+
+  test("both NOT MATCHED BY SOURCE actions honor statement order") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", LongType)))
+    def fresh(): GraftTable = {
+      val t = GraftTable.create(spark, tmpDir("sqlmerge-nmbs2"), schema)
+      t.append((1L to 20L).map(k => (k, k)).toDF("k", "v"))
+      t
+    }
+    Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("k", "v").createOrReplaceTempView("nmbs_src")
+
+    // delete first: unmatched v<10 die, 10<=v<15 get +100, rest keep
+    val t1 = fresh()
+    spark.sql(
+      s"""MERGE INTO graft.`${t1.root}` t USING nmbs_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.v < 10 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN UPDATE SET v = t.v + 100""".stripMargin).collect()
+    val got1 = t1.read().orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp1 = (1L to 3L).map(k => (k, k)) ++
+      (10L to 14L).map(k => (k, k + 100)) ++ (15L to 20L).map(k => (k, k))
+    assert(got1 === exp1.sortBy(_._1), s"delete-first: $got1")
+
+    // update first: v<15 (incl. v<10) get +100, nothing deleted (updated
+    // rows no longer satisfy the later DELETE's unfired branch)
+    val t2 = fresh()
+    spark.sql(
+      s"""MERGE INTO graft.`${t2.root}` t USING nmbs_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN UPDATE SET v = t.v + 100
+         |WHEN NOT MATCHED BY SOURCE AND t.v < 10 THEN DELETE""".stripMargin).collect()
+    val got2 = t2.read().orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exp2 = (1L to 3L).map(k => (k, k)) ++
+      (4L to 14L).map(k => (k, k + 100)) ++ (15L to 20L).map(k => (k, k))
+    assert(got2 === exp2.sortBy(_._1), s"update-first: $got2")
+  }
+
+  test("ON self-comparison and ambiguous unqualified references are rejected") {
+    val t = mk(30)
+    t.read().limit(3).createOrReplaceTempView("amb_src")
+    val ex1 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING amb_src s ON t.url = t.url
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(ex1.getMessage.contains("one relation to itself"), ex1.getMessage)
+    val ex2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING amb_src s ON s.url = s.url
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(ex2.getMessage.contains("one relation to itself"), ex2.getMessage)
+    // unqualified `lang` exists in the target: would silently bind to the
+    // source — rejected as ambiguous, pointing at the source alias
+    val ex3 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING amb_src s ON t.url = s.url
+         |WHEN MATCHED AND lang = 'de' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(ex3.getMessage.contains("ambiguous"), ex3.getMessage)
+    // a qualifier that is neither alias cannot silently pass either
+    val ex4 = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING amb_src s ON t.url = x.url
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(ex4.getMessage.contains("must join the target alias"), ex4.getMessage)
+  }
+
+  test("duplicate source keys: unmatched inserts are legal, matched rows still error") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", LongType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-dup"), schema)
+    t.append((1L to 10L).map(k => (k, k)).toDF("k", "v"))
+    // two unmatched rows with the SAME key: ANSI inserts both
+    Seq((50L, 1L), (50L, 2L), (60L, 3L)).toDF("k", "v").createOrReplaceTempView("dup_ins")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING dup_ins s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(t.read().filter(col("k") === 50).count() === 2, "both unmatched dups insert")
+    assert(t.read().count() === 13)
+    // duplicate MATCHED keys modify one target row twice: error
+    Seq((1L, 100L), (1L, 200L)).toDF("k", "v").createOrReplaceTempView("dup_upd")
+    val ex = intercept[Exception](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING dup_upd s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+    assert(ex.getMessage.contains("matched key"), ex.getMessage)
+  }
 }
