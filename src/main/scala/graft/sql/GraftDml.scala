@@ -3,7 +3,8 @@ package graft.sql
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, DeleteFromTable, DropColumns, LogicalPlan, RenameColumn, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftshim.Shims
@@ -60,7 +61,23 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       val _ = a
       GraftAddColumnsCommand(graftTablePath(child).get, fields)
+    case r @ RenameColumn(child, colField, newName) if graftTablePath(child).isDefined =>
+      val _ = r
+      GraftRenameColumnCommand(graftTablePath(child).get, topLevel(colField, "RENAME COLUMN"), newName)
+    case d @ DropColumns(child, cols, ifExists) if graftTablePath(child).isDefined =>
+      val _ = d
+      if (ifExists)
+        throw new IllegalArgumentException("graft DROP COLUMN: IF EXISTS is not supported")
+      GraftDropColumnsCommand(graftTablePath(child).get,
+        cols.map(topLevel(_, "DROP COLUMN")))
   }
+
+  private def topLevel(f: org.apache.spark.sql.catalyst.analysis.FieldName, what: String): String =
+    f match {
+      case UnresolvedFieldName(Seq(name)) => name
+      case other => throw new IllegalArgumentException(
+        s"graft $what: only top-level columns are supported, got $other")
+    }
 
   private def graftPath(p: LogicalPlan): Option[String] = p match {
     case SubqueryAlias(_, child) => graftPath(child)
@@ -84,9 +101,8 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** `ALTER TABLE graft.… ADD COLUMNS (…)` — add-only schema evolution
-  * through [[GraftTable.addColumn]] (old files read the new column as
-  * NULL; see its scaladoc for why rename/drop are deliberately absent). */
+/** `ALTER TABLE graft.… ADD COLUMNS (…)` — schema evolution through
+  * [[GraftTable.addColumn]] (old files read the new column as NULL). */
 case class GraftAddColumnsCommand(
     path: String,
     fields: Seq[org.apache.spark.sql.types.StructField]) extends LeafRunnableCommand {
@@ -94,6 +110,29 @@ case class GraftAddColumnsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
     fields.foreach(table.addColumn)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.… RENAME COLUMN a TO b` — metadata-only rename via
+  * stable field ids ([[GraftTable.renameColumn]]). */
+case class GraftRenameColumnCommand(
+    path: String, from: String, to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftTable.load(session, path).renameColumn(from, to)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.… DROP COLUMN c [, …]` — metadata-only drop
+  * ([[GraftTable.dropColumn]]). */
+case class GraftDropColumnsCommand(
+    path: String, cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = GraftTable.load(session, path)
+    cols.foreach(table.dropColumn)
     Seq.empty
   }
 }

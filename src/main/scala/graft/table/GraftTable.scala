@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.StructType
  */
 class GraftTable private (val root: String, val spark: SparkSession) {
 
+  // field-id column resolution (see [[GraftTable.withFieldIds]]): when a
+  // requested schema carries parquet field ids, the vectorized reader looks
+  // columns up BY ID — which is what keeps files written before a RENAME
+  // readable (their physical column name differs). A no-op for schemas
+  // without ids (legacy tables, raw parquet), so safe session-wide.
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private def metadataDir = s"$root/metadata"
   private def hintPath = s"$metadataDir/version-hint.text"
   def dataDir = s"$root/data"
@@ -52,7 +59,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def schema: StructType = schemaOf(metadata)
 
-  private def schemaOf(md: TableMetadata): StructType = StructType.fromDDL(md.schemaDdl)
+  private def schemaOf(md: TableMetadata): StructType =
+    md.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(StructType.fromDDL(md.schemaDdl))
 
   /** Hidden-partitioning transforms, if the table declares any (see
     * [[PartitionSpec]]); validated against the schema. */
@@ -315,7 +325,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       toSnapshotId: Option[Long] = None,
       skipChangeCommits: Boolean = false): (Seq[DataFileMeta], Long) = {
     val md = metadata
-    val rowPreserving = Set("compact", "cluster", "rewrite-manifests")
+    // schema evolution commits reshape METADATA only (stats-key remap);
+    // every row survives them, so incremental readers pass through
+    val rowPreserving = Set("compact", "cluster", "rewrite-manifests",
+      "rename-column", "drop-column")
     val to = toSnapshotId.orElse(md.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException("incremental read on an empty table"))
     require(md.snapshot(fromSnapshotId).nonEmpty || fromSnapshotId == 0,
@@ -386,10 +399,13 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // INT96 (Spark's legacy parquet timestamp) carries no min/max stats;
     // micros are required for warc_ts pruning bounds
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    // select in schema order so files are column-identical across commits
+    // select in schema order so files are column-identical across commits;
+    // re-aliasing with the table field's METADATA stamps the stable parquet
+    // field id onto every written column (fieldId.write.enabled is on by
+    // default), which is what rename/drop evolution resolves by later
     val md = metadata // one read: schema + partition specs derive from it
     val sch = schemaOf(md)
-    val cols = sch.fieldNames.map(df.col).toSeq
+    val cols = sch.fields.map(f => df.col(f.name).as(f.name, f.metadata)).toSeq
     val base = df.select(cols: _*)
     // hidden partitioning: group rows by the transforms so each file covers
     // ONE partition tuple (the derived columns live only in dir names —
@@ -491,9 +507,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }
 
   /** [[commit]] with explicit control of the delete-manifest (tombstone)
-    * list of the new snapshot. */
+    * list of the new snapshot. `schemaUpdate` lands the new table schema
+    * atomically in the same metadata version (rename/drop evolution). */
   def commitFull(op: String, expectedSnapshotId: Option[Long] = None,
-      propertyUpdates: Map[String, String] = Map.empty)(
+      propertyUpdates: Map[String, String] = Map.empty,
+      schemaUpdate: Option[StructType] = None)(
       build: Option[Snapshot] => (Seq[ManifestMeta], Option[Seq[ManifestMeta]], Map[String, String])): Snapshot = {
     var attempts = 0
     while (attempts < 10) {
@@ -517,7 +535,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         currentSnapshotId = Some(snap.id),
         snapshots = md.snapshots :+ snap,
         lastSnapshotId = snap.id,
-        properties = md.properties ++ propertyUpdates)
+        properties = md.properties ++ propertyUpdates,
+        schemaDdl = schemaUpdate.map(_.toDDL).getOrElse(md.schemaDdl),
+        schemaJson = schemaUpdate.map(_.json).orElse(md.schemaJson))
       if (FileIO.putIfAbsent(s"$metadataDir/v${v + 1}.json", MetaJson.write(next))) {
         FileIO.writeString(hintPath, (v + 1).toString)
         return snap
@@ -543,19 +563,123 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }
 
   /**
-   * Add-only schema evolution: append a nullable column. Existing data
-   * files simply lack the Parquet column — the by-name vectorized reader
-   * yields NULL, and stats pruning treats absent bounds as "unknown", so
-   * scans over old files stay sound. Rename/drop are deliberately not
-   * offered: column resolution is by name, so a rename would silently
-   * detach old files' data.
+   * Schema evolution: append a nullable column. Existing data files simply
+   * lack the Parquet column — the reader yields NULL, and stats pruning
+   * treats absent bounds as "unknown", so scans over old files stay sound.
+   * On field-id tables the new column takes a NEVER-REUSED id from the
+   * `next-field-id` counter: a column dropped and re-added under the same
+   * name must NOT resurrect old files' values.
    */
   def addColumn(field: org.apache.spark.sql.types.StructField): TableMetadata = {
     require(field.nullable, s"new column ${field.name} must be nullable (old files have no values)")
     commitMetadataUpdate { md =>
-      val cur = StructType.fromDDL(md.schemaDdl)
-      require(!cur.fieldNames.contains(field.name), s"column ${field.name} already exists")
-      md.copy(schemaDdl = StructType(cur.fields :+ field).toDDL)
+      val cur = schemaOf(md)
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"column ${field.name} already exists")
+      require(!retiredOf(md).contains(field.name.toLowerCase),
+        s"column name ${field.name} was previously dropped or renamed away; existing " +
+          "files still carry a physical column of that name, and parquet filter " +
+          "pushdown matches by NAME — rewrite the table (full cluster) to reclaim it")
+      if (!GraftTable.hasFieldIds(cur)) {
+        // legacy (pre-field-id) table: stay name-resolved
+        md.copy(schemaDdl = StructType(cur.fields :+ field).toDDL, schemaJson = None)
+      } else {
+        val nextId = md.properties.get(GraftTable.NextFieldIdProp).map(_.toInt)
+          .getOrElse(GraftTable.maxFieldId(cur) + 1)
+        val withId = GraftTable.fieldWithId(field, nextId)
+        val next = StructType(cur.fields :+ withId)
+        md.copy(schemaDdl = next.toDDL, schemaJson = Some(next.json),
+          properties = md.properties + (GraftTable.NextFieldIdProp -> (nextId + 1).toString))
+      }
+    }
+  }
+
+  /**
+   * Rename a column WITHOUT rewriting any data file. Readable across file
+   * generations because columns resolve by stable parquet FIELD ID (public
+   * Spark: `spark.sql.parquet.fieldId.read.enabled` — the requested schema
+   * keeps the renamed field's id, so old files' differently-named physical
+   * column still binds). Per-file stats keys are remapped in a metadata-only
+   * manifest rewrite committed atomically with the schema change, so
+   * min/max pruning on the NEW name keeps working for old files. The
+   * reference's only rename path was regenerating DDL + reloading the whole
+   * table (`hive/HiveTableIR.java:519-590`).
+   *
+   * Refused when: the table predates field ids (files resolve by name — a
+   * rename would silently NULL old files' data); the column drives a hidden
+   * partition transform (directory names are physical); tombstones are live
+   * (their key columns are physical parquet names).
+   */
+  def renameColumn(from: String, to: String): Snapshot =
+    evolveSchema("rename-column", s"$from->$to", retire = from) { sch =>
+      val idx = sch.fieldIndex(from)
+      require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)), s"column $to already exists")
+      require(!retired.contains(to.toLowerCase),
+        s"column name $to was previously dropped or renamed away; existing files still " +
+          "carry a physical column of that name, and parquet filter pushdown matches " +
+          "by NAME — rewrite the table (full cluster) to reclaim it")
+      evolutionGuards(sch, from, "rename")
+      (StructType(sch.fields.updated(idx, sch.fields(idx).copy(name = to))),
+        k => Some(if (k == from) to else k))
+    }
+
+  /**
+   * Drop a column WITHOUT rewriting any data file: the field (and its id)
+   * leaves the schema, projection simply stops reading it, and its stats
+   * keys are stripped from the manifests. The vacated NAME is permanently
+   * retired (see [[GraftTable.RetiredColumnsProp]] for why reintroducing it
+   * would corrupt filter pushdown against old files). Same refusal
+   * conditions as [[renameColumn]].
+   */
+  def dropColumn(name: String): Snapshot =
+    evolveSchema("drop-column", name, retire = name) { sch =>
+      sch.fieldIndex(name) // throws on unknown
+      require(sch.fields.length > 1, "cannot drop the only column")
+      evolutionGuards(sch, name, "drop")
+      (StructType(sch.fields.filterNot(_.name == name)),
+        k => if (k == name) None else Some(k))
+    }
+
+  private def evolutionGuards(sch: StructType, colName: String, what: String): Unit = {
+    require(GraftTable.hasFieldIds(sch),
+      s"table predates field-id column mapping; $what requires a table rewrite " +
+        "(files written without parquet field ids resolve by NAME only)")
+    partitionSpecs.find(_.sourceColumn == colName).foreach(sp =>
+      throw new IllegalArgumentException(
+        s"column $colName drives partition transform $sp — partition directory names " +
+          s"are physical; $what requires a table rewrite"))
+    require(tombstones().isEmpty,
+      s"table has live merge-on-read tombstones (physical key columns); materialize " +
+        s"them first (Cluster.zorderRewrite), then $what")
+  }
+
+  /** Names vacated by rename/drop across the table's history (lowercase). */
+  def retired: Set[String] = retiredOf(metadata)
+
+  private def retiredOf(md: TableMetadata): Set[String] =
+    md.properties.get(GraftTable.RetiredColumnsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Shared rename/drop machinery: one commit carrying the new schema, the
+    * stats-remapped manifests, and the vacated name's retirement — all
+    * atomic (row-preserving — incremental readers pass through it). */
+  private def evolveSchema(op: String, detail: String, retire: String)(
+      f: StructType => (StructType, String => Option[String])): Snapshot = {
+    val md0 = metadata
+    val (nextSchema, remapKey) = f(schemaOf(md0))
+    def remap[V](m: Map[String, V]): Map[String, V] =
+      m.flatMap { case (k, v) => remapKey(k).map(_ -> v) }
+    commitFull(op, expectedSnapshotId = md0.currentSnapshotId,
+      propertyUpdates = Map(GraftTable.RetiredColumnsProp ->
+        (retiredOf(md0) + retire.toLowerCase).toSeq.sorted.mkString(",")),
+      schemaUpdate = Some(nextSchema)) { parent =>
+      val manifests = parent.map(_.manifests).getOrElse(Seq.empty).map { m =>
+        writeManifest(readManifest(m.path).map(e => e.copy(
+          minValues = remap(e.minValues),
+          maxValues = remap(e.maxValues),
+          nullCounts = remap(e.nullCounts))))
+      }
+      (manifests, parent.flatMap(_.deleteManifests), Map(op -> detail))
     }
   }
 
@@ -579,6 +703,41 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
 object GraftTable {
 
+  /** Parquet's native field-id key in StructField metadata — the PUBLIC
+    * Spark mechanism (`spark.sql.parquet.fieldId.{read,write}.enabled`)
+    * behind rename/drop column evolution. */
+  val FieldIdKey = "parquet.field.id"
+
+  /** Table property holding the next never-used field id. */
+  val NextFieldIdProp = "next-field-id"
+
+  /** Table property listing column NAMES vacated by rename/drop (lowercase,
+    * comma-joined). A vacated name can never be reintroduced: existing data
+    * files still carry a physical column of that name bound to the OLD
+    * field id, and Spark's parquet FILTER PUSHDOWN matches columns by name
+    * (not field id) — a predicate on a reintroduced name would prune row
+    * groups against the dead column's values and silently drop rows. Field-
+    * id clipping itself handles the projection correctly; the pushdown
+    * name-match is the reason for the restriction. */
+  val RetiredColumnsProp = "retired-columns"
+
+  def hasFieldIds(schema: StructType): Boolean =
+    schema.fields.nonEmpty && schema.fields.forall(_.metadata.contains(FieldIdKey))
+
+  def maxFieldId(schema: StructType): Int =
+    schema.fields.collect { case f if f.metadata.contains(FieldIdKey) =>
+      f.metadata.getLong(FieldIdKey).toInt }.foldLeft(0)(math.max)
+
+  def fieldWithId(f: org.apache.spark.sql.types.StructField, id: Int): org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
+
+  /** Stamp stable field ids 1..n (fresh, ignoring any caller-supplied ids —
+    * the table owns its id space). Top-level columns only: nested-field
+    * evolution is out of scope. */
+  def withFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) => fieldWithId(f, i + 1) })
+
   /** Create a new empty table at `root`. */
   def create(
       spark: SparkSession,
@@ -590,6 +749,7 @@ object GraftTable {
     properties.get(PartitionSpec.Property).foreach { s =>
       PartitionSpec.parseMulti(s).foreach(_.validate(schema))
     }
+    val withIds = withFieldIds(schema)
     val md = TableMetadata(
       formatVersion = 1,
       tableUuid = UUID.randomUUID.toString,
@@ -597,7 +757,8 @@ object GraftTable {
       currentSnapshotId = None,
       snapshots = Seq.empty,
       lastSnapshotId = 0L,
-      properties = properties)
+      properties = properties + (NextFieldIdProp -> (schema.fields.length + 1).toString),
+      schemaJson = Some(withIds.json))
     FileIO.mkdirs(s"$root/data")
     require(FileIO.putIfAbsent(s"$root/metadata/v1.json", MetaJson.write(md)),
       s"concurrent create at $root")

@@ -60,12 +60,16 @@ final case class Snapshot(
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
-    schemaDdl: String, // StructType.toDDL
+    schemaDdl: String, // StructType.toDDL (kept for readability/back-compat)
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
     lastSnapshotId: Long,
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    // StructType.json — unlike toDDL it preserves per-field metadata, which
+    // carries the stable parquet field ids that make rename/drop column
+    // evolution readable across old files; None on pre-evolution metadata
+    schemaJson: Option[String] = None) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)

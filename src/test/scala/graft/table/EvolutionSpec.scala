@@ -62,4 +62,114 @@ class EvolutionSpec extends SparkSuite {
       tbl.addColumn(StructField("req", DoubleType, nullable = false)))
       .getMessage.contains("nullable"))
   }
+
+  test("rename column: old files stay readable by field id, stats keep pruning") {
+    val tbl = GraftTable.create(spark, tmpDir("rename"), Synth.pageSchema)
+    tbl.append(batch("a", 150))
+    val preTexts = tbl.read().select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    tbl.renameColumn("text", "content")
+    assert(tbl.schema.fieldNames.toSeq ===
+      Seq("url", "warc_ts", "html", "content", "lang"))
+    // old files' data binds to the NEW name through the stable field id —
+    // not 150 NULLs
+    val post = tbl.read().select("url", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(post === preTexts, "renamed column must carry the old files' values")
+
+    // stats keys were remapped: pruning on the NEW name still works
+    val f = tbl.files().head
+    assert(f.minValues.contains("content") && !f.minValues.contains("text"))
+    // a pushed-down predicate on the NEW name must still hit old files
+    // (parquet drops filters on columns a file does not physically carry)
+    val sampleText = preTexts.values.head
+    assert(tbl.read().filter(col("content") === sampleText).count() >= 1,
+      "equality filter on renamed column must find old files' rows")
+    // new appends write the new physical name; both generations read
+    tbl.append(batch("b", 60).withColumnRenamed("text", "content"))
+    assert(tbl.read().count() === 210)
+    assert(tbl.read().filter(col("content").isNotNull).count() === 210)
+
+    // a merge keyed on a RENAMED key column plans and runs
+    tbl.renameColumn("url", "page_url")
+    val upd = tbl.read().limit(10).withColumn("content", lit("RENAMED-MERGE"))
+    graft.ops.Merge.into(tbl, upd, Seq("page_url"), latestWins = false)
+    assert(tbl.read().filter(col("content") === "RENAMED-MERGE").count() === 10)
+    assert(tbl.read().count() === 210)
+
+    // guards
+    assert(intercept[Exception](tbl.renameColumn("page_url", "lang"))
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception](tbl.renameColumn("nope", "x"))
+      .getMessage.toLowerCase.contains("nope"))
+  }
+
+  test("drop column: projection stops; vacated names are permanently retired") {
+    val tbl = GraftTable.create(spark, tmpDir("dropcol"), Synth.pageSchema)
+    tbl.append(batch("a", 100))
+    tbl.dropColumn("html")
+    assert(tbl.schema.fieldNames.toSeq === Seq("url", "warc_ts", "text", "lang"))
+    assert(tbl.read().columns.toSeq === Seq("url", "warc_ts", "text", "lang"))
+    assert(tbl.files().head.minValues.keySet.forall(_ != "html"))
+    assert(tbl.read().count() === 100)
+
+    // the vacated name can never rebind: old files carry a physical 'html'
+    // column, and parquet filter pushdown matches by NAME — a reintroduced
+    // 'html' would prune row groups against the dead column's values
+    assert(intercept[Exception](
+      tbl.addColumn(StructField("html", org.apache.spark.sql.types.BinaryType, nullable = true)))
+      .getMessage.contains("previously dropped"))
+    // same for renaming another column ONTO a retired name
+    assert(intercept[Exception](tbl.renameColumn("text", "html"))
+      .getMessage.contains("previously dropped"))
+
+    // a rename/drop commit is row-preserving for incremental readers
+    val from = tbl.currentSnapshot.get.id
+    tbl.renameColumn("lang", "language")
+    tbl.append(batch("b", 40).withColumnRenamed("lang", "language").drop("html")
+      .select("url", "warc_ts", "text", "language"))
+    assert(tbl.incrementalRead(from).count() === 40)
+
+    assert(intercept[Exception](tbl.dropColumn("nope"))
+      .getMessage.toLowerCase.contains("nope"))
+  }
+
+  test("evolution is refused where physical names are load-bearing") {
+    // partition-transform source column
+    val t1 = GraftTable.create(spark, tmpDir("evo-guard"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(4, url)"))
+    t1.append(batch("a", 50))
+    assert(intercept[Exception](t1.renameColumn("url", "page_url"))
+      .getMessage.contains("partition transform"))
+    assert(intercept[Exception](t1.dropColumn("url"))
+      .getMessage.contains("partition transform"))
+
+    // live tombstones key on physical column names
+    val t2 = GraftTable.create(spark, tmpDir("evo-guard2"), Synth.pageSchema)
+    t2.append(batch("a", 50))
+    import spark.implicits._
+    val dead = t2.read().select("url").as[String].take(3).toSeq
+    t2.deleteByKeysMoR(dead.toDF("url"))
+    assert(intercept[Exception](t2.renameColumn("text", "content"))
+      .getMessage.contains("tombstones"))
+
+    // legacy tables (no field ids in metadata) refuse rename/drop
+    val t3 = GraftTable.create(spark, tmpDir("evo-legacy"), Synth.pageSchema)
+    t3.append(batch("a", 30))
+    t3.commitMetadataUpdate(md => md.copy(schemaJson = None)) // simulate pre-field-id metadata
+    assert(intercept[Exception](t3.renameColumn("text", "content"))
+      .getMessage.contains("field-id"))
+  }
+
+  test("SQL ALTER TABLE RENAME/DROP COLUMN") {
+    val tbl = GraftTable.create(spark, tmpDir("evo-sql"), Synth.pageSchema)
+    tbl.append(batch("a", 80))
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` RENAME COLUMN text TO content")
+    assert(tbl.schema.fieldNames.contains("content"))
+    assert(tbl.read().filter(col("content").isNotNull).count() === 80)
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` DROP COLUMN html")
+    assert(tbl.schema.fieldNames.toSeq === Seq("url", "warc_ts", "content", "lang"))
+    assert(tbl.read().count() === 80)
+  }
 }
