@@ -155,7 +155,7 @@ object Cluster {
     // keeps "one sorted run -> one right-sized file" exact; pre-spec files
     // (no partition dirs) form their own group whose rewrite adopts the
     // dir layout (a one-time split).
-    val specs = table.partitionSpecs
+    val specs = table.allPartitionSpecs
     val groups: Seq[(Int, Seq[DataFileMeta])] =
       (if (specs.isEmpty) Seq(inputs)
        else inputs.groupBy(f => graft.table.PartitionSpec.fileKey(specs, f))

@@ -60,7 +60,7 @@ object Compact {
     // defeating the packing (one group → one file only holds per dir).
     // Pre-spec files (no partition dirs) pack together; their rewrite
     // adopts the dir layout.
-    val specs = table.partitionSpecs
+    val specs = table.allPartitionSpecs
     val byPart: Seq[Seq[DataFileMeta]] =
       if (specs.isEmpty) Seq(ordered)
       else ordered.groupBy(f => graft.table.PartitionSpec.fileKey(specs, f))

@@ -37,6 +37,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s*(?:(ZORDER)(?:\s+(HILBERT))?)?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+  // partition-spec evolution (Spark has no such grammar): SET replaces the
+  // active transform set, DROP unpartitions — outgoing generations keep
+  // pruning via the spec history (GraftTable.setPartitionSpec)
+  private val SetSpecRe =
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SET\s+PARTITION\s+SPEC\s*\((.+)\)\s*;?\s*""".r
+  private val DropSpecRe =
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+PARTITION\s+SPEC\s*;?\s*""".r
 
   // graft tables are PATH-addressed: intercept only identifiers that look
   // like paths (contain a slash — `./name` works for a table in the CWD).
@@ -51,6 +58,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimizeCommand(path, zorder != null, hilbert != null)
     case VacuumRe(path, retain) if isPath(path) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(10))
+    case SetSpecRe(path, spec) if isPath(path) =>
+      GraftSetPartitionSpecCommand(path, Some(spec.trim))
+    case DropSpecRe(path) if isPath(path) =>
+      GraftSetPartitionSpecCommand(path, None)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -109,5 +120,19 @@ case class GraftVacuumCommand(path: String, retain: Int) extends LeafRunnableCom
     val r = Expire.expire(t, retainLast = retain)
     Seq(Row(r.removedSnapshots.size.toLong, r.deletedDataFiles.size.toLong,
       r.deletedManifests.size.toLong))
+  }
+}
+
+/** `ALTER TABLE graft.`path` SET PARTITION SPEC (bucket(16, url), …)` /
+  * `… DROP PARTITION SPEC` — partition-spec evolution
+  * ([[GraftTable.setPartitionSpec]]): new writes use the new layout, old
+  * generations keep pruning via the spec history, and maintenance never
+  * mixes generations in one rewrite group. */
+case class GraftSetPartitionSpecCommand(path: String, spec: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftTable.load(session, path).setPartitionSpec(spec)
+    Seq.empty
   }
 }

@@ -79,6 +79,60 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** First (or only) hidden-partitioning transform. */
   def partitionSpec: Option[PartitionSpec] = partitionSpecs.headOption
 
+  /** ACTIVE transforms plus every HISTORICAL generation's (spec evolution):
+    * each data file's path physically encodes the spec generation it was
+    * written under (`gp_bucket_8_url=…` vs `gp_bucket_16_url=…` are
+    * distinct dir names), so pruning and maintenance grouping evaluate the
+    * union and each file answers only for its own generation. Historical
+    * specs whose source column was since renamed/dropped no longer
+    * validate and are silently skipped (their pruning is dead, which is
+    * sound — the files just stop partition-pruning by that transform). */
+  def allPartitionSpecs: Seq[PartitionSpec] = {
+    val md = metadata
+    allSpecsOf(md, schemaOf(md))
+  }
+
+  private def allSpecsOf(md: TableMetadata, sch: StructType): Seq[PartitionSpec] = {
+    val active = specsOf(md, sch)
+    val historical = md.properties.get(PartitionSpec.HistoryProperty).toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .flatMap { gen =>
+        scala.util.Try {
+          PartitionSpec.parseMulti(gen).map { sp => sp.validate(sch); sp }
+        }.getOrElse(Seq.empty)
+      }
+    val activeNames = active.map(_.name).toSet
+    active ++ historical.filterNot(sp => activeNames.contains(sp.name))
+      .groupBy(_.name).map(_._2.head)
+  }
+
+  /**
+   * Partition-spec evolution: replace the ACTIVE transform set (None =
+   * unpartition). New files are written under the new spec; existing files
+   * keep their directory layout, and the outgoing spec joins the history
+   * property so their pruning keeps working (see [[allPartitionSpecs]]).
+   * Maintenance groups by each file's own generation, so compaction or
+   * clustering never mixes generations into one rewrite group — changing
+   * `bucket(8)` to `bucket(16)` migrates the layout incrementally as data
+   * is rewritten, not in one big bang.
+   */
+  def setPartitionSpec(spec: Option[String]): TableMetadata = commitMetadataUpdate { md =>
+    val sch = schemaOf(md)
+    spec.foreach(s => PartitionSpec.parseMulti(s).foreach(_.validate(sch)))
+    val oldActive = md.properties.get(PartitionSpec.Property)
+    if (oldActive == spec) md
+    else {
+      val hist = md.properties.get(PartitionSpec.HistoryProperty).toSeq
+        .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      val newHist = (hist ++ oldActive.toSeq).distinct.mkString(";")
+      val props = (spec match {
+        case Some(s) => md.properties + (PartitionSpec.Property -> s)
+        case None    => md.properties - PartitionSpec.Property
+      }) ++ (if (newHist.nonEmpty) Map(PartitionSpec.HistoryProperty -> newHist) else Map.empty)
+      md.copy(properties = props)
+    }
+  }
+
   def currentSnapshot: Option[Snapshot] = metadata.currentSnapshot
 
   /** All data files of a snapshot (current if unspecified). */
@@ -117,7 +171,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     predicate match {
       case Some(p) =>
         val sch = schemaOf(md)
-        PredicatePrune.prune(sch, all, p, specsOf(md, sch))
+        PredicatePrune.prune(sch, all, p, allSpecsOf(md, sch))
       case None => all
     }
   }
@@ -140,7 +194,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val planned = planFilesOf(md, predicate, snapshotId)
     val df = applyTombstonesOf(md,
       org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-        spark, sch, root, planned, specsOf(md, sch)),
+        spark, sch, root, planned, allSpecsOf(md, sch)),
       snapshotId)
     predicate match {
       case Some(p) => df.filter(p)
@@ -381,7 +435,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val sch = schemaOf(md)
     applyTombstonesOf(md,
       org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-        spark, sch, root, added, specsOf(md, sch)),
+        spark, sch, root, added, allSpecsOf(md, sch)),
       Some(to))
   }
 

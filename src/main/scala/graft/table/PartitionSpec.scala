@@ -122,8 +122,14 @@ final case class PartitionSpec(transform: String, sourceColumn: String, param: O
 
 object PartitionSpec {
 
-  /** table property key */
+  /** table property key (the ACTIVE spec — what new writes lay out by) */
   val Property = "partition-spec"
+
+  /** table property key holding OUTGOING spec generations (";"-joined spec
+    * strings — each generation itself is a comma-joined multi-spec), kept
+    * so files written under them keep partition-pruning and maintenance
+    * grouping after a [[graft.table.GraftTable.setPartitionSpec]] change */
+  val HistoryProperty = "partition-spec-history"
 
   private val NoArg = """^(days|hours|months|years|identity)\(\s*([A-Za-z0-9_]+)\s*\)$""".r
   private val IntArg = """^(bucket|truncate)\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)$""".r

@@ -271,4 +271,58 @@ class HiddenPartitionSpec extends SparkSuite {
         Map(PartitionSpec.Property -> "buckets(16, url)"))
     }
   }
+
+  test("partition-spec evolution: both generations prune; maintenance never mixes them") {
+    val t = GraftTable.create(spark, tmpDir("graft-hp-evolve"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(4, url)"))
+    t.append(Synth.pages(spark, 2000, hosts = 20, partitions = 4))
+    val gen1 = t.files().map(_.path).toSet
+    assert(gen1.forall(_.contains("gp_bucket_4_url=")))
+
+    // evolve bucket(4) → bucket(16): no data rewrite, layout changes forward
+    spark.sql(s"ALTER TABLE graft.`${t.root}` SET PARTITION SPEC (bucket(16, url))")
+    assert(t.partitionSpecs.map(_.toString) === Seq("bucket(16, url)"))
+    assert(t.allPartitionSpecs.map(_.toString).toSet ===
+      Set("bucket(16, url)", "bucket(4, url)"))
+    t.append(Synth.pages(spark, 2000, hosts = 20, partitions = 4, seed = 9)
+      .withColumn("url", concat(col("url"), lit("?g=2"))))
+    val files = t.files()
+    val gen2 = files.map(_.path).toSet -- gen1
+    assert(gen2.nonEmpty && gen2.forall(_.contains("gp_bucket_16_url=")),
+      "new writes must lay out under the NEW spec")
+
+    // equality pruning hits BOTH generations through each file's own spec
+    val u1 = t.read().filter(!col("url").endsWith("?g=2"))
+      .select("url").orderBy("url").head().getString(0)
+    val planned1 = t.planFiles(Some(col("url") === lit(u1)))
+    assert(planned1.size < files.size / 2,
+      s"old-generation bucket(4) dirs must still prune: ${planned1.size}/${files.size}")
+    val u2 = t.read().filter(col("url").endsWith("?g=2"))
+      .select("url").orderBy("url").head().getString(0)
+    val planned2 = t.planFiles(Some(col("url") === lit(u2)))
+    assert(planned2.size < files.size / 2,
+      s"new-generation bucket(16) dirs must prune: ${planned2.size}/${files.size}")
+    assertSameRows(t.read(Some(col("url") === lit(u1))),
+      t.read().filter(col("url") === lit(u1)), "evolved-spec pruned scan")
+
+    // maintenance groups by each file's OWN generation: no rewrite group
+    // may span bucket(4) and bucket(16) files
+    val specs = t.allPartitionSpecs
+    val groups = files.groupBy(f => PartitionSpec.fileKey(specs, f))
+    for ((k, fs) <- groups) {
+      val gens = fs.map(f => f.path.contains("gp_bucket_4_url=")).toSet
+      assert(gens.size == 1, s"group $k mixes spec generations")
+    }
+    // compaction migrates rewritten groups to the ACTIVE layout
+    val preCount = t.read().count()
+    graft.ops.Compact.run(t, targetBytes = 256L * 1024 * 1024)
+    assert(t.read().count() === preCount)
+    assertSameRows(t.read(Some(col("url") === lit(u1))),
+      t.read().filter(col("url") === lit(u1)), "post-compaction pruned scan")
+
+    // DROP PARTITION SPEC unpartitions; history keeps old dirs pruning
+    spark.sql(s"ALTER TABLE graft.`${t.root}` DROP PARTITION SPEC")
+    assert(t.partitionSpecs.isEmpty && t.allPartitionSpecs.nonEmpty)
+    assert(t.read().count() === preCount)
+  }
 }
