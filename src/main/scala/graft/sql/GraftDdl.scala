@@ -3,7 +3,8 @@ package graft.sql
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateTableAsSelect, DropTable, LogicalPlan, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateTableAsSelect, DescribeRelation, DropTable, LogicalPlan, SetTableProperties, ShowTableProperties, UnresolvedTableSpec, UnsetTableProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -40,6 +41,18 @@ case class GraftDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
         props(c.partitioning, c.tableSpec), c.ignoreIfExists, Some(c.query))
     case d: DropTable if identPath(d.child).isDefined =>
       GraftDropTableCommand(identPath(d.child).get, d.ifExists)
+    case d @ DescribeRelation(rel, _, isExtended, out) if identPath(rel).isDefined =>
+      val _ = d
+      GraftDescribeCommand(identPath(rel).get, isExtended, out)
+    case s @ ShowTableProperties(t, key, out) if identPath(t).isDefined =>
+      val _ = s
+      GraftShowPropertiesCommand(identPath(t).get, key, out)
+    case s @ SetTableProperties(t, properties) if identPath(t).isDefined =>
+      val _ = s
+      GraftSetPropertiesCommand(identPath(t).get, properties)
+    case u @ UnsetTableProperties(t, keys, ifExists) if identPath(u.table).isDefined =>
+      val _ = (u, t)
+      GraftUnsetPropertiesCommand(identPath(u.table).get, keys, ifExists)
   }
 
   private def fail(msg: String): Nothing =
@@ -53,6 +66,10 @@ case class GraftDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
         if v.multipartIdentifier.length == 2 &&
           v.multipartIdentifier.head.equalsIgnoreCase("graft") =>
       Some(v.multipartIdentifier(1))
+    case t: UnresolvedTable
+        if t.multipartIdentifier.length == 2 &&
+          t.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some(t.multipartIdentifier(1))
     case _ => None
   }
 
@@ -129,6 +146,101 @@ case class GraftCreateTableCommand(
         val df = Shims.dataFrame(session, q)
         val t = GraftTable.create(session, path, df.schema, properties)
         t.append(df, Map("via" -> "sql-ctas"))
+    }
+    Seq.empty
+  }
+}
+
+object GraftTableProps {
+  /** Engine-managed properties a user must not SET/UNSET directly: each
+    * has a dedicated, validated statement or is internal bookkeeping. */
+  def reserved(key: String): Boolean =
+    key == graft.table.PartitionSpec.Property ||
+      key == graft.table.PartitionSpec.HistoryProperty ||
+      key == GraftTable.NextFieldIdProp ||
+      key == GraftTable.RetiredColumnsProp ||
+      key.startsWith("stream-batch-")
+}
+
+/** `DESCRIBE [EXTENDED] graft.`path`` — columns + hidden partitioning
+  * (+ location/format/snapshot/properties detail when EXTENDED). */
+case class GraftDescribeCommand(
+    path: String, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val cols = t.schema.fields.toSeq.map { f =>
+      Row(f.name, f.dataType.simpleString,
+        if (f.metadata.contains("comment")) f.metadata.getString("comment") else null)
+    }
+    val parts = t.partitionSpecs match {
+      case Seq() => Seq.empty
+      case specs => Row("# Partitioning", "", "") +:
+        specs.zipWithIndex.map { case (sp, i) => Row(s"Part $i", sp.toString, "") }
+    }
+    val detail = if (!isExtended) Seq.empty else {
+      val md = t.metadata
+      Seq(Row("# Detailed Table Information", "", ""),
+        Row("Location", t.root, ""),
+        Row("Provider", "graft", ""),
+        Row("Table UUID", md.tableUuid, ""),
+        Row("Current Snapshot", md.currentSnapshotId.map(_.toString).getOrElse("-"), ""),
+        Row("Snapshots", md.snapshots.size.toString, ""),
+        Row("Table Properties",
+          md.properties.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("[", ", ", "]"), ""))
+    }
+    (cols ++ (if (parts.isEmpty) Seq.empty else Row("", "", "") +: parts)
+      ++ (if (detail.isEmpty) Seq.empty else Row("", "", "") +: detail))
+  }
+}
+
+/** `SHOW TBLPROPERTIES graft.`path` [('key')]`. */
+case class GraftShowPropertiesCommand(
+    path: String, propertyKey: Option[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val props = GraftTable.load(session, path).metadata.properties
+    propertyKey match {
+      // Spark's v2 command answers a single-key probe with just the value
+      // column when the parser planned it that way; our output follows the
+      // node's own attribute list, so emit (key, value) or (value) to match
+      case Some(k) =>
+        val v = props.getOrElse(k,
+          s"Table ${path} does not have property: $k")
+        if (output.size == 1) Seq(Row(v)) else Seq(Row(k, v))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `ALTER TABLE graft.`path` SET TBLPROPERTIES (…)` — engine-managed keys
+  * are refused (they have dedicated statements). */
+case class GraftSetPropertiesCommand(
+    path: String, properties: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    properties.keys.find(GraftTableProps.reserved).foreach(k =>
+      throw new IllegalArgumentException(s"graft SET TBLPROPERTIES: $k is engine-managed " +
+        "(use the dedicated statement: SET PARTITION SPEC / ALTER COLUMN paths)"))
+    GraftTable.load(session, path).commitMetadataUpdate(md =>
+      md.copy(properties = md.properties ++ properties))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.`path` UNSET TBLPROPERTIES [IF EXISTS] (…)`. */
+case class GraftUnsetPropertiesCommand(
+    path: String, keys: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    keys.find(GraftTableProps.reserved).foreach(k =>
+      throw new IllegalArgumentException(s"graft UNSET TBLPROPERTIES: $k is engine-managed"))
+    val t = GraftTable.load(session, path)
+    t.commitMetadataUpdate { md =>
+      if (!ifExists)
+        keys.filterNot(md.properties.contains).headOption.foreach(k =>
+          throw new IllegalArgumentException(s"property $k does not exist (use IF EXISTS)"))
+      md.copy(properties = md.properties -- keys)
     }
     Seq.empty
   }

@@ -67,4 +67,39 @@ class SqlDdlSpec extends SparkSuite {
     assert(ex2.getMessage.contains("timestamp/date"), ex2.getMessage)
     val _ = PartitionSpec // referenced for doc purposes
   }
+
+  test("DESCRIBE, SHOW TBLPROPERTIES, SET/UNSET TBLPROPERTIES") {
+    val path = freshPath("sqlddl-desc")
+    spark.sql(
+      s"""CREATE TABLE graft.`$path` (url STRING, warc_ts TIMESTAMP, text STRING)
+         |PARTITIONED BY (bucket(4, url))""".stripMargin)
+
+    val desc = spark.sql(s"DESCRIBE graft.`$path`").collect()
+    assert(desc.map(_.getString(0)).take(3).toSeq === Seq("url", "warc_ts", "text"))
+    assert(desc.exists(r => r.getString(0) == "Part 0" && r.getString(1) == "bucket(4, url)"))
+    val ext = spark.sql(s"DESCRIBE EXTENDED graft.`$path`").collect()
+    assert(ext.exists(r => r.getString(0) == "Provider" && r.getString(1) == "graft"))
+    assert(ext.exists(_.getString(0) == "Location"))
+
+    spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES ('team' = 'pipeline', 'tier' = 'gold')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$path`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("team") == "pipeline" && props("tier") == "gold")
+    assert(props.contains("partition-spec"), "engine properties visible in SHOW")
+
+    spark.sql(s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('tier')")
+    val after = spark.sql(s"SHOW TBLPROPERTIES graft.`$path`").collect().map(_.getString(0))
+    assert(!after.contains("tier") && after.contains("team"))
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('nope')").collect())
+      .getMessage.contains("does not exist"))
+
+    // engine-managed keys are protected (dedicated statements exist)
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$path` SET TBLPROPERTIES ('partition-spec' = 'bucket(2, url)')").collect())
+      .getMessage.contains("engine-managed"))
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('next-field-id')").collect())
+      .getMessage.contains("engine-managed"))
+  }
 }
