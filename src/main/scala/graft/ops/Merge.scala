@@ -93,6 +93,16 @@ object Merge {
         .getOrElse(throw new IllegalArgumentException(s"no column $k"))
     }
     dts.foreach(dt => require(Bounds.supported(dt), s"unsupported key type $dt"))
+    // canonicalKey (and the range steering built on it) reads NTZ wall time
+    // through the SESSION zone while file stats store raw NTZ micros — the
+    // two agree only under UTC. Every engine entry point sets UTC; a
+    // caller-supplied session must fail loudly here, not plan touched
+    // files 2h off and silently duplicate merged keys.
+    if (dts.contains(TimestampNTZType))
+      require(table.spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+        s"TIMESTAMP_NTZ merge keys require spark.sql.session.timeZone=UTC " +
+          s"(session is '${table.spark.sessionState.conf.sessionLocalTimeZone}'): " +
+          "file statistics store raw NTZ micros and key planning must match them")
     val lead = keyCols.head
     val leadDt = dts.head
     // conservative: a file without bounds for the leading key is always touched
@@ -366,8 +376,25 @@ object Merge {
       // scatter would leave every output file spanning the whole key space
       val steer: Option[(Column, String => Long)] = leadDt match {
         case StringType =>
-          Some((graft.functions.ZOrder.packedPrefix(col(keyCols.head), 8),
-            (s: String) => graft.functions.ZOrder.packPrefixScala(s)))
+          // an 8-char pack cannot see past a long SHARED prefix — web URLs
+          // all start "https://…", which pinned every packed key to one
+          // value and collapsed a 10 GB merge output into ONE file (found
+          // by the 10× soak). Strip the touched files' common bound prefix
+          // before packing, on both the row side and the metadata side
+          // (bounds are prefix-truncated at 64 chars, so their lcp is a
+          // prefix of every key's — sound). Keys outside the prefix (new
+          // inserts) only loosen bounds, never correctness.
+          val boundStrs = touched.flatMap(f =>
+            f.minValues.get(keyCols.head) ++ f.maxValues.get(keyCols.head))
+          def lcp2(a: String, b: String): String = {
+            val n = math.min(a.length, b.length); var i = 0
+            while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+            a.substring(0, i)
+          }
+          val lcpLen = if (boundStrs.isEmpty) 0 else boundStrs.reduce(lcp2).length
+          Some((graft.functions.ZOrder.packedPrefix(
+              substring(col(keyCols.head), lcpLen + 1, 8), 8),
+            (s: String) => graft.functions.ZOrder.packPrefixScala(s.drop(lcpLen))))
         case ByteType | ShortType | IntegerType | LongType =>
           Some((col(keyCols.head).cast("long"), (s: String) => s.toLong))
         case TimestampType =>
@@ -384,9 +411,11 @@ object Merge {
       val out =
         if (nOut <= 1) merged
         else (steer, bds) match {
-          // empty boundaries = no touched file carried bounds: range
-          // steering would collapse to one partition — scatter instead
-          case (Some((kc, _)), Some(b)) if b.nonEmpty => RangeShuffle.byRange(merged, kc, b)
+          // missing/collapsed boundaries (no bounds, or a keyspace the
+          // packed encoding cannot discriminate): range steering would
+          // write a handful of oversized files — scatter instead
+          case (Some((kc, _)), Some(b)) if b.length >= math.max(1, nOut / 4) =>
+            RangeShuffle.byRange(merged, kc, b)
           case _ => merged.repartition(nOut, keyC: _*)
         }
       table.writeDataFiles(out, commitUuid)

@@ -105,6 +105,11 @@ object Soak {
         val sumCompact = settled() - s0
         val nFilesCompacted = tbl.files().size
         val compactedBytes = tbl.files().map(_.bytes).sum
+        // GC the superseded generation between ops: at 10 GB per generation
+        // the soak would otherwise hold 4 generations on disk at peak
+        // (append+compact+cluster+merge) — a real deployment expires on a
+        // schedule for exactly this reason
+        Expire.expire(tbl, retainLast = 1)
 
         val s1 = taskSum.get()
         val (_, tCluster) = time {
@@ -114,6 +119,7 @@ object Soak {
         }
         val sumCluster = settled() - s1
         val nFilesClustered = tbl.files().size
+        Expire.expire(tbl, retainLast = 1)
 
         // 1% change set: half updates (newer version of an existing url),
         // half inserts — latest-wins CDC merge, the north rule's upsert

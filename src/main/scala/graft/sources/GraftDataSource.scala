@@ -101,7 +101,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     // this relation (the write already committed; throwing would fail a
     // successful append) — readers come back through the RelationProvider
     // path above, which enforces it
-    GraftRelation.relation(spark, tbl.schema, root, tbl.files(), tbl.partitionSpecs)
+    GraftRelation.relation(spark, tbl.schema, root, tbl.files(), tbl.allPartitionSpecs)
   }
 
   override def createRelation(
@@ -119,6 +119,6 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     require(table.tombstones(snapshotId).isEmpty,
       "snapshot has live merge-on-read tombstones, which a raw file relation cannot apply; " +
         "read via GraftTable.read (applies them) or materialize with Cluster.zorderRewrite")
-    GraftRelation.relation(spark, table.schema, root, table.files(snapshotId), table.partitionSpecs)
+    GraftRelation.relation(spark, table.schema, root, table.files(snapshotId), table.allPartitionSpecs)
   }
 }

@@ -131,8 +131,9 @@ case class GraftDropColumnsCommand(
     path: String, cols: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
-    val table = GraftTable.load(session, path)
-    cols.foreach(table.dropColumn)
+    // ONE commit: a validation failure on any column must not leave the
+    // earlier columns already (irreversibly) dropped and retired
+    GraftTable.load(session, path).dropColumns(cols)
     Seq.empty
   }
 }

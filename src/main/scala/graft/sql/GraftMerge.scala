@@ -86,6 +86,11 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft MERGE INTO: $msg")
 
+  /** Identifier equality via the session resolver (case-insensitive by
+    * default, like Spark's own alias resolution). */
+  private def sameId(a: String, b: String): Boolean =
+    session.sessionState.analyzer.resolver(a, b)
+
   /** ON clause → ordered key column names (conjunction of equi-conditions).
     * Qualifier sanity: `t.k = t.k` / `s.k = s.k` compares one relation to
     * itself and silently matches every row pair — rejected. */
@@ -97,11 +102,11 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         if a.nameParts.last == b.nameParts.last =>
       val qa = if (a.nameParts.length > 1) Some(a.nameParts.head) else None
       val qb = if (b.nameParts.length > 1) Some(b.nameParts.head) else None
-      if (qa.nonEmpty && qa == qb)
+      for (x <- qa; y <- qb if sameId(x, y))
         fail(s"ON condition ${a.name} = ${b.name} compares one relation to itself; " +
           "join the target to the source (t.<k> = s.<k>)")
       for (ta <- targetAlias; sa <- sourceAlias; x <- qa; y <- qb)
-        if (Set(x, y) != Set(ta, sa))
+        if (!((sameId(x, ta) && sameId(y, sa)) || (sameId(x, sa) && sameId(y, ta))))
           fail(s"ON condition ${a.name} = ${b.name} must join the target alias '$ta' " +
             s"to the source alias '$sa'")
       Seq(a.nameParts.last)
@@ -132,7 +137,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     // SOURCE column after qualifier stripping, deciding on the wrong relation
     def sourceOnly(e: Expression, what: String): ExprHolder = {
       for (a <- e.collect { case a: UnresolvedAttribute => a }) {
-        if (a.nameParts.length > 1 && targetAlias.contains(a.nameParts.head))
+        if (a.nameParts.length > 1 && targetAlias.exists(sameId(_, a.nameParts.head)))
           fail(s"$what may reference SOURCE columns only, got target-side ${a.name} " +
             "(it is evaluated on the change rows before the merge join)")
         if (a.nameParts.length == 1 && targetFields.exists(resolver(_, a.nameParts.head)))
@@ -148,7 +153,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
       asg.map { a =>
         val name = a.key match {
           case u: UnresolvedAttribute =>
-            if (u.nameParts.length > 1 && !targetAlias.forall(_ == u.nameParts.head))
+            if (u.nameParts.length > 1 && !targetAlias.forall(sameId(_, u.nameParts.head)))
               fail(s"$what assigns non-target column ${u.name}")
             u.nameParts.last
           case other => fail(s"$what must assign plain columns, got $other")
@@ -180,7 +185,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     // conditions/assignments evaluate on TARGET columns (before the join)
     def targetOnly(e: Expression, what: String): ExprHolder = {
       for (a <- e.collect { case a: UnresolvedAttribute => a })
-        if (a.nameParts.length > 1 && sourceAlias.contains(a.nameParts.head))
+        if (a.nameParts.length > 1 && sourceAlias.exists(sameId(_, a.nameParts.head)))
           fail(s"$what may reference TARGET columns only, got source-side ${a.name} " +
             "(it is evaluated on target rows that have NO source match)")
       ExprHolder(e.transformUp {

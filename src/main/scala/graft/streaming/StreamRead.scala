@@ -69,7 +69,7 @@ class GraftStreamSource(
   // running query (files are read by name; a column added later simply
   // does not appear until the stream restarts)
   override val schema: StructType = table.schema
-  private val specs = table.partitionSpecs
+  private val specs = table.allPartitionSpecs // union: old-generation dirs must keep pruning
 
   startingSnapshotId.foreach { id =>
     require(id == 0 || table.metadata.snapshot(id).nonEmpty,
@@ -99,6 +99,13 @@ class GraftStreamSource(
           chain += cur.get.id
           cur = cur.get.parentId.flatMap(md.snapshot)
         }
+        // a rollback onto another branch can leave current NEWER than the
+        // delivered offset yet not descended from it — without this check
+        // the cap would emit an offset BELOW the floor and the batch would
+        // fail later with a misleading broken-chain error
+        require(cur.nonEmpty || from == 0,
+          s"delivered offset $from is not an ancestor of current snapshot $current " +
+            "(rollback under a live stream?)")
         val newestFirst = chain.toSeq
         if (newestFirst.size <= maxN) current else newestFirst.reverse(maxN - 1)
       case _ => current

@@ -25,13 +25,6 @@ import org.apache.spark.sql.types.StructType
  */
 class GraftTable private (val root: String, val spark: SparkSession) {
 
-  // field-id column resolution (see [[GraftTable.withFieldIds]]): when a
-  // requested schema carries parquet field ids, the vectorized reader looks
-  // columns up BY ID — which is what keeps files written before a RENAME
-  // readable (their physical column name differs). A no-op for schemas
-  // without ids (legacy tables, raw parquet), so safe session-wide.
-  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-
   private def metadataDir = s"$root/metadata"
   private def hintPath = s"$metadataDir/version-hint.text"
   def dataDir = s"$root/data"
@@ -59,10 +52,25 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   def schema: StructType = schemaOf(metadata)
 
-  private def schemaOf(md: TableMetadata): StructType =
-    md.schemaJson
+  @volatile private var fieldIdConfSet = false
+
+  private def schemaOf(md: TableMetadata): StructType = {
+    val s = md.schemaJson
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(StructType.fromDDL(md.schemaDdl))
+    // field-id column resolution (see [[GraftTable.withFieldIds]]): when a
+    // requested schema carries parquet field ids, the vectorized reader
+    // looks columns up BY ID — what keeps files written before a RENAME
+    // readable (their physical name differs). Flipped only once a session
+    // actually resolves an id-ful graft schema (every read/merge/stream
+    // path passes through here first), so sessions that never touch such
+    // a table keep Spark's default by-name resolution everywhere.
+    if (!fieldIdConfSet && GraftTable.hasFieldIds(s)) {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      fieldIdConfSet = true
+    }
+    s
+  }
 
   /** Hidden-partitioning transforms, if the table declares any (see
     * [[PartitionSpec]]); validated against the schema. */
@@ -94,8 +102,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   private def allSpecsOf(md: TableMetadata, sch: StructType): Seq[PartitionSpec] = {
     val active = specsOf(md, sch)
-    val historical = md.properties.get(PartitionSpec.HistoryProperty).toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+    val historical = PartitionSpec.parseHistory(md.properties.get(PartitionSpec.HistoryProperty))
       .flatMap { gen =>
         scala.util.Try {
           PartitionSpec.parseMulti(gen).map { sp => sp.validate(sch); sp }
@@ -122,9 +129,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val oldActive = md.properties.get(PartitionSpec.Property)
     if (oldActive == spec) md
     else {
-      val hist = md.properties.get(PartitionSpec.HistoryProperty).toSeq
-        .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      val newHist = (hist ++ oldActive.toSeq).distinct.mkString(";")
+      val hist = PartitionSpec.parseHistory(md.properties.get(PartitionSpec.HistoryProperty))
+      val newHist = PartitionSpec.serializeHistory((hist ++ oldActive.toSeq).distinct)
       val props = (spec match {
         case Some(s) => md.properties + (PartitionSpec.Property -> s)
         case None    => md.properties - PartitionSpec.Property
@@ -420,7 +426,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         if (cursor.parentId.contains(fromSnapshotId) || (cursor.parentId.isEmpty && fromSnapshotId == 0))
           return (added.toSeq, to)
         throw new IllegalArgumentException(
-          s"snapshot chain from $to to $fromSnapshotId broken (expired snapshot?)")
+          s"snapshot chain from $to to $fromSnapshotId broken " +
+            "(expired snapshot, or a rollback onto another branch?)")
       }
     }
     (added.toSeq, to)
@@ -613,6 +620,18 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     commitMetadataUpdate { md =>
       require(md.snapshot(toSnapshotId).nonEmpty,
         s"cannot roll back to unknown or expired snapshot $toSnapshotId")
+      // schema-evolution commits store the NEW schema and retired names
+      // TABLE-WIDE (not per snapshot): pointing the snapshot back across
+      // one would pair old manifests (old stats keys) with the new schema
+      // — pruning dies silently and a dropped column cannot come back.
+      // Refuse instead of corrupting; ids are monotonic, so any evolution
+      // commit newer than the target (any branch) blocks.
+      md.snapshots.find(s => s.id > toSnapshotId &&
+          (s.operation == "rename-column" || s.operation == "drop-column")).foreach(s =>
+        throw new IllegalArgumentException(
+          s"cannot roll back across schema-evolution snapshot ${s.id} " +
+            s"('${s.operation}': ${s.summary.getOrElse(s.operation, "")}) — " +
+            "the table schema is not versioned per snapshot"))
       md.copy(currentSnapshotId = Some(toSnapshotId))
     }
 
@@ -665,7 +684,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * (their key columns are physical parquet names).
    */
   def renameColumn(from: String, to: String): Snapshot =
-    evolveSchema("rename-column", s"$from->$to", retire = from) { sch =>
+    evolveSchema("rename-column", s"$from->$to", retire = Seq(from)) { sch =>
       val idx = sch.fieldIndex(from)
       require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)), s"column $to already exists")
       require(!retired.contains(to.toLowerCase),
@@ -685,23 +704,33 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * would corrupt filter pushdown against old files). Same refusal
    * conditions as [[renameColumn]].
    */
-  def dropColumn(name: String): Snapshot =
-    evolveSchema("drop-column", name, retire = name) { sch =>
-      sch.fieldIndex(name) // throws on unknown
-      require(sch.fields.length > 1, "cannot drop the only column")
-      evolutionGuards(sch, name, "drop")
-      (StructType(sch.fields.filterNot(_.name == name)),
-        k => if (k == name) None else Some(k))
+  def dropColumn(name: String): Snapshot = dropColumns(Seq(name))
+
+  /** Multi-column drop in ONE atomic commit — a failed validation on any
+    * column must not leave earlier columns already (irreversibly) dropped. */
+  def dropColumns(names: Seq[String]): Snapshot = {
+    require(names.nonEmpty && names.distinct.size == names.size,
+      s"duplicate column in DROP: ${names.mkString(", ")}")
+    evolveSchema("drop-column", names.mkString(","), retire = names) { sch =>
+      names.foreach(sch.fieldIndex) // throws on unknown
+      require(sch.fields.length > names.size, "cannot drop every column")
+      names.foreach(n => evolutionGuards(sch, n, "drop"))
+      (StructType(sch.fields.filterNot(f => names.contains(f.name))),
+        k => if (names.contains(k)) None else Some(k))
     }
+  }
 
   private def evolutionGuards(sch: StructType, colName: String, what: String): Unit = {
     require(GraftTable.hasFieldIds(sch),
       s"table predates field-id column mapping; $what requires a table rewrite " +
         "(files written without parquet field ids resolve by NAME only)")
-    partitionSpecs.find(_.sourceColumn == colName).foreach(sp =>
+    // ALL spec generations: files written under a historical spec still
+    // partition-prune by this column's dirs — evolving it away would
+    // silently kill that pruning for every pre-evolution file
+    allPartitionSpecs.find(_.sourceColumn == colName).foreach(sp =>
       throw new IllegalArgumentException(
-        s"column $colName drives partition transform $sp — partition directory names " +
-          s"are physical; $what requires a table rewrite"))
+        s"column $colName drives partition transform $sp (active or historical) — " +
+          s"partition directory names are physical; $what requires a table rewrite"))
     require(tombstones().isEmpty,
       s"table has live merge-on-read tombstones (physical key columns); materialize " +
         s"them first (Cluster.zorderRewrite), then $what")
@@ -717,7 +746,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Shared rename/drop machinery: one commit carrying the new schema, the
     * stats-remapped manifests, and the vacated name's retirement — all
     * atomic (row-preserving — incremental readers pass through it). */
-  private def evolveSchema(op: String, detail: String, retire: String)(
+  private def evolveSchema(op: String, detail: String, retire: Seq[String])(
       f: StructType => (StructType, String => Option[String])): Snapshot = {
     val md0 = metadata
     val (nextSchema, remapKey) = f(schemaOf(md0))
@@ -725,7 +754,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       m.flatMap { case (k, v) => remapKey(k).map(_ -> v) }
     commitFull(op, expectedSnapshotId = md0.currentSnapshotId,
       propertyUpdates = Map(GraftTable.RetiredColumnsProp ->
-        (retiredOf(md0) + retire.toLowerCase).toSeq.sorted.mkString(",")),
+        (retiredOf(md0) ++ retire.map(_.toLowerCase)).toSeq.sorted.mkString(",")),
       schemaUpdate = Some(nextSchema)) { parent =>
       val manifests = parent.map(_.manifests).getOrElse(Seq.empty).map { m =>
         writeManifest(readManifest(m.path).map(e => e.copy(

@@ -131,6 +131,14 @@ object PartitionSpec {
     * grouping after a [[graft.table.GraftTable.setPartitionSpec]] change */
   val HistoryProperty = "partition-spec-history"
 
+  /** The history property's wire format lives HERE only (writer below,
+    * both readers in GraftTable go through this). */
+  def parseHistory(prop: Option[String]): Seq[String] =
+    prop.toSeq.flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+
+  def serializeHistory(generations: Seq[String]): String =
+    generations.mkString(";")
+
   private val NoArg = """^(days|hours|months|years|identity)\(\s*([A-Za-z0-9_]+)\s*\)$""".r
   private val IntArg = """^(bucket|truncate)\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)$""".r
 

@@ -314,6 +314,35 @@ class MergeSpec extends SparkSuite {
     assert(touchedLead.size === 1)
   }
 
+  test("string keys sharing a long prefix still range-cluster the merge output") {
+    // regression (found by the 10 GB soak): every url starts "https://…",
+    // which pinned the 8-char packed prefix to ONE value — boundaries
+    // collapsed and the whole merge output landed in a single file
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("url", StringType, nullable = false),
+      StructField("payload", StringType)))
+    val t = GraftTable.create(spark, tmpDir("graft-prefix-range"), schema)
+    import spark.implicits._
+    // distinct payloads: a constant would dictionary-compress the files
+    // under any target size and leave nOut = 1
+    def pay(i: Int) = Seq.tabulate(8)(j => (i * 31 + j * 7919).toHexString).mkString("-")
+    // four url-disjoint files, all keys sharing the scheme+host prefix
+    for (b <- 0 until 4)
+      t.append((b * 2000 until (b + 1) * 2000)
+        .map(i => (f"https://host.example.com/p/$i%06d", pay(i)))
+        .toDF("url", "payload").coalesce(1))
+    val src = (0 until 8000 by 7)
+      .map(i => (f"https://host.example.com/p/$i%06d", "updated"))
+      .toDF("url", "payload")
+    Merge.into(t, src, Seq("url"), latestWins = false, targetFileBytes = 24 * 1024)
+    val out = t.files().filter(_.commitUuid.startsWith("merge-"))
+    assert(out.size > 1, s"prefix-stripped packing must keep several output files, got ${out.size}")
+    val sorted = out.map(f => (f.minValues("url"), f.maxValues("url"))).sortBy(_._1)
+    for (Seq((_, hi), (lo2, _)) <- sorted.sliding(2))
+      assert(hi <= lo2, s"post-merge url bounds overlap: $sorted")
+  }
+
   test("merge output of a timestamp key is range-clustered; the next merge prunes") {
     // regression: non-string leading keys were hash-repartitioned, so every
     // post-merge file spanned the whole key space and the NEXT merge's
