@@ -418,7 +418,15 @@ object Merge {
             RangeShuffle.byRange(merged, kc, b)
           case _ => merged.repartition(nOut, keyC: _*)
         }
-      table.writeDataFiles(out, commitUuid)
+      // in-partition sort + record rolling (the compact/cluster recipe):
+      // when a Z-ordered table leaves the metadata boundaries too coarse
+      // to cut nOut ranges (every touched file spans the whole key space),
+      // each steered partition still splits into right-sized files, and
+      // the sort makes every rolled file a key-ordered run with TIGHT
+      // min/max bounds — what the NEXT merge's interval index prunes by
+      val approxRows = math.max(1L, touched.map(_.rows).sum)
+      table.writeDataFiles(out.sortWithinPartitions(keyC: _*), commitUuid,
+        maxRecordsPerFile = math.max(1L, approxRows / nOut))
       Maintenance.markDone(table, log, "rewrite")
     }
     val added = graft.table.StatsCollector.collect(

@@ -1,12 +1,13 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.graftshim.GraftRelation
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
-import graft.streaming.GraftStreamSource
+import graft.streaming.{GraftStreamSink, GraftStreamSource}
 import graft.table.{FileIO, GraftTable}
 
 /**
@@ -23,9 +24,30 @@ import graft.table.{FileIO, GraftTable}
  * files from snapshot min/max metadata before the scan is planned.
  */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- streaming sink: df.writeStream.format("graft").start(root) ----------
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append,
+      s"graft streaming sink appends atomic snapshots; got OutputMode $outputMode " +
+        "(aggregations: use foreachBatch + MERGE)")
+    require(partitionColumns.isEmpty,
+      "partition the TABLE (hidden-partitioning 'partition-spec' property), not the sink")
+    def opt(key: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    val root = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft streaming sink requires a path: …writeStream.format(\"graft\").start(<table root>)"))
+    val ckpt = opt("checkpointLocation").getOrElse(throw new IllegalArgumentException(
+      "graft streaming sink requires option(\"checkpointLocation\", …) — it keys batch idempotence"))
+    new GraftStreamSink(sqlContext.sparkSession, root, ckpt)
+  }
 
   // ---- streaming CDC read: spark.readStream.format("graft").load(root) -----
   // (see graft.streaming.GraftStreamSource for offset/batch semantics)

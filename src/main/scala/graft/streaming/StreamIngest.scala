@@ -29,6 +29,44 @@ object StreamIngest {
     s"stream-batch-${d.take(8).map(b => f"$b%02x").mkString}"
   }
 
+  /**
+   * Idempotently append one micro-batch — shared by the `foreachBatch`
+   * ingestion below and the DSv1 sink ([[GraftStreamSink]]).
+   *
+   * Idempotence: Spark may retry a batch after a crash between the sink
+   * commit and the checkpoint write. Batch ids are monotonic per
+   * checkpoint, so ONE high-watermark table property is the whole dedup
+   * state — an O(1) lookup however long the snapshot history grows, and it
+   * survives snapshot expiry (the previous per-snapshot summary scan was
+   * O(history) per micro-batch and forgot committed ids once expiry aged
+   * their snapshots out).
+   */
+  def appendBatch(table: GraftTable, batch: DataFrame, batchId: Long, prop: String): Unit = {
+    val md = table.metadata
+    val already = md.properties.get(prop) match {
+      case Some(w) => w.toLong >= batchId
+      // property absent AND no stream has ever recorded one = table
+      // written by a pre-watermark version: fall back to the old
+      // per-snapshot summary scan ONCE (the next append records the
+      // property and this branch never runs again). If ANY stream has
+      // a property, the legacy summaries belong to OTHER streams — the
+      // un-keyed fallback would wrongly skip this stream's batch ids.
+      // Known upgrade corner (unkeyed legacy summaries make it
+      // unresolvable): a pre-upgrade stream retrying its crash-window
+      // batch AFTER another upgraded stream has already appended can
+      // re-append once — upgrade a table's streams together, or let
+      // each drain before upgrading the next.
+      case None =>
+        !md.properties.keys.exists(_.startsWith("stream-batch-")) &&
+          md.snapshots.exists(_.summary.get("stream-batch-id").contains(batchId.toString))
+    }
+    if (!already && !batch.isEmpty) {
+      table.append(batch, Map("stream-batch-id" -> batchId.toString),
+        propertyUpdates = Map(prop -> batchId.toString))
+      ()
+    }
+  }
+
   /** Start ingesting `stream` (must match the table schema) into `table`.
     * `checkpointDir` carries source offsets AND the last committed batch id. */
   def start(
@@ -42,36 +80,7 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // idempotence: Spark may retry a batch after a crash between the
-        // sink commit and the checkpoint write. foreachBatch ids are
-        // monotonic per checkpoint, so ONE high-watermark table property is
-        // the whole dedup state — an O(1) lookup however long the snapshot
-        // history grows, and it survives snapshot expiry (the previous
-        // per-snapshot summary scan was O(history) per micro-batch and
-        // forgot committed ids once expiry aged their snapshots out)
-        val md = table.metadata
-        val already = md.properties.get(prop) match {
-          case Some(w) => w.toLong >= batchId
-          // property absent AND no stream has ever recorded one = table
-          // written by a pre-watermark version: fall back to the old
-          // per-snapshot summary scan ONCE (the next append records the
-          // property and this branch never runs again). If ANY stream has
-          // a property, the legacy summaries belong to OTHER streams — the
-          // un-keyed fallback would wrongly skip this stream's batch ids.
-          // Known upgrade corner (unkeyed legacy summaries make it
-          // unresolvable): a pre-upgrade stream retrying its crash-window
-          // batch AFTER another upgraded stream has already appended can
-          // re-append once — upgrade a table's streams together, or let
-          // each drain before upgrading the next.
-          case None =>
-            !md.properties.keys.exists(_.startsWith("stream-batch-")) &&
-              md.snapshots.exists(_.summary.get("stream-batch-id").contains(batchId.toString))
-        }
-        if (!already && !batch.isEmpty) {
-          table.append(batch, Map("stream-batch-id" -> batchId.toString),
-            propertyUpdates = Map(prop -> batchId.toString))
-          ()
-        }
+        appendBatch(table, batch, batchId, prop)
       }
       .start()
   }

@@ -51,4 +51,14 @@ object Shims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-plan a micro-batch DataFrame handed to a DSv1 `Sink.addBatch` as a
+    * BATCH frame over the already-computed rows: writing the incoming
+    * frame directly would re-analyze a streaming-tagged plan and fail
+    * (the standard sink idiom — `internalCreateDataFrame` is private[sql]). */
+  def batchDataFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

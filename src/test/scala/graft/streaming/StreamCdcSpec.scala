@@ -145,6 +145,43 @@ class StreamCdcSpec extends SparkSuite {
     assert(dead.forall(u => !urls.contains(u)))
   }
 
+  test("writeStream sink: graft-to-graft pipe delivers exactly once across restarts") {
+    val srcRoot = tmpDir("graft-pipe-src")
+    val dstRoot = tmpDir("graft-pipe-dst")
+    val ckpt = tmpDir("graft-pipe-ckpt")
+    val src = GraftTable.create(spark, srcRoot, Synth.pageSchema)
+    src.append(pagesTagged(100, 1, "a"))
+
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft").load(srcRoot)
+        .withColumn("lang", lit("xx")) // a transform in the middle
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .start(dstRoot)
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+
+    pipe() // creates the destination table from the first batch's schema
+    val dst = GraftTable.load(spark, dstRoot)
+    assert(dst.read().count() === 100)
+    assert(dst.read().filter(col("lang") === "xx").count() === 100,
+      "the mid-pipe transform must apply")
+    assert(dst.currentSnapshot.get.summary.contains("stream-batch-id"))
+
+    // two more source commits while the pipe is down; restart resumes
+    src.append(pagesTagged(40, 2, "b"))
+    src.append(pagesTagged(20, 3, "c"))
+    pipe()
+    assert(dst.read().count() === 160, "each source append delivered exactly once")
+    import spark.implicits._
+    assert(dst.read().select("url").as[String].collect().distinct.length === 160)
+
+    // idle restart: no duplicate snapshots
+    val snaps = dst.metadata.snapshots.size
+    pipe()
+    assert(dst.read().count() === 160 && dst.metadata.snapshots.size === snaps)
+  }
+
   test("max-snapshots-per-trigger bounds each micro-batch to the chain prefix") {
     val root = tmpDir("graft-cdc-cap")
     val ckpt = tmpDir("graft-cdc-cap-ckpt")
