@@ -98,11 +98,17 @@ object Merge {
     // two agree only under UTC. Every engine entry point sets UTC; a
     // caller-supplied session must fail loudly here, not plan touched
     // files 2h off and silently duplicate merged keys.
-    if (dts.contains(TimestampNTZType))
-      require(table.spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+    if (dts.contains(TimestampNTZType)) {
+      val zone = table.spark.sessionState.conf.sessionLocalTimeZone
+      // equivalence, not string equality: "Etc/UTC", "GMT", "+00:00" all
+      // resolve to the zero offset and were always correct
+      val isUtc = scala.util.Try(
+        java.time.ZoneId.of(zone).normalized() == java.time.ZoneOffset.UTC).getOrElse(false)
+      require(isUtc,
         s"TIMESTAMP_NTZ merge keys require spark.sql.session.timeZone=UTC " +
-          s"(session is '${table.spark.sessionState.conf.sessionLocalTimeZone}'): " +
-          "file statistics store raw NTZ micros and key planning must match them")
+          s"(session is '$zone'): file statistics store raw NTZ micros and " +
+          "key planning must match them")
+    }
     val lead = keyCols.head
     val leadDt = dts.head
     // conservative: a file without bounds for the leading key is always touched

@@ -40,12 +40,17 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         "(aggregations: use foreachBatch + MERGE)")
     require(partitionColumns.isEmpty,
       "partition the TABLE (hidden-partitioning 'partition-spec' property), not the sink")
-    def opt(key: String): Option[String] =
-      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    def opt(key: String): Option[String] = GraftStreamSource.opt(parameters, key)
     val root = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft streaming sink requires a path: …writeStream.format(\"graft\").start(<table root>)"))
+    // deliberately NOT falling back to the spark.sql.streaming.checkpointLocation
+    // session default: Spark resolves that root to a per-query subdir the sink
+    // cannot see, and keying idempotence off the shared root would make two
+    // queries feeding one table skip each other's batch ids
     val ckpt = opt("checkpointLocation").getOrElse(throw new IllegalArgumentException(
-      "graft streaming sink requires option(\"checkpointLocation\", …) — it keys batch idempotence"))
+      "graft streaming sink requires an EXPLICIT option(\"checkpointLocation\", …) — " +
+        "the option string keys batch idempotence, and the session-default " +
+        "checkpoint root resolves to a per-query subdir the sink cannot observe"))
     new GraftStreamSink(sqlContext.sparkSession, root, ckpt)
   }
 
@@ -59,7 +64,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft streaming source derives its schema from table metadata; " +
       "do not pass a schema to readStream")
-    val root = parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+    val root = GraftStreamSource.opt(parameters, "path")
       .getOrElse(throw new IllegalArgumentException(
         "graft streaming source requires a path: spark.readStream.format(\"graft\").load(<table root>)"))
     (shortName(), GraftTable.load(sqlContext.sparkSession, root).schema)

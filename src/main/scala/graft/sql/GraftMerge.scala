@@ -99,7 +99,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     case And(l, r) =>
       keyColsOf(l, targetAlias, sourceAlias) ++ keyColsOf(r, targetAlias, sourceAlias)
     case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last == b.nameParts.last =>
+        if sameId(a.nameParts.last, b.nameParts.last) =>
       val qa = if (a.nameParts.length > 1) Some(a.nameParts.head) else None
       val qb = if (b.nameParts.length > 1) Some(b.nameParts.head) else None
       for (x <- qa; y <- qb if sameId(x, y))
@@ -123,14 +123,20 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
       case SubqueryAlias(ident, _) => Some(ident.name)
       case _ => None
     }
-    val keyCols = keyColsOf(m.mergeCondition, targetAlias, sourceAlias)
-    if (keyCols.distinct.size != keyCols.size)
-      fail(s"duplicate key column in ON clause: ${keyCols.mkString(", ")}")
-
-    // target schema for ambiguity detection on unqualified references —
-    // membership follows the session resolver (case-insensitive by default)
+    // target schema: key canonicalization + ambiguity detection on
+    // unqualified references — membership follows the session resolver
+    // (case-insensitive by default)
     val targetFields = GraftTable.load(session, path).schema.fieldNames.toSeq
     val resolver = session.sessionState.analyzer.resolver
+
+    // canonicalize each ON key to the TARGET schema's spelling (t.URL =
+    // s.url must plan as the table's `url`, like Spark's own resolution)
+    val keyCols = keyColsOf(m.mergeCondition, targetAlias, sourceAlias).map { raw =>
+      targetFields.find(resolver(_, raw)).getOrElse(
+        fail(s"ON references unknown target column $raw"))
+    }
+    if (keyCols.distinct.size != keyCols.size)
+      fail(s"duplicate key column in ON clause: ${keyCols.mkString(", ")}")
 
     // every carried expression evaluates on the SOURCE rows before the merge
     // join — a target-side reference would silently rebind to the same-named
@@ -170,7 +176,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
       case UpdateAction(c, asg, _) =>
         val set = assignments(asg, "UPDATE SET")
         if (set.isEmpty) fail("UPDATE with no assignments")
-        set.map(_._1).filter(keyCols.contains).foreach(k =>
+        set.map(_._1).filter(n => keyCols.exists(sameId(n, _))).foreach(k =>
           fail(s"UPDATE must not assign key column $k"))
         MatchedClause(isDelete = false, c.map(sourceOnly(_, "UPDATE condition")), set, star = false)
       case DeleteAction(c) =>
@@ -214,7 +220,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
               case u: UnresolvedAttribute => u.nameParts.last
               case other => fail(s"NOT MATCHED BY SOURCE UPDATE must assign plain columns, got $other")
             }
-            if (keyCols.contains(name)) fail(s"UPDATE must not assign key column $name")
+            if (keyCols.exists(sameId(name, _))) fail(s"UPDATE must not assign key column $name")
             name -> targetOnly(x.value, s"NOT MATCHED BY SOURCE UPDATE value for $name")
           }
           if (nmbsUpdate.isEmpty) fail("NOT MATCHED BY SOURCE UPDATE needs explicit assignments")
@@ -233,7 +239,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         InsertClause(c.map(sourceOnly(_, "INSERT condition")), Seq.empty, star = true)
       case InsertAction(c, asg) =>
         val vals = assignments(asg, "INSERT")
-        keyCols.filterNot(vals.map(_._1).contains).foreach(k =>
+        keyCols.filterNot(k => vals.map(_._1).exists(sameId(k, _))).foreach(k =>
           fail(s"INSERT (cols) VALUES must assign key column $k"))
         InsertClause(c.map(sourceOnly(_, "INSERT condition")), vals, star = false)
       case other => fail(s"unsupported not-matched action $other")

@@ -60,10 +60,18 @@ object StreamIngest {
         !md.properties.keys.exists(_.startsWith("stream-batch-")) &&
           md.snapshots.exists(_.summary.get("stream-batch-id").contains(batchId.toString))
     }
-    if (!already && !batch.isEmpty) {
-      table.append(batch, Map("stream-batch-id" -> batchId.toString),
-        propertyUpdates = Map(prop -> batchId.toString))
-      ()
+    if (!already) {
+      // pin before probing: isEmpty + append would otherwise execute the
+      // batch plan twice (re-reading the source files per trigger for a
+      // graft-to-graft pipe, and re-rolling any nondeterministic transform)
+      val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (!pinned.isEmpty) {
+          table.append(pinned, Map("stream-batch-id" -> batchId.toString),
+            propertyUpdates = Map(prop -> batchId.toString))
+          ()
+        }
+      } finally { pinned.unpersist(); () }
     }
   }
 

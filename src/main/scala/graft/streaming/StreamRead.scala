@@ -49,12 +49,20 @@ import graft.table.{DataFileMeta, GraftTable}
  *    race every file-based CDC source has) — expire with retention above
  *    the consumer's lag.
  */
+object GraftStreamSource {
+  /** Case-insensitive option lookup — DSv1 providers receive the raw user
+    * option map. ONE definition: the sink derives its idempotence key from
+    * the checkpoint option string, so source/sink lookup must never
+    * diverge. */
+  private[graft] def opt(parameters: Map[String, String], key: String): Option[String] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+}
+
 class GraftStreamSource(
     spark: SparkSession,
     parameters: Map[String, String]) extends Source {
 
-  private def opt(key: String): Option[String] =
-    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private def opt(key: String): Option[String] = GraftStreamSource.opt(parameters, key)
 
   private val root = opt("path").getOrElse(throw new IllegalArgumentException(
     "graft streaming source requires a path: spark.readStream.format(\"graft\").load(<table root>)"))
@@ -104,8 +112,9 @@ class GraftStreamSource(
         // the cap would emit an offset BELOW the floor and the batch would
         // fail later with a misleading broken-chain error
         require(cur.nonEmpty || from == 0,
-          s"delivered offset $from is not an ancestor of current snapshot $current " +
-            "(rollback under a live stream?)")
+          s"delivered offset $from is not reachable from current snapshot $current — " +
+            "an intermediate snapshot was expired (raise retention above the " +
+            "stream's lag), or a rollback moved the table onto another branch")
         val newestFirst = chain.toSeq
         if (newestFirst.size <= maxN) current else newestFirst.reverse(maxN - 1)
       case _ => current

@@ -458,8 +458,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       maxRecordsPerFile: Long = 0L): Seq[DataFileMeta] = {
     val dir = s"$dataDir/$commitUuid"
     // INT96 (Spark's legacy parquet timestamp) carries no min/max stats;
-    // micros are required for warc_ts pruning bounds
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // micros are required for warc_ts pruning bounds. Set on the FRAME'S
+    // session, not the table handle's: a streaming micro-batch executes
+    // under MicroBatchExecution's cloned session, whose SQLConf snapshot
+    // never sees a conf set on the original — sink-written files would
+    // silently lose every timestamp bound
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // select in schema order so files are column-identical across commits;
     // re-aliasing with the table field's METADATA stamps the stable parquet
     // field id onto every written column (fieldId.write.enabled is on by

@@ -167,6 +167,12 @@ class StreamCdcSpec extends SparkSuite {
     assert(dst.read().filter(col("lang") === "xx").count() === 100,
       "the mid-pipe transform must apply")
     assert(dst.currentSnapshot.get.summary.contains("stream-batch-id"))
+    // sink-written files must carry timestamp bounds: the write executes
+    // under the streaming CLONED session, where an original-session
+    // outputTimestampType conf would be invisible and INT96 (stat-less)
+    // timestamps would silently kill warc_ts pruning
+    assert(dst.files().forall(f => f.minValues.contains("warc_ts")),
+      "sink-written files lost timestamp stats (INT96 written under the cloned session?)")
 
     // two more source commits while the pipe is down; restart resumes
     src.append(pagesTagged(40, 2, "b"))
