@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, DeleteFromTable, DropColumns, LogicalPlan, RenameColumn, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumnSpec, AlterColumns, Assignment, DeleteFromTable, DropColumns, LogicalPlan, RenameColumn, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftshim.Shims
@@ -64,6 +64,18 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case r @ RenameColumn(child, colField, newName) if graftTablePath(child).isDefined =>
       val _ = r
       GraftRenameColumnCommand(graftTablePath(child).get, topLevel(colField, "RENAME COLUMN"), newName)
+    case ac @ AlterColumns(child, specs) if graftTablePath(child).isDefined =>
+      val _ = ac
+      val widens = specs.map {
+        case AlterColumnSpec(colField, Some(dt), nullab, comment, pos, default, _) =>
+          if (nullab.nonEmpty || comment.nonEmpty || pos.nonEmpty || default.nonEmpty)
+            throw new IllegalArgumentException(
+              "graft ALTER COLUMN: only TYPE widening is supported (no nullability/comment/position/default)")
+          (topLevel(colField, "ALTER COLUMN"), dt)
+        case other => throw new IllegalArgumentException(
+          s"graft ALTER COLUMN: only ALTER COLUMN <c> TYPE <wider-type> is supported, got $other")
+      }
+      GraftWidenColumnsCommand(graftTablePath(child).get, widens)
     case d @ DropColumns(child, cols, ifExists) if graftTablePath(child).isDefined =>
       val _ = d
       if (ifExists)
@@ -121,6 +133,19 @@ case class GraftRenameColumnCommand(
   override val output: Seq[Attribute] = Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
     GraftTable.load(session, path).renameColumn(from, to)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.… ALTER COLUMN c TYPE <wider>` — metadata-only type
+  * widening ([[GraftTable.widenColumn]]; each column is one commit). */
+case class GraftWidenColumnsCommand(
+    path: String, widens: Seq[(String, org.apache.spark.sql.types.DataType)])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = GraftTable.load(session, path)
+    widens.foreach { case (c, dt) => table.widenColumn(c, dt) }
     Seq.empty
   }
 }

@@ -162,6 +162,60 @@ class EvolutionSpec extends SparkSuite {
       .getMessage.contains("field-id"))
   }
 
+  test("widen column: old files read through the wider type, stats stay sound") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", IntegerType), StructField("f", FloatType)))
+    val t = GraftTable.create(spark, tmpDir("widen"), schema)
+    t.append((1 to 100).map(i => (i.toLong, i * 10, i / 4.0f)).toDF("k", "n", "f").coalesce(2))
+    val preSum = t.read().agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+
+    t.widenColumn("n", LongType)
+    assert(t.schema("n").dataType === LongType)
+    // old int32 files read through the wider type, values intact
+    assert(t.read().agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === preSum)
+    // integral bounds survive (same canonical strings) and still prune
+    assert(t.files().forall(_.minValues.contains("n")))
+    assert(t.read(Some(col("n") === 500L)).count() === 1)
+    assert(t.planFiles(Some(col("n") === -1L)).isEmpty, "widened bounds must still prune")
+
+    // float → double strips the column's bounds (decimal re-parse is not
+    // the widened value; boundary pruning would be unsound)
+    t.widenColumn("f", DoubleType)
+    assert(t.files().forall(f => !f.minValues.contains("f")))
+    assert(t.read().filter(col("f") > 12.0d).count() === 52)
+    // mixed generations: a post-widen append carries real long/double
+    t.append((101 to 120).map(i => (i.toLong, i * 10L, i / 4.0d)).toDF("k", "n", "f"))
+    assert(t.read().count() === 120)
+    assert(t.read().agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      === preSum + (101 to 120).map(_ * 10L).sum)
+
+    // guards: non-widening changes refused; merge on the widened key works
+    assert(intercept[Exception](t.widenColumn("n", IntegerType))
+      .getMessage.contains("cannot widen"))
+    graft.ops.Merge.into(t,
+      (1 to 5).map(i => (i.toLong, 7L, 0.0d)).toDF("k", "n", "f"),
+      Seq("k"), latestWins = false)
+    assert(t.read().filter(col("n") === 7L).count() === 5)
+  }
+
+  test("SQL ALTER COLUMN TYPE widens") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("n", IntegerType)))
+    val t = GraftTable.create(spark, tmpDir("widen-sql"), schema)
+    t.append((1 to 30).map(i => (i.toLong, i)).toDF("k", "n"))
+    spark.sql(s"ALTER TABLE graft.`${t.root}` ALTER COLUMN n TYPE BIGINT")
+    assert(t.schema("n").dataType === LongType)
+    assert(t.read().agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) === 465L)
+    assert(intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`${t.root}` ALTER COLUMN n TYPE INT").collect())
+      .getMessage.contains("cannot widen"))
+  }
+
   test("SQL ALTER TABLE RENAME/DROP COLUMN") {
     val tbl = GraftTable.create(spark, tmpDir("evo-sql"), Synth.pageSchema)
     tbl.append(batch("a", 80))
