@@ -484,12 +484,24 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       // write time (sound: prefix min, incremented-prefix max) keeps bounds
       // for every string column at any value size
       .option("parquet.statistics.truncate.length", "64")
+    // per-column parquet BLOOM FILTERS (table property `bloom-columns`,
+    // comma-separated): point lookups / IN probes on a key column skip
+    // row groups whose min/max would admit them — at a 10^12-row corpus
+    // the difference between "read the row group" and "skip it" for the
+    // overwhelming majority of url point queries. Names not (or no
+    // longer, after a rename) in the schema are skipped silently — bloom
+    // is an optimization, never a correctness dependency.
+    val bloomCols = md.properties.get(GraftTable.BloomColumnsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(c => sch.fieldNames.contains(c))
+    val withBloom = bloomCols.foldLeft(writer)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     // roll to a new file every N records WITHIN a task: sorted partition
     // runs split into right-sized files without extra partitions (order and
     // per-file min/max tightness preserved — each file is a sorted run)
     val withRoll =
-      if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile.toString)
-      else writer
+      if (maxRecordsPerFile > 0) withBloom.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      else withBloom
     (if (specs.isEmpty) withRoll else withRoll.partitionBy(specs.map(_.name): _*))
       .mode("errorifexists").parquet(dir)
     val written = FileIO.listFilesRecursively(dir, ".parquet")
@@ -830,6 +842,10 @@ object GraftTable {
 
   /** Table property holding the next never-used field id. */
   val NextFieldIdProp = "next-field-id"
+
+  /** Table property: comma-separated columns to write parquet bloom
+    * filters for (row-group skipping on point/IN lookups). */
+  val BloomColumnsProp = "bloom-columns"
 
   /** Table property listing column NAMES vacated by rename/drop (lowercase,
     * comma-joined). A vacated name can never be reintroduced: existing data

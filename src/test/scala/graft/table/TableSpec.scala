@@ -109,4 +109,28 @@ class TableSpec extends SparkSuite {
     assert(planned.size < t.files().size)
     assertSameRows(t.read(Some(pred)), t.read().filter(pred), "prefix scan")
   }
+
+  test("bloom-columns property writes parquet bloom filters; point lookups stay exact") {
+    val root = tmpDir("graft-bloom")
+    val t = GraftTable.create(spark, root, Synth.pageSchema,
+      Map(GraftTable.BloomColumnsProp -> "url, nope_column"))
+    t.append(Synth.pages(spark, 2000, partitions = 4))
+    // every written file carries a bloom filter for url (and none for the
+    // skipped unknown name) — read the footer column metadata directly
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (f <- t.files()) {
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        conf, new org.apache.hadoop.fs.Path(new java.io.File(t.absPath(f)).toURI))
+      import scala.jdk.CollectionConverters._
+      val cols = footer.getBlocks.asScala.head.getColumns.asScala
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(cols("url"), s"expected a bloom filter on url in ${f.path}")
+      assert(!cols("lang"), "non-bloom columns must not pay the bloom size cost")
+    }
+    // point lookup and IN probe stay exact through the bloom read path
+    val someUrl = t.read().select("url").orderBy("url").head().getString(0)
+    assert(t.read().filter(col("url") === someUrl).count() === 1)
+    assert(t.read().filter(col("url").isin(someUrl, "https://absent.example.com/")).count() === 1)
+    assert(t.read().filter(col("url") === "https://absent.example.com/x").count() === 0)
+  }
 }
