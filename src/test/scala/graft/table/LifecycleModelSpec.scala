@@ -29,26 +29,41 @@ class LifecycleModelSpec extends SparkSuite {
       val rows = mutable.Buffer.empty[MRow] // multiset of live-stored rows
       val tombstones = mutable.Set.empty[String]
       var nextBatch = 0
+      // the text column's CURRENT name — random renames retire the old one,
+      // and every later op must compose with the evolved schema
+      var textName = "text"
 
       def appendBatch(): String = {
         val n = 30 + rnd.nextInt(60)
         val tag = s"b$nextBatch"
         nextBatch += 1
-        val df = Synth.pages(spark, n, hosts = 4, partitions = 2, seed = rnd.nextLong())
+        val df0 = Synth.pages(spark, n, hosts = 4, partitions = 2, seed = rnd.nextLong())
           .withColumn("url", concat(lit(s"$tag/"), col("url")))
+        val df = if (textName == "text") df0 else df0.withColumnRenamed("text", textName)
         tbl.append(df)
-        rows ++= df.select("url", "text").collect().map(r => MRow(r.getString(0), r.getString(1)))
+        rows ++= df.select("url", textName).collect().map(r => MRow(r.getString(0), r.getString(1)))
         s"append($tag, $n)"
       }
       appendBatch() // never start empty
+      if (round == 1) { // guarantee at least one evolved-schema round
+        tbl.renameColumn(textName, "content"); textName = "content"
+      }
 
       def visible: Seq[MRow] = rows.filterNot(r => tombstones.contains(r.url)).toSeq
 
       val steps = 10 + rnd.nextInt(4)
       val oplog = mutable.Buffer.empty[String]
       for (_ <- 0 until steps) {
-        val op = rnd.nextInt(7)
+        val op = rnd.nextInt(8)
         oplog += (op match {
+          case 7 => // schema evolution mid-lifecycle: rename the text column
+            if (tombstones.nonEmpty) "renameSkipped(tombstones)"
+            else {
+              val to = s"text_$nextBatch"; nextBatch += 1
+              tbl.renameColumn(textName, to)
+              textName = to
+              s"rename($to)"
+            }
           case 6 => // ANSI merge: update + delete + insert in one pass
             if (tombstones.nonEmpty) "mergeSkipped(tombstones)" // merge refuses, by design
             else {
@@ -63,7 +78,7 @@ class LifecycleModelSpec extends SparkSuite {
                 upd.map(r => (r.url, ts, html, s"UPD-${r.text}", "en", false)) ++
                 del.map(r => (r.url, ts, html, "DEL", "en", true)) ++
                 ins.map(r => (r.url, ts, html, r.text, "en", false)))
-                .toDF("url", "warc_ts", "html", "text", "lang", "_deleted")
+                .toDF("url", "warc_ts", "html", textName, "lang", "_deleted")
               graft.ops.Merge.into(tbl, src, Seq("url"), latestWins = false)
               val updMap = upd.map(r => r.url -> s"UPD-${r.text}").toMap
               val delSet = del.map(_.url).toSet
@@ -98,7 +113,7 @@ class LifecycleModelSpec extends SparkSuite {
             Expire.expire(tbl, retainLast = 2)
             "expire"
         })
-        val got = tbl.read().select("url", "text").as[MRow]
+        val got = tbl.read().select(col("url"), col(textName).as("text")).as[MRow]
         assertSameRows(got.toDF(), visible.toDF(),
           s"round $round after ${oplog.mkString(" → ")}")
       }
