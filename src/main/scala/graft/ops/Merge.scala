@@ -429,10 +429,16 @@ object Merge {
       // to cut nOut ranges (every touched file spans the whole key space),
       // each steered partition still splits into right-sized files, and
       // the sort makes every rolled file a key-ordered run with TIGHT
-      // min/max bounds — what the NEXT merge's interval index prunes by
-      val approxRows = math.max(1L, touched.map(_.rows).sum)
+      // min/max bounds — what the NEXT merge's interval index prunes by.
+      // Rolling is sized from the TOUCHED rows and only engages when the
+      // rewrite wants several files: an insert-only merge has zero touched
+      // rows (nOut = 1) and an unconditional roll of max(1, 0/1) = 1 would
+      // write one parquet file PER ROW
+      val touchedRows = touched.map(_.rows).sum
+      val rollRecords = if (nOut <= 1 || touchedRows == 0) 0L
+        else math.max(1L, touchedRows / nOut)
       table.writeDataFiles(out.sortWithinPartitions(keyC: _*), commitUuid,
-        maxRecordsPerFile = math.max(1L, approxRows / nOut))
+        maxRecordsPerFile = rollRecords)
       Maintenance.markDone(table, log, "rewrite")
     }
     val added = graft.table.StatsCollector.collect(

@@ -138,14 +138,15 @@ case class GraftRenameColumnCommand(
 }
 
 /** `ALTER TABLE graft.… ALTER COLUMN c TYPE <wider>` — metadata-only type
-  * widening ([[GraftTable.widenColumn]]; each column is one commit). */
+  * widening in ONE atomic commit ([[GraftTable.widenColumns]]: widening is
+  * irreversible, so a failed validation on a later column must not leave
+  * earlier columns already widened). */
 case class GraftWidenColumnsCommand(
     path: String, widens: Seq[(String, org.apache.spark.sql.types.DataType)])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
-    val table = GraftTable.load(session, path)
-    widens.foreach { case (c, dt) => table.widenColumn(c, dt) }
+    GraftTable.load(session, path).widenColumns(widens)
     Seq.empty
   }
 }

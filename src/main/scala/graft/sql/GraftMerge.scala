@@ -155,13 +155,19 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
       })
     }
+    // assignment targets canonicalize to the TARGET schema's spelling (like
+    // the ON keys): SET URL = … must plan as the table's `url`, or the
+    // exact-case checks downstream spuriously reject what Spark's own
+    // resolution accepts
+    def canonical(raw: String): String =
+      targetFields.find(resolver(_, raw)).getOrElse(raw) // unknowns fail later, clearly
     def assignments(asg: Seq[Assignment], what: String): Seq[(String, ExprHolder)] =
       asg.map { a =>
         val name = a.key match {
           case u: UnresolvedAttribute =>
             if (u.nameParts.length > 1 && !targetAlias.forall(sameId(_, u.nameParts.head)))
               fail(s"$what assigns non-target column ${u.name}")
-            u.nameParts.last
+            canonical(u.nameParts.last)
           case other => fail(s"$what must assign plain columns, got $other")
         }
         name -> sourceOnly(a.value, s"$what value for $name")
@@ -217,7 +223,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
           nmbsUpdateCond = c.map(targetOnly(_, "NOT MATCHED BY SOURCE UPDATE condition"))
           nmbsUpdate = asg.map { x =>
             val name = x.key match {
-              case u: UnresolvedAttribute => u.nameParts.last
+              case u: UnresolvedAttribute => canonical(u.nameParts.last)
               case other => fail(s"NOT MATCHED BY SOURCE UPDATE must assign plain columns, got $other")
             }
             if (keyCols.exists(sameId(name, _))) fail(s"UPDATE must not assign key column $name")

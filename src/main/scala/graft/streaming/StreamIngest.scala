@@ -22,10 +22,17 @@ object StreamIngest {
   /** Table-property key holding the last committed batch id of one stream
     * (keyed by checkpoint dir, so several streams can feed one table; md5 —
     * a 32-bit hashCode collision would silently cross the streams'
-    * watermarks and skip batches). */
+    * watermarks and skip batches). The path is NORMALIZED first (trailing
+    * slashes, duplicate separators): Spark resumes the same checkpoint for
+    * "/ckpt" and "/ckpt/", so a respelled restart must hit the same
+    * watermark property or the crash-window batch re-appends. (A scheme-
+    * qualified respelling like "file:/ckpt" still keys separately —
+    * qualification would change every existing table's property names.) */
   def batchProperty(checkpointDir: String): String = {
+    val normalized = scala.util.Try(
+      new org.apache.hadoop.fs.Path(checkpointDir).toString).getOrElse(checkpointDir)
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
+      .digest(normalized.getBytes("UTF-8"))
     s"stream-batch-${d.take(8).map(b => f"$b%02x").mkString}"
   }
 

@@ -36,7 +36,12 @@ class GraftStreamSink(
     val batch = Shims.batchDataFrame(data)
     val table =
       if (FileIO.exists(s"$root/metadata/v1.json")) GraftTable.load(spark, root)
-      else GraftTable.create(spark, root, batch.schema)
+      else try GraftTable.create(spark, root, batch.schema) catch {
+        // two queries bootstrapping one new table: the create CAS loser
+        // must fall back to load, not fail its batch
+        case e: Exception if FileIO.exists(s"$root/metadata/v1.json") =>
+          GraftTable.load(spark, root)
+      }
     StreamIngest.appendBatch(table, batch, batchId, prop)
   }
 

@@ -493,7 +493,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // is an optimization, never a correctness dependency.
     val bloomCols = md.properties.get(GraftTable.BloomColumnsProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      .filter(c => sch.fieldNames.contains(c))
+      .flatMap(c => sch.fieldNames.find(_.equalsIgnoreCase(c))) // schema spelling
     val withBloom = bloomCols.foldLeft(writer)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     // roll to a new file every N records WITHIN a task: sorted partition
@@ -751,23 +751,36 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * tables too: the column name does not change.
    */
   def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Snapshot =
-    evolveSchema("widen-column", s"$name->${to.simpleString}", retire = Seq.empty) { sch =>
-      val idx = sch.fieldIndex(name)
-      val from = sch.fields(idx).dataType
-      require(GraftTable.widenOk((from, to)),
-        s"cannot widen ${from.simpleString} to ${to.simpleString} " +
-          s"(allowed: integral up-casts, integral→double, float→double)")
-      // spec/tombstone guards only — no field-id requirement (name keeps)
-      allPartitionSpecs.find(_.sourceColumn == name).foreach(sp =>
-        throw new IllegalArgumentException(
-          s"column $name drives partition transform $sp — bucket hashes differ by " +
-            "type; widen requires a table rewrite"))
+    widenColumns(Seq(name -> to))
+
+  /** Multi-column widen in ONE atomic commit — a failed validation on any
+    * column must not leave earlier columns already (irreversibly) widened
+    * (there is no narrowing path, and rollback refuses to cross a widen). */
+  def widenColumns(widens: Seq[(String, org.apache.spark.sql.types.DataType)]): Snapshot = {
+    require(widens.nonEmpty && widens.map(_._1).distinct.size == widens.size,
+      s"duplicate column in widen: ${widens.map(_._1).mkString(", ")}")
+    val detail = widens.map { case (n, t) => s"$n->${t.simpleString}" }.mkString(",")
+    evolveSchema("widen-column", detail, retire = Seq.empty) { sch =>
+      val strip = scala.collection.mutable.Set.empty[String]
+      val next = widens.foldLeft(sch) { case (cur, (name, to)) =>
+        val idx = cur.fieldIndex(name)
+        val from = cur.fields(idx).dataType
+        require(GraftTable.widenOk((from, to)),
+          s"cannot widen ${from.simpleString} to ${to.simpleString} for $name " +
+            s"(allowed: integral up-casts, integral→double, float→double)")
+        // spec/tombstone guards only — no field-id requirement (name keeps)
+        allPartitionSpecs.find(_.sourceColumn == name).foreach(sp =>
+          throw new IllegalArgumentException(
+            s"column $name drives partition transform $sp — bucket hashes differ by " +
+              "type; widen requires a table rewrite"))
+        if (from == org.apache.spark.sql.types.FloatType) strip += name
+        StructType(cur.fields.updated(idx, cur.fields(idx).copy(dataType = to)))
+      }
       require(tombstones().isEmpty,
         "table has live merge-on-read tombstones; materialize them first, then widen")
-      val stripStats = from == org.apache.spark.sql.types.FloatType
-      (StructType(sch.fields.updated(idx, sch.fields(idx).copy(dataType = to))),
-        k => if (k == name && stripStats) None else Some(k))
+      (next, k => if (strip.contains(k)) None else Some(k))
     }
+  }
 
   private def evolutionGuards(sch: StructType, colName: String, what: String): Unit = {
     require(GraftTable.hasFieldIds(sch),

@@ -526,6 +526,22 @@ class SqlMergeSpec extends SparkSuite {
     assert(ex4.getMessage.contains("must join the target alias"), ex4.getMessage)
   }
 
+  test("case-variant identifiers resolve like Spark's own (default case-insensitive)") {
+    val t = mk(40)
+    t.read().limit(6).withColumn("text", lit("CASED"))
+      .createOrReplaceTempView("case_src")
+    // ON keys, aliases, and assignment targets in different case — all must
+    // canonicalize to the table's spelling instead of failing exact-case
+    // checks downstream
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING case_src s ON T.URL = S.url
+         |WHEN MATCHED THEN UPDATE SET TEXT = s.text, LANG = upper(s.lang)""".stripMargin).collect()
+    assert(t.read().filter(col("text") === "CASED").count() === 6)
+    assert(t.read().filter(col("lang") === upper(col("lang"))).count() === 6)
+    assert(t.schema.fieldNames.toSeq === graft.run.Synth.pageSchema.fieldNames.toSeq,
+      "schema spelling must not change")
+  }
+
   test("duplicate source keys: unmatched inserts are legal, matched rows still error") {
     import org.apache.spark.sql.types._
     import spark.implicits._
