@@ -135,7 +135,25 @@ object Demo {
     check("expire removed snapshots")(ex.removedSnapshots.nonEmpty && ex.deletedDataFiles.nonEmpty)
     check("post-expire scan equality")(t.read().count() == afterAppends)
 
-    // 6. lineage/metrics table
+    // 6. schema evolution: metadata-only rename must keep bytes, stats and
+    // incremental readers intact (field-id resolution + manifest remap)
+    val preEvoHash = t.read()
+      .select(bit_xor(xxhash64(col("url"), col("text")))).first.getLong(0)
+    val preEvoSnap = t.currentSnapshot.get.id
+    t.renameColumn("text", "content")
+    check("rename keeps bytes (hash via new name)")(
+      t.read().select(bit_xor(xxhash64(col("url"), col("content")))).first.getLong(0) == preEvoHash)
+    check("rename remaps per-file stats")(
+      t.files().forall(f => f.minValues.contains("content") && !f.minValues.contains("text")))
+    check("SQL reads the renamed column")(
+      spark.sql(s"SELECT count(*) FROM graft.`$root` WHERE content IS NOT NULL")
+        .first.getLong(0) == afterAppends)
+    check("vacated name is retired")(
+      scala.util.Try(t.renameColumn("content", "text")).isFailure)
+    check("rename is row-preserving for incremental readers")(
+      t.incrementalRead(preEvoSnap).count() == 0)
+
+    // 7. lineage/metrics table
     val metrics = Lineage.metrics(spark, t)
     metrics.groupBy("op").count().show()
     check("lineage rows exist")(metrics.count() > 0)
