@@ -308,7 +308,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","maintenance":$scaling}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","maintenance":$scaling}"""
+    // the JSON as the SOLE content of a dedicated file: stdout capture has
+    // truncated this (long) line in harness artifacts twice — the file is
+    // the machine-readable copy (override path via SPARK_GRAFT_BENCH_OUT)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench.json")
+    scala.util.Try(java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8")))
+    println(json)
   }
 }

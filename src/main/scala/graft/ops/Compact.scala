@@ -42,7 +42,12 @@ object Compact {
     val all = table.files()
     val threshold = (targetBytes * smallFileFraction).toLong
     val small = all.filter(_.bytes < threshold)
-    if (small.size < 2) return None
+    // with live MoR tombstones a rewrite has a second purpose — applying
+    // them — so singleton groups stay in the plan and a full-coverage pass
+    // can materialize-and-clear the tombstone set (see run()); without
+    // tombstones a one-file group has nothing to gain and is dropped
+    val tombstonesLive = table.tombstones().nonEmpty
+    if (small.isEmpty || (small.size < 2 && !tombstonesLive)) return None
     val sortCol = orderBy.getOrElse(table.schema.fields.head.name)
     val dt = table.schema.fields.find(_.name == sortCol).map(_.dataType)
     val ordered = (dt match {
@@ -77,7 +82,7 @@ object Compact {
       }
       if (cur.nonEmpty) groups += cur
     }
-    val useful = groups.filter(_.size >= 2).toSeq
+    val useful = (if (tombstonesLive) groups else groups.filter(_.size >= 2)).toSeq
     if (useful.isEmpty) None else Some(Plan(snap.id, useful))
   }
 
@@ -140,9 +145,19 @@ object Compact {
     val added = finished.flatMap(_._1)
     val removed = p.groups.flatten.map(_.path).toSet
     val sourcesPerOutput = finished.flatMap { case (outs, srcs) => outs.map(o => o.path -> srcs) }.toMap
+    // full-coverage pass: when every data file of the planned snapshot was
+    // rewritten (tombstones applied per group above), the tombstones are
+    // fully materialized and the commit clears them — otherwise they stay
+    // live (untouched files may still hold tombstoned keys) and MERGE
+    // remains blocked until a full cluster rewrite OR a compact-all runs.
+    // Sound against races: replaceFiles requires the parent to still BE the
+    // planned snapshot, so a tombstone added after planning fails the
+    // commit instead of being silently cleared.
+    val clearDeletes = table.tombstones(Some(p.snapshotId)).nonEmpty &&
+      removed == table.files(Some(p.snapshotId)).map(_.path).toSet
     val snap = table.replaceFiles(removed, added, "compact",
       Map("run-id" -> runId, "groups" -> p.groups.size.toString),
-      expectedSnapshotId = Some(p.snapshotId))
+      expectedSnapshotId = Some(p.snapshotId), clearDeletes = clearDeletes)
     Maintenance.markCommitted(table, log, snap.id)
     Lineage.record(spark, table, runId, snap.id, "compact", added, sourcesPerOutput,
       (System.nanoTime() - t0) / 1000000)

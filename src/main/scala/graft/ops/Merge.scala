@@ -263,11 +263,13 @@ object Merge {
     if (!latestWins) {
       // ANSI MERGE: an error only when a TARGET row would be modified by
       // more than one source row — multiple NOT MATCHED inserts of one key
-      // are legal (each inserts). The zero-dup fast path costs ONE source
-      // aggregate; the touched-file semi-join runs only when duplicate
-      // keys exist at all. (A .limit(1).collect() would run the groupBy
-      // through CollectLimit's sequential partition batches.)
-      val dups = src.groupBy(keyC: _*).agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
+      // are legal (each inserts), and `_noop` presence-only rows never
+      // modify anything (a duplicate matched key that fires no clause must
+      // not error, matching Spark/Delta). The zero-dup fast path costs ONE
+      // source aggregate; the touched-file semi-join runs only when
+      // duplicate keys exist at all. (A .limit(1).collect() would run the
+      // groupBy through CollectLimit's sequential partition batches.)
+      val dups = planSrc.groupBy(keyC: _*).agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
       if (dups.count() > 0) {
         val offending = dups.select(keyC: _*).join(
           base.select(keyC: _*), keyCols, "left_semi")

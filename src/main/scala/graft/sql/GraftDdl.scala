@@ -41,8 +41,14 @@ case class GraftDdlRule(session: SparkSession) extends Rule[LogicalPlan] {
         props(c.partitioning, c.tableSpec), c.ignoreIfExists, Some(c.query))
     case d: DropTable if identPath(d.child).isDefined =>
       GraftDropTableCommand(identPath(d.child).get, d.ifExists)
-    case d @ DescribeRelation(rel, _, isExtended, out) if identPath(rel).isDefined =>
+    case d @ DescribeRelation(rel, partitionSpec, isExtended, out) if identPath(rel).isDefined =>
       val _ = d
+      // DESCRIBE ... PARTITION (...) must fail loudly, not silently degrade
+      // to a plain DESCRIBE (graft partitioning is hidden — there is no
+      // named-partition object to describe)
+      if (partitionSpec.nonEmpty)
+        fail("DESCRIBE ... PARTITION is not supported for graft tables " +
+          "(partitioning is hidden; see the '# Partitioning' rows of plain DESCRIBE)")
       GraftDescribeCommand(identPath(rel).get, isExtended, out)
     case s @ ShowTableProperties(t, key, out) if identPath(t).isDefined =>
       val _ = s

@@ -126,13 +126,28 @@ case class GraftAddColumnsCommand(
   }
 }
 
+private[sql] object GraftDml {
+  /** Canonicalize a DDL-supplied column name to the table schema's spelling
+    * with the SESSION resolver (case-insensitive by default) — the evolution
+    * methods resolve with case-sensitive fieldIndex, and the rest of the SQL
+    * surface (MERGE assignment targets, ON keys) is resolver-aware, so
+    * `DROP COLUMN URL` must find column `url` like every other statement.
+    * Unknown names pass through so the evolution method fails with its own
+    * clear message. */
+  def canonicalColumn(session: SparkSession, table: GraftTable, raw: String): String = {
+    val resolver = session.sessionState.analyzer.resolver
+    table.schema.fieldNames.find(resolver(_, raw)).getOrElse(raw)
+  }
+}
+
 /** `ALTER TABLE graft.… RENAME COLUMN a TO b` — metadata-only rename via
   * stable field ids ([[GraftTable.renameColumn]]). */
 case class GraftRenameColumnCommand(
     path: String, from: String, to: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
-    GraftTable.load(session, path).renameColumn(from, to)
+    val table = GraftTable.load(session, path)
+    table.renameColumn(GraftDml.canonicalColumn(session, table, from), to)
     Seq.empty
   }
 }
@@ -146,7 +161,9 @@ case class GraftWidenColumnsCommand(
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
-    GraftTable.load(session, path).widenColumns(widens)
+    val table = GraftTable.load(session, path)
+    table.widenColumns(widens.map { case (c, dt) =>
+      GraftDml.canonicalColumn(session, table, c) -> dt })
     Seq.empty
   }
 }
@@ -159,7 +176,8 @@ case class GraftDropColumnsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     // ONE commit: a validation failure on any column must not leave the
     // earlier columns already (irreversibly) dropped and retired
-    GraftTable.load(session, path).dropColumns(cols)
+    val table = GraftTable.load(session, path)
+    table.dropColumns(cols.map(GraftDml.canonicalColumn(session, table, _)))
     Seq.empty
   }
 }

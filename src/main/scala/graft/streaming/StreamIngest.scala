@@ -31,9 +31,25 @@ object StreamIngest {
   def batchProperty(checkpointDir: String): String = {
     val normalized = scala.util.Try(
       new org.apache.hadoop.fs.Path(checkpointDir).toString).getOrElse(checkpointDir)
+    hashProperty(normalized)
+  }
+
+  private def hashProperty(key: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(normalized.getBytes("UTF-8"))
+      .digest(key.getBytes("UTF-8"))
     s"stream-batch-${d.take(8).map(b => f"$b%02x").mkString}"
+  }
+
+  /** Pre-normalization spelling of the property key, probed as a FALLBACK
+    * when the normalized key has no watermark yet: a checkpoint dir spelled
+    * non-normally (e.g. '/ckpt/') under a pre-normalization engine version
+    * recorded its watermark under the raw-string key — without the probe,
+    * an upgrade orphans that watermark and a crash-window batch retry could
+    * re-append once. Empty when the raw spelling already IS normal. */
+  def legacyBatchProperties(checkpointDir: String): Seq[String] = {
+    val primary = batchProperty(checkpointDir)
+    val raw = hashProperty(checkpointDir)
+    if (raw == primary) Seq.empty else Seq(raw)
   }
 
   /**
@@ -48,10 +64,14 @@ object StreamIngest {
    * O(history) per micro-batch and forgot committed ids once expiry aged
    * their snapshots out).
    */
-  def appendBatch(table: GraftTable, batch: DataFrame, batchId: Long, prop: String): Unit = {
+  def appendBatch(table: GraftTable, batch: DataFrame, batchId: Long, prop: String,
+      legacyProps: Seq[String] = Seq.empty): Unit = {
     val md = table.metadata
-    val already = md.properties.get(prop) match {
-      case Some(w) => w.toLong >= batchId
+    // primary key first; legacy (pre-normalization) spellings probed only on
+    // miss — the next append records the primary key and the probe goes dead
+    val watermark = (prop +: legacyProps).flatMap(md.properties.get).map(_.toLong).maxOption
+    val already = watermark match {
+      case Some(w) => w >= batchId
       // property absent AND no stream has ever recorded one = table
       // written by a pre-watermark version: fall back to the old
       // per-snapshot summary scan ONCE (the next append records the
@@ -90,12 +110,13 @@ object StreamIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     val prop = batchProperty(checkpointDir)
+    val legacy = legacyBatchProperties(checkpointDir)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(table, batch, batchId, prop)
+        appendBatch(table, batch, batchId, prop, legacy)
       }
       .start()
   }

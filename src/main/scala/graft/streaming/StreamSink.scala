@@ -29,6 +29,7 @@ class GraftStreamSink(
     checkpointDir: String) extends Sink {
 
   private val prop = StreamIngest.batchProperty(checkpointDir)
+  private val legacyProps = StreamIngest.legacyBatchProperties(checkpointDir)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the incoming frame carries a streaming-tagged plan that must not be
@@ -42,7 +43,7 @@ class GraftStreamSink(
         case e: Exception if FileIO.exists(s"$root/metadata/v1.json") =>
           GraftTable.load(spark, root)
       }
-    StreamIngest.appendBatch(table, batch, batchId, prop)
+    StreamIngest.appendBatch(table, batch, batchId, prop, legacyProps)
   }
 
   override def toString: String = s"GraftStreamSink[$root]"

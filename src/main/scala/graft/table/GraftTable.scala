@@ -661,6 +661,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    */
   def addColumn(field: org.apache.spark.sql.types.StructField): TableMetadata = {
     require(field.nullable, s"new column ${field.name} must be nullable (old files have no values)")
+    require(!field.name.contains("."),
+      s"ADD COLUMN '${field.name}': dotted/nested column names are not supported " +
+        "(schema evolution applies to top-level columns only)")
     commitMetadataUpdate { md =>
       val cur = schemaOf(md)
       require(!cur.fieldNames.exists(_.equalsIgnoreCase(field.name)),
@@ -701,6 +704,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    */
   def renameColumn(from: String, to: String): Snapshot =
     evolveSchema("rename-column", s"$from->$to", retire = Seq(from)) { sch =>
+      refuseNested(sch, from, "RENAME COLUMN")
+      require(!to.contains("."), s"RENAME COLUMN to '$to': dotted column names are not supported")
       val idx = sch.fieldIndex(from)
       require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)), s"column $to already exists")
       require(!retired.contains(to.toLowerCase),
@@ -728,6 +733,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     require(names.nonEmpty && names.distinct.size == names.size,
       s"duplicate column in DROP: ${names.mkString(", ")}")
     evolveSchema("drop-column", names.mkString(","), retire = names) { sch =>
+      names.foreach(refuseNested(sch, _, "DROP COLUMN"))
       names.foreach(sch.fieldIndex) // throws on unknown
       require(sch.fields.length > names.size, "cannot drop every column")
       names.foreach(n => evolutionGuards(sch, n, "drop"))
@@ -763,6 +769,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     evolveSchema("widen-column", detail, retire = Seq.empty) { sch =>
       val strip = scala.collection.mutable.Set.empty[String]
       val next = widens.foldLeft(sch) { case (cur, (name, to)) =>
+        refuseNested(cur, name, "ALTER COLUMN TYPE")
         val idx = cur.fieldIndex(name)
         val from = cur.fields(idx).dataType
         require(GraftTable.widenOk((from, to)),
@@ -781,6 +788,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       (next, k => if (strip.contains(k)) None else Some(k))
     }
   }
+
+  /** Nested paths refuse LOUDLY at every evolution entry point: top-level
+    * columns carry stable parquet field ids, fields inside a struct do not
+    * ([[GraftTable.withFieldIds]]) — a nested rename would silently NULL the
+    * field in old files. A dotted name that IS a (pathological) top-level
+    * column passes through. */
+  private def refuseNested(sch: StructType, name: String, what: String): Unit =
+    require(!name.contains(".") || sch.fieldNames.contains(name),
+      s"$what '$name': nested-field evolution is not supported — schema evolution " +
+        "applies to TOP-LEVEL columns only (fields inside a struct have no stable " +
+        "parquet field id; evolving one requires a table rewrite)")
 
   private def evolutionGuards(sch: StructType, colName: String, what: String): Unit = {
     require(GraftTable.hasFieldIds(sch),

@@ -220,6 +220,25 @@ class MergeSpec extends SparkSuite {
     assert(t.readSnapshot(preSnapId).count() == 3000)
   }
 
+  test("duplicate matched keys firing NO clause do not raise the cardinality error") {
+    val t = GraftTable.create(spark, tmpDir("merge-noop-dup"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 100, hosts = 4, partitions = 2))
+    val one = t.read().limit(1)
+    // two presence-only (_noop) rows for the same matched key: no target row
+    // is modified, so ANSI cardinality must not error (Spark/Delta agree)
+    val noops = one.unionByName(one)
+      .withColumn("_deleted", lit(false)).withColumn("_noop", lit(true))
+    val before = t.read().count()
+    Merge.into(t, noops, latestWins = false,
+      notMatchedBySourceDelete = Some(lit(false)))
+    assert(t.read().count() === before, "presence-only merge must change nothing")
+    // …but two rows that would genuinely MODIFY the same target row still error
+    val mods = one.unionByName(one).withColumn("_deleted", lit(false))
+    val ex = intercept[IllegalArgumentException](
+      Merge.into(t, mods, latestWins = false))
+    assert(ex.getMessage.contains("multiple rows"), ex.getMessage)
+  }
+
   test("composite-key merge matches a pure-Scala model (latest-wins on the tuple)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

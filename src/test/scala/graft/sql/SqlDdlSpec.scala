@@ -101,5 +101,10 @@ class SqlDdlSpec extends SparkSuite {
     assert(intercept[Exception](spark.sql(
       s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('next-field-id')").collect())
       .getMessage.contains("engine-managed"))
+
+    // DESCRIBE ... PARTITION must fail loudly, never degrade to plain DESCRIBE
+    assert(intercept[Exception](spark.sql(
+      s"DESCRIBE graft.`$path` PARTITION (url = 'x')").collect())
+      .getMessage.contains("PARTITION is not supported"))
   }
 }

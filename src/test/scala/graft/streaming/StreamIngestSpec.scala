@@ -42,4 +42,28 @@ class StreamIngestSpec extends SparkSuite {
       .flatMap(_.summary.get("stream-batch-id"))
     assert(ids.distinct.size == ids.size && ids.nonEmpty)
   }
+
+  test("legacy (pre-normalization) watermark keys are probed on upgrade") {
+    import graft.table.GraftTable
+    import graft.run.Synth
+    // a checkpoint dir spelled NON-normally keys differently before/after
+    // path normalization; the legacy key must still suppress a crash-window
+    // batch retry after an engine upgrade
+    val ckpt = tmpDir("legacy-ckpt") + "//stream/" // non-normal spelling
+    val prop = StreamIngest.batchProperty(ckpt)
+    val legacy = StreamIngest.legacyBatchProperties(ckpt)
+    assert(legacy.nonEmpty && legacy.head != prop, "spelling must key differently raw vs normalized")
+    val t = GraftTable.create(spark, tmpDir("legacy-tbl"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 50, partitions = 1))
+    // simulate the OLD engine: watermark 5 recorded under the RAW-string key
+    t.commitMetadataUpdate(md => md.copy(properties = md.properties + (legacy.head -> "5")))
+    val batch = Synth.pages(spark, 10, partitions = 1, seed = 3)
+    StreamIngest.appendBatch(t, batch, 5L, prop, legacy) // retry of committed batch
+    assert(t.read().count() === 50, "legacy watermark must suppress the replayed batch")
+    StreamIngest.appendBatch(t, batch, 6L, prop, legacy) // genuinely new batch
+    assert(t.read().count() === 60)
+    assert(t.metadata.properties.get(prop).contains("6"), "new appends record the primary key")
+    StreamIngest.appendBatch(t, batch, 6L, prop, legacy) // replay under the primary key
+    assert(t.read().count() === 60)
+  }
 }

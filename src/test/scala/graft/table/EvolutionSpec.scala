@@ -226,4 +226,38 @@ class EvolutionSpec extends SparkSuite {
     assert(tbl.schema.fieldNames.toSeq === Seq("url", "warc_ts", "content", "lang"))
     assert(tbl.read().count() === 80)
   }
+
+  test("SQL evolution names resolve case-insensitively (session resolver)") {
+    val tbl = GraftTable.create(spark, tmpDir("evo-sql-ci"), Synth.pageSchema)
+    tbl.append(batch("a", 40))
+    // the rest of the SQL surface (MERGE targets, ON keys) is resolver-
+    // aware; ALTER must find column 'text' for TEXT too
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` RENAME COLUMN TEXT TO content")
+    assert(tbl.schema.fieldNames.contains("content"))
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` DROP COLUMN HTML")
+    assert(!tbl.schema.fieldNames.contains("html"))
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val t2 = GraftTable.create(spark, tmpDir("evo-sql-ci2"),
+      StructType(Seq(StructField("k", LongType, nullable = false), StructField("n", IntegerType))))
+    t2.append(Seq((1L, 2)).toDF("k", "n"))
+    spark.sql(s"ALTER TABLE graft.`${t2.root}` ALTER COLUMN N TYPE BIGINT")
+    assert(t2.schema("n").dataType === LongType)
+  }
+
+  test("nested-field evolution refuses loudly at every entry point") {
+    val tbl = GraftTable.create(spark, tmpDir("evo-nested"), Synth.pageSchema)
+    tbl.append(batch("a", 20))
+    assert(intercept[IllegalArgumentException](tbl.renameColumn("meta.width", "w"))
+      .getMessage.contains("nested"))
+    assert(intercept[IllegalArgumentException](tbl.dropColumns(Seq("meta.width")))
+      .getMessage.contains("nested"))
+    assert(intercept[IllegalArgumentException](
+      tbl.widenColumns(Seq("meta.width" -> org.apache.spark.sql.types.LongType)))
+      .getMessage.contains("nested"))
+    assert(intercept[IllegalArgumentException](tbl.addColumn(
+      StructField("meta.extra", DoubleType))).getMessage.contains("nested"))
+    assert(intercept[IllegalArgumentException](tbl.renameColumn("text", "a.b"))
+      .getMessage.contains("dotted"))
+  }
 }

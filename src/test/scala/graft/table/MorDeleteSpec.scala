@@ -57,14 +57,54 @@ class MorDeleteSpec extends SparkSuite {
     assert(spark.read.format("graft").load(tbl.root).count() === 50)
   }
 
-  test("compaction applies tombstones to rewritten files and keeps them") {
+  test("PARTIAL compaction applies tombstones to rewritten files and keeps them") {
     val tbl = mk(tmpDir("mor-compact"))
+    // one file too big to be a compaction candidate → the pass is partial
+    tbl.append(Synth.pages(spark, 4000, hosts = 6, partitions = 1, seed = 7))
     val victims = tbl.read().select("url").orderBy("url").limit(20)
     tbl.deleteByKeysMoR(victims)
-    Compact.run(tbl, targetBytes = 1L << 30)
+    val big = tbl.files().map(_.bytes).max
+    Compact.run(tbl, targetBytes = big) // threshold 0.75*big excludes the big file
+    assert(tbl.files().map(_.bytes).max === big, "big file must not be rewritten")
     assert(tbl.tombstones().nonEmpty, "partial rewrites must keep tombstones")
-    assert(tbl.read().count() === 380)
+    assert(tbl.read().count() === 4400 - 20)
     assert(tbl.read().join(victims, Seq("url"), "inner").count() === 0)
+  }
+
+  test("FULL-COVERAGE compaction materializes and clears tombstones; merge unblocked") {
+    val tbl = mk(tmpDir("mor-compact-all"))
+    val victims = tbl.read().select("url").orderBy("url").limit(20)
+    tbl.deleteByKeysMoR(victims)
+    val from = tbl.currentSnapshot.get.id
+    val snap = Compact.run(tbl, targetBytes = 1L << 30)
+    assert(snap.nonEmpty, "compact-all must have work (applying tombstones)")
+    assert(tbl.tombstones().isEmpty, "rewriting every file materializes the tombstones")
+    assert(snap.get.summary.get("materialized-tombstones").contains("true"),
+      "the commit is not row-preserving and must say so for incremental readers")
+    assert(tbl.read().count() === 380)
+    // physically gone: raw file scan (no anti-join) agrees
+    assert(spark.read.schema(tbl.schema).parquet(tbl.files().map(tbl.absPath): _*)
+      .count() === 380)
+    // incremental readers crossing the materialization are told loudly
+    val ex = intercept[IllegalArgumentException](tbl.incrementalRead(from).count())
+    assert(ex.getMessage.contains("materialized tombstones"), ex.getMessage)
+    // MERGE was blocked by live tombstones; the compact-all unblocked it
+    val changes = tbl.read().limit(5).withColumn("text", lit("merged"))
+    Merge.into(tbl, changes)
+    assert(tbl.read().filter(col("text") === "merged").count() === 5)
+  }
+
+  test("compact-all covers SINGLETON files while tombstones are live") {
+    val root = tmpDir("mor-compact-one")
+    val tbl = GraftTable.create(spark, root, Synth.pageSchema)
+    tbl.append(Synth.pages(spark, 100, hosts = 4, partitions = 1)) // ONE file
+    tbl.deleteByKeysMoR(tbl.read().select("url").orderBy("url").limit(5))
+    val snap = Compact.run(tbl, targetBytes = 1L << 30)
+    assert(snap.nonEmpty, "a singleton group is useful when it applies tombstones")
+    assert(tbl.tombstones().isEmpty)
+    assert(tbl.read().count() === 95)
+    // without tombstones the same singleton plan stays a no-op
+    assert(Compact.run(tbl, targetBytes = 1L << 30).isEmpty)
   }
 
   test("full cluster rewrite materializes and clears tombstones") {
