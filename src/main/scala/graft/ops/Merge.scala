@@ -411,7 +411,29 @@ object Merge {
           Some((unix_micros(col(keyCols.head).cast("timestamp")), (s: String) => s.toLong))
         case DateType =>
           Some((unix_date(col(keyCols.head)).cast("long"), (s: String) => s.toLong))
-        case _ => None // float/double/decimal keys: no packed encoding
+        case DoubleType =>
+          // IEEE-754 sortable-bits: signed-order-preserving double → Long
+          // (negatives below positives), so double-keyed merges range-
+          // cluster like every other key type instead of hash-scattering
+          Some((graft.functions.SortableBits(col(keyCols.head)),
+            (s: String) => graft.functions.SortableBits.encode(s.toDouble)))
+        case FloatType =>
+          // bound strings are float decimal strings; re-parse as FLOAT then
+          // widen so both sides see the same double (a direct toDouble of
+          // "1.1" differs from (1.1f).toDouble — only file sizing would
+          // suffer, but consistency keeps the boundaries honest)
+          Some((graft.functions.SortableBits(col(keyCols.head).cast("double")),
+            (s: String) => graft.functions.SortableBits.encode(s.toFloat.toDouble)))
+        case dt: DecimalType if dt.precision <= 18 =>
+          // unscaled value fits a Long at p <= 18 and is order-preserving
+          // for a fixed scale; UnscaledValue is the (public-API-reachable)
+          // codegen'd kernel Spark itself aggregates small decimals with
+          Some((org.apache.spark.sql.graftshim.Shims.column(
+              org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+                org.apache.spark.sql.graftshim.Shims.expression(col(keyCols.head)))),
+            (s: String) => new java.math.BigDecimal(s)
+              .setScale(dt.scale, java.math.RoundingMode.FLOOR).unscaledValue().longValue()))
+        case _ => None // wide decimals (p > 18): no Long-sized encoding — hash scatter
       }
       val bds = steer.map { case (_, enc) =>
         RangeShuffle.boundariesFromFileMeta(touched, keyCols.head, nOut, enc)
@@ -443,8 +465,11 @@ object Merge {
         maxRecordsPerFile = rollRecords)
       Maintenance.markDone(table, log, "rewrite")
     }
+    // drop all-empty outputs (an empty range partition writes a 0-row file
+    // with no stats — pure planning overhead in the manifest)
     val added = graft.table.StatsCollector.collect(
       spark, schema, table.root, graft.table.FileIO.listFilesRecursively(dir, ".parquet"), commitUuid)
+      .filter(_.rows > 0)
     val committed = table.replaceFiles(touched.map(_.path).toSet, added, "merge",
       Map("run-id" -> runId, "touched-files" -> touched.size.toString),
       expectedSnapshotId = snap.map(_.id))

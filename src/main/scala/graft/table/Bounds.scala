@@ -129,9 +129,14 @@ object Bounds {
   def fromParquetStat(dt: DataType, v: Any): Option[String] = (dt, v) match {
     case (_, null) => None
     case (StringType, b: org.apache.parquet.io.api.Binary) => Some(b.toStringUsingUTF8)
-    case (_: DecimalType, b: org.apache.parquet.io.api.Binary) =>
-      Some(new java.math.BigDecimal(new BigInteger(b.getBytes)).toString)
-    case (_: DecimalType, n: java.lang.Number) => Some(n.toString)
+    // parquet stores decimals as UNSCALED values (int32/int64/binary by
+    // precision); the canonical bound string is the SCALED decimal — the
+    // same space fromCatalystLiteral/toCatalystValue and MERGE key
+    // canonicalization use, or pruning comparisons are off by 10^scale
+    case (d: DecimalType, b: org.apache.parquet.io.api.Binary) =>
+      Some(new java.math.BigDecimal(new BigInteger(b.getBytes), d.scale).toString)
+    case (d: DecimalType, n: java.lang.Number) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue, d.scale).toString)
     case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
     case (DateType, i: java.lang.Integer) => Some(i.toString)
     case (TimestampType | TimestampNTZType, l: java.lang.Long) => Some(l.toString)

@@ -398,6 +398,72 @@ class MergeSpec extends SparkSuite {
       s"expected pruning on the second merge: ${touched.size}/${t.files().size}")
   }
 
+  test("merge output of a DOUBLE key is range-clustered via sortable bits") {
+    // doubles (and decimals) previously fell back to hash scatter: every
+    // post-merge file spanned the whole key space. Negative keys included —
+    // the IEEE-754 sortable encoding must keep them below the positives.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("payload", StringType)))
+    val t = GraftTable.create(spark, tmpDir("graft-dbl-range"), schema)
+    import spark.implicits._
+    def pay(i: Int) = Seq.tabulate(8)(j => (i * 31 + j * 7919).toHexString).mkString("-")
+    // four score-disjoint files covering [-4000, 4000)
+    for (b <- 0 until 4)
+      t.append((b * 2000 until (b + 1) * 2000).map(i => ((i - 4000) * 0.5, pay(i)))
+        .toDF("score", "payload").coalesce(1))
+    val src = (0 until 8000 by 7).map(i => ((i - 4000) * 0.5, "updated"))
+      .toDF("score", "payload")
+    Merge.into(t, src, Seq("score"), latestWins = false, targetFileBytes = 24 * 1024)
+    val out = t.files().filter(_.commitUuid.startsWith("merge-"))
+    assert(out.size > 1, s"expected several merge output files, got ${out.size}")
+    val sorted = out.map(f => (f.minValues("score").toDouble, f.maxValues("score").toDouble))
+      .sortBy(_._1)
+    for (Seq((_, hi), (lo2, _)) <- sorted.sliding(2))
+      assert(hi <= lo2, s"post-merge double bounds overlap: $sorted")
+    // the next merge's planning prunes on the tight bounds
+    val narrow = (0 until 400 by 11).map(i => ((i - 4000) * 0.5, "again")).toDF("score", "payload")
+    val touched = Merge.touchedFiles(t, narrow.select("score"), Seq("score"))
+    assert(touched.size < t.files().size,
+      s"expected pruning on the second merge: ${touched.size}/${t.files().size}")
+  }
+
+  test("merge output of a DECIMAL key is range-clustered via unscaled longs") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("amount", DecimalType(12, 2), nullable = false),
+      StructField("payload", StringType)))
+    val t = GraftTable.create(spark, tmpDir("graft-dec-range"), schema)
+    import spark.implicits._
+    def pay(i: Int) = Seq.tabulate(8)(j => (i * 37 + j * 104729).toHexString).mkString("-")
+    for (b <- 0 until 4)
+      t.append((b * 2000 until (b + 1) * 2000)
+        .map(i => (new java.math.BigDecimal(i - 4000).movePointLeft(1), pay(i)))
+        .toDF("amount", "payload")
+        .select(col("amount").cast(DecimalType(12, 2)), col("payload")).coalesce(1))
+    val src = (0 until 8000 by 7)
+      .map(i => (new java.math.BigDecimal(i - 4000).movePointLeft(1), "updated"))
+      .toDF("amount", "payload")
+      .select(col("amount").cast(DecimalType(12, 2)), col("payload"))
+    Merge.into(t, src, Seq("amount"), latestWins = false, targetFileBytes = 24 * 1024)
+    val out = t.files().filter(_.commitUuid.startsWith("merge-"))
+    assert(out.size > 1, s"expected several merge output files, got ${out.size}")
+    val sorted = out.map(f => (new java.math.BigDecimal(f.minValues("amount")),
+      new java.math.BigDecimal(f.maxValues("amount"))))
+      .sortWith((a, b) => a._1.compareTo(b._1) < 0)
+    for (Seq((_, hi), (lo2, _)) <- sorted.sliding(2))
+      assert(hi.compareTo(lo2) <= 0, s"post-merge decimal bounds overlap: $sorted")
+    // regression: decimal parquet stats are UNSCALED — the bound strings
+    // must be the SCALED decimals or predicate pruning compares -500 (raw
+    // int64) against -5.00 (literal) and prunes 100x off
+    val hit = t.planFiles(Some(col("amount") < lit(new java.math.BigDecimal("-380.00"))))
+    assert(hit.nonEmpty && hit.size < t.files().size,
+      s"decimal predicate pruning: ${hit.size}/${t.files().size}")
+    assert(t.read(Some(col("amount") < lit(new java.math.BigDecimal("-380.00")))).count() ===
+      t.read().filter(col("amount") < -380.0).count())
+  }
+
   test("composite-key touched-file planning prunes on residual key columns") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
