@@ -439,14 +439,18 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-q34").toString + "/t"
       val tbl = graft.table.GraftTable.create(s, root, cust.schema)
       tbl.append(cust.coalesce(8))
+      // halved source balances make target references DETECTABLE: the second
+      // clause's `t.c_acctbal + s.c_acctbal` = 1.5x the base value — a
+      // silent bind of t to s would yield 1.0x, of s to t 2.0x
       val m = cust.filter(pmod(col("c_custkey"), lit(4)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 0.5)
       val i = cust.filter(pmod(col("c_custkey"), lit(9)) === 0)
         .withColumn("c_custkey", col("c_custkey") + 20000000L)
       m.unionByName(i).createOrReplaceTempView("q34src")
       s.sql(
         s"""MERGE INTO graft.`$root` t USING q34src s ON t.c_custkey = s.c_custkey
            |WHEN MATCHED AND s.c_acctbal < 0.0 THEN DELETE
-           |WHEN MATCHED AND s.c_nationkey % 2 = 0 THEN UPDATE SET c_acctbal = s.c_acctbal + 50.0
+           |WHEN MATCHED AND s.c_nationkey % 2 = 0 THEN UPDATE SET c_acctbal = t.c_acctbal + s.c_acctbal
            |WHEN MATCHED THEN UPDATE SET c_name = upper(s.c_name), c_mktsegment = 'RESYNC'
            |WHEN NOT MATCHED AND s.c_acctbal >= 5000.0 THEN
            |  INSERT (c_custkey, c_name, c_acctbal) VALUES (s.c_custkey, s.c_name, s.c_acctbal + 7.5)
@@ -464,6 +468,40 @@ object SparkEntry {
         count(col("c_mktsegment")).as("n_seg"),
         countDistinct(col("c_mktsegment")).as("n_seg_d"),
         count(when(col("c_name") === upper(col("c_name")), 1)).as("n_upper"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
+    }),
+
+    // S5+: row-level CDC changelog of a MERGE commit — per-commit
+    // insert/delete row images (graft.table.Changelog): deletes are the
+    // PRE-merge images of updated+deleted rows, inserts the new images and
+    // insertions; replayed relationally in DuckDB as the EXCEPT ALL diff of
+    // the pre- and post-merge table states
+    "q35_cdc_changelog" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val root = java.nio.file.Files.createTempDirectory("graft-q35").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, cust.schema)
+      tbl.append(cust.coalesce(8))
+      val from = tbl.currentSnapshot.get.id
+      val m = cust.filter(pmod(col("c_custkey"), lit(6)) === 0)
+        .withColumn("op", when(pmod(col("c_custkey"), lit(4)) === 0, "D").otherwise("U"))
+      val i = cust.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 30000000L)
+        .withColumn("op", lit("I"))
+      m.unionByName(i).createOrReplaceTempView("q35src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING q35src s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 25.0
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val out = tbl.changes(from)
+        .groupBy(col(graft.table.Changelog.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("c_custkey").as("key_sum"),
+          round(sum("c_acctbal"), 2).as("bal_sum"),
+          countDistinct(col("c_mktsegment")).as("n_seg"))
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
@@ -732,7 +770,9 @@ object SparkEntry {
     // different column sets (mktsegment NULL for the first). Target rows
     // with no source match: delete-first, then the BUILDING update.
     "q34_merge_multi" ->
-      """WITH m AS (SELECT * FROM customer WHERE c_custkey % 4 = 0),
+      """WITH m AS (SELECT c_custkey, c_name, c_acctbal * 0.5 AS c_acctbal,
+        |                  c_nationkey, c_mktsegment
+        |           FROM customer WHERE c_custkey % 4 = 0),
         |i AS (SELECT c_custkey + 20000000 AS c_custkey, c_name, c_acctbal,
         |             c_nationkey, c_mktsegment
         |      FROM customer WHERE c_custkey % 9 = 0),
@@ -743,7 +783,7 @@ object SparkEntry {
         |              THEN upper(s.c_name) ELSE b.c_name END AS c_name,
         |         CASE WHEN s.c_custkey IS NOT NULL AND s.c_acctbal >= 0.0
         |                   AND s.c_nationkey % 2 = 0
-        |              THEN s.c_acctbal + 50.0
+        |              THEN b.c_acctbal + s.c_acctbal
         |              WHEN s.c_custkey IS NULL AND b.c_acctbal >= 100.0
         |                   AND b.c_mktsegment = 'BUILDING'
         |              THEN b.c_acctbal - 1.0
@@ -768,5 +808,31 @@ object SparkEntry {
         |       count(c_nationkey) AS n_nation, count(c_mktsegment) AS n_seg,
         |       count(DISTINCT c_mktsegment) AS n_seg_d,
         |       count(CASE WHEN c_name = upper(c_name) THEN 1 END) AS n_upper
-        |FROM merged""".stripMargin)
+        |FROM merged""".stripMargin,
+    // q35: the merge's row-level changelog replayed relationally — the
+    // engine computes per-commit removed∖added row images; over one merge on
+    // a fresh table that equals the EXCEPT ALL diff of the pre- and
+    // post-merge states (deletes = base∖merged, inserts = merged∖base)
+    "q35_cdc_changelog" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |m AS (SELECT c_custkey, c_acctbal,
+        |             CASE WHEN c_custkey % 4 = 0 THEN 'D' ELSE 'U' END AS op
+        |      FROM customer WHERE c_custkey % 6 = 0),
+        |i AS (SELECT c_custkey + 30000000 AS c_custkey, c_name, c_acctbal, c_mktsegment
+        |      FROM customer WHERE c_custkey % 11 = 0),
+        |merged AS (
+        |  SELECT b.c_custkey, b.c_name,
+        |         CASE WHEN s.op = 'U' THEN s.c_acctbal + 25.0 ELSE b.c_acctbal END AS c_acctbal,
+        |         b.c_mktsegment
+        |  FROM base b LEFT JOIN m s ON b.c_custkey = s.c_custkey
+        |  WHERE s.op IS NULL OR s.op <> 'D'
+        |  UNION ALL SELECT * FROM i),
+        |del AS (SELECT * FROM base EXCEPT ALL SELECT * FROM merged),
+        |ins AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM base),
+        |ev AS (SELECT 'delete' AS change_type, * FROM del
+        |       UNION ALL SELECT 'insert' AS change_type, * FROM ins)
+        |SELECT change_type, count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       round(sum(c_acctbal), 2) AS bal_sum,
+        |       count(DISTINCT c_mktsegment) AS n_seg
+        |FROM ev GROUP BY 1""".stripMargin)
 }

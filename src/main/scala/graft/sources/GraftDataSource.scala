@@ -67,7 +67,13 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val root = GraftStreamSource.opt(parameters, "path")
       .getOrElse(throw new IllegalArgumentException(
         "graft streaming source requires a path: spark.readStream.format(\"graft\").load(<table root>)"))
-    (shortName(), GraftTable.load(sqlContext.sparkSession, root).schema)
+    val tableSchema = GraftTable.load(sqlContext.sparkSession, root).schema
+    // change-rows mode appends the _change_type/_commit_snapshot_id columns
+    // (must match GraftStreamSource.schema exactly, or the micro-batch plan
+    // fails the runner's output-arity assertion)
+    val changeRows = GraftStreamSource.opt(parameters, "change-rows").exists(_.toBoolean)
+    (shortName(),
+      if (changeRows) graft.table.Changelog.schemaFor(tableSchema) else tableSchema)
   }
 
   override def createSource(

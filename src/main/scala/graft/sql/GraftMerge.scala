@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
 import org.apache.spark.sql.graftshim.Shims
 import org.apache.spark.sql.types.LongType
 
@@ -60,12 +60,16 @@ import graft.table.GraftTable
  *     columns only (they evaluate on target rows with no source match).
  *     Unconditional forms rewrite the whole table — inherent to the
  *     semantics; conditional forms prune files by the condition.
- *   - all matched/insert clause conditions and assignment values may
- *     reference SOURCE columns only (they are evaluated on the change rows).
- *     Target-qualified references fail loudly, and an UNQUALIFIED reference
- *     whose name is also a target column fails as ambiguous (it would
- *     silently bind to the source, diverging from ANSI) — qualify with the
- *     source alias.
+ *   - MATCHED clause conditions and UPDATE SET values may reference BOTH
+ *     relations (`WHEN MATCHED AND t.warc_ts < s.warc_ts THEN UPDATE SET
+ *     c = t.c + s.c`): `t.`-qualified references lower onto reserved
+ *     `_tgt_<col>` passthrough columns joined in from the touched files —
+ *     which requires UNIQUE target keys among matched rows (duplicate
+ *     target key tuples fail loudly: one source row's precomputed images
+ *     cannot carry two different target rows' values). INSERT clause
+ *     conditions/values stay source-only (the target row does not exist).
+ *     An UNQUALIFIED reference whose name is also a target column fails as
+ *     ambiguous — qualify with an alias.
  */
 case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -155,13 +159,36 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
       })
     }
+    // MATCHED clause conditions and UPDATE SET values MAY reference target
+    // columns (ANSI: `WHEN MATCHED AND t.warc_ts < s.warc_ts THEN UPDATE
+    // SET c = t.c + s.c`) — `t.`-qualified refs lower onto reserved
+    // `_tgt_<col>` passthrough columns the command joins in from the
+    // touched files before evaluation. Unqualified refs shadowed by a
+    // target column still fail as ambiguous (qualify to disambiguate).
+    val tgtCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    def matchedExpr(e: Expression, what: String): ExprHolder = {
+      for (a <- e.collect { case a: UnresolvedAttribute => a })
+        if (a.nameParts.length == 1 && targetFields.exists(resolver(_, a.nameParts.head)))
+          fail(s"$what: unqualified reference ${a.name} is ambiguous — a target column " +
+            "of that name exists; qualify with the source or target alias")
+      ExprHolder(e.transformUp {
+        case a: UnresolvedAttribute
+            if a.nameParts.length > 1 && targetAlias.exists(sameId(_, a.nameParts.head)) =>
+          val c = targetFields.find(resolver(_, a.nameParts.last)).getOrElse(
+            fail(s"$what references unknown target column ${a.name}"))
+          tgtCols += c
+          UnresolvedAttribute(Seq(s"_tgt_$c"))
+        case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+      })
+    }
     // assignment targets canonicalize to the TARGET schema's spelling (like
     // the ON keys): SET URL = … must plan as the table's `url`, or the
     // exact-case checks downstream spuriously reject what Spark's own
     // resolution accepts
     def canonical(raw: String): String =
       targetFields.find(resolver(_, raw)).getOrElse(raw) // unknowns fail later, clearly
-    def assignments(asg: Seq[Assignment], what: String): Seq[(String, ExprHolder)] =
+    def assignments(asg: Seq[Assignment], what: String,
+        exprFn: (Expression, String) => ExprHolder): Seq[(String, ExprHolder)] =
       asg.map { a =>
         val name = a.key match {
           case u: UnresolvedAttribute =>
@@ -170,23 +197,24 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
             canonical(u.nameParts.last)
           case other => fail(s"$what must assign plain columns, got $other")
         }
-        name -> sourceOnly(a.value, s"$what value for $name")
+        name -> exprFn(a.value, s"$what value for $name")
       }
 
     // matched clauses in statement order (ANSI first-match-wins; Spark's
-    // parser already enforces that an unconditional clause is last)
+    // parser already enforces that an unconditional clause is last).
+    // Conditions and SET values may reference BOTH relations (matchedExpr).
     val matched: Seq[MatchedClause] = m.matchedActions.map {
       case UpdateStarAction(c) =>
-        MatchedClause(isDelete = false, c.map(sourceOnly(_, "UPDATE condition")),
+        MatchedClause(isDelete = false, c.map(matchedExpr(_, "UPDATE condition")),
           Seq.empty, star = true)
       case UpdateAction(c, asg, _) =>
-        val set = assignments(asg, "UPDATE SET")
+        val set = assignments(asg, "UPDATE SET", matchedExpr)
         if (set.isEmpty) fail("UPDATE with no assignments")
         set.map(_._1).filter(n => keyCols.exists(sameId(n, _))).foreach(k =>
           fail(s"UPDATE must not assign key column $k"))
-        MatchedClause(isDelete = false, c.map(sourceOnly(_, "UPDATE condition")), set, star = false)
+        MatchedClause(isDelete = false, c.map(matchedExpr(_, "UPDATE condition")), set, star = false)
       case DeleteAction(c) =>
-        MatchedClause(isDelete = true, c.map(sourceOnly(_, "DELETE condition")), Seq.empty, star = false)
+        MatchedClause(isDelete = true, c.map(matchedExpr(_, "DELETE condition")), Seq.empty, star = false)
       case other => fail(s"unsupported matched action $other")
     }
     // defensive unreachable-clause guard behind the parser's rule
@@ -244,7 +272,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
       case InsertStarAction(c) =>
         InsertClause(c.map(sourceOnly(_, "INSERT condition")), Seq.empty, star = true)
       case InsertAction(c, asg) =>
-        val vals = assignments(asg, "INSERT")
+        val vals = assignments(asg, "INSERT", sourceOnly)
         keyCols.filterNot(k => vals.map(_._1).exists(sameId(k, _))).foreach(k =>
           fail(s"INSERT (cols) VALUES must assign key column $k"))
         InsertClause(c.map(sourceOnly(_, "INSERT condition")), vals, star = false)
@@ -259,6 +287,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     GraftMergeCommand(path, m.sourceTable, keyCols,
       matched = matched,
       inserts = inserts,
+      tgtCols = tgtCols.toSeq,
       nmbsDelete = nmbsDelete,
       nmbsDeleteCond = nmbsDeleteCond,
       hasNmbsUpdate = hasNmbsUpdate,
@@ -307,6 +336,7 @@ case class GraftMergeCommand(
     keyCols: Seq[String],
     matched: Seq[MatchedClause],
     inserts: Seq[InsertClause],
+    tgtCols: Seq[String] = Seq.empty,
     nmbsDelete: Boolean = false,
     nmbsDeleteCond: Option[ExprHolder] = None,
     hasNmbsUpdate: Boolean = false,
@@ -352,11 +382,41 @@ case class GraftMergeCommand(
     // on the narrower set can exclude whole table files from the rewrite,
     // which dominates the repeated scan at scale.
     val touched = Merge.touchedFiles(table, src.select(keyCols.map(col): _*), keyCols)
+    // target columns referenced by matched clauses ride the same join as
+    // `_matched`, renamed to reserved `_tgt_<col>` passthroughs. The
+    // precomputed-per-source-row lowering needs ONE target row per key
+    // tuple — duplicate target keys would silently apply one row's values
+    // to all of them, so they fail loudly instead (rewrite the table or
+    // drop the target references).
+    for (c <- tgtCols) {
+      if (!schema.fieldNames.contains(c))
+        throw new IllegalArgumentException(s"graft MERGE INTO: unknown target column $c")
+      if (src.columns.exists(resolver(_, s"_tgt_$c")))
+        throw new IllegalArgumentException(
+          s"graft MERGE INTO: source column _tgt_$c collides with the reserved " +
+            "target-passthrough name; rename it")
+    }
     src =
-      if (touched.isEmpty) src.withColumn("_matched", lit(false))
-      else {
-        val existing = session.read.schema(schema).parquet(touched.map(table.absPath): _*)
-          .select(keyCols.map(col): _*).dropDuplicates(keyCols)
+      if (touched.isEmpty) {
+        val withTgt = tgtCols.foldLeft(src)((d, c) =>
+          d.withColumn(s"_tgt_$c", lit(null).cast(schema(schema.fieldIndex(c)).dataType)))
+        withTgt.withColumn("_matched", lit(false))
+      } else {
+        val existingFull = session.read.schema(schema).parquet(touched.map(table.absPath): _*)
+          .select((keyCols ++ tgtCols).distinct.map(col): _*)
+        if (tgtCols.nonEmpty) {
+          val dups = existingFull.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
+          if (dups.count() > 0) {
+            val ex = dups.select(keyCols.map(col): _*).limit(1).collect().head
+            throw new IllegalArgumentException(
+              s"graft MERGE INTO: matched clauses reference target columns " +
+                s"(${tgtCols.mkString(", ")}), but the target has multiple rows for key " +
+                s"'${ex.toSeq.mkString(",")}' — per-key target values are ambiguous")
+          }
+        }
+        val existing = existingFull.dropDuplicates(keyCols)
+          .select(keyCols.map(col) ++ tgtCols.map(c => col(c).as(s"_tgt_$c")): _*)
           .withColumn("_matched_t", lit(true))
         src.join(existing, keyCols, "left_outer")
           .withColumn("_matched", coalesce(col("_matched_t"), lit(false)))

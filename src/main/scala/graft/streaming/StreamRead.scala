@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.connector.read.streaming
@@ -34,6 +35,12 @@ import graft.table.{DataFileMeta, GraftTable}
  *    (merge / update / delete / overwrite) instead of failing the query —
  *    the append-only contract a tailing consumer accepts (rewrites of
  *    already-delivered rows are never re-delivered or retracted);
+ *  - `change-rows`: `true` switches to ROW-LEVEL CDC — every commit
+ *    (including merges, deletes, and tombstones) is delivered as
+ *    insert/delete row images with `_change_type`/`_commit_snapshot_id`
+ *    columns ([[graft.table.Changelog]]); the initial batch is the table
+ *    contents as insert events. Folding the events in commit order
+ *    reconstructs `read()` exactly;
  *  - `max-snapshots-per-trigger`: admission control — cap how many chain
  *    commits one micro-batch may cover (applies from the second trigger of
  *    a run; the initial snapshot batch is indivisible).
@@ -69,6 +76,10 @@ class GraftStreamSource(
   private val table = GraftTable.load(spark, root)
   private val startingSnapshotId = opt("starting-snapshot-id").map(_.toLong)
   private val skipChangeCommits = opt("skip-change-commits").exists(_.toBoolean)
+  private val changeRows = opt("change-rows").exists(_.toBoolean)
+  require(!(changeRows && skipChangeCommits),
+    "change-rows delivers row-changing commits as insert/delete events; " +
+      "skip-change-commits contradicts it — pick one")
   private val maxSnapshotsPerTrigger = opt("max-snapshots-per-trigger").map(_.toInt)
   maxSnapshotsPerTrigger.foreach(n => require(n > 0, "max-snapshots-per-trigger must be > 0"))
 
@@ -76,7 +87,8 @@ class GraftStreamSource(
   // add-column evolution must not change the micro-batch schema under a
   // running query (files are read by name; a column added later simply
   // does not appear until the stream restarts)
-  override val schema: StructType = table.schema
+  override val schema: StructType =
+    if (changeRows) graft.table.Changelog.schemaFor(table.schema) else table.schema
   private val specs = table.allPartitionSpecs // union: old-generation dirs must keep pruning
 
   startingSnapshotId.foreach { id =>
@@ -127,6 +139,7 @@ class GraftStreamSource(
     val endId = end.json.trim.toLong
     lastPlannedEnd = Some(endId)
     val startId = start.map(_.json.trim.toLong).orElse(startingSnapshotId)
+    if (changeRows) return changeBatch(startId, endId)
     startId match {
       case Some(from) if from == endId =>
         streamingDf(Seq.empty, endId)
@@ -138,6 +151,21 @@ class GraftStreamSource(
         // streaming analog of a batch read — Delta-style initial snapshot)
         streamingDf(table.files(Some(endId)), endId)
     }
+  }
+
+  /** change-rows mode: the batch is the commits' insert/delete row images
+    * ([[graft.table.Changelog]]). The changelog's diff subplans are BATCH
+    * plans (their joins/EXCEPT ALL must not be planned as streaming-stateful
+    * operators); the required isStreaming flag rides on a 0-row streaming
+    * relation union'd in by the changelog builder. */
+  private def changeBatch(startId: Option[Long], endId: Long): DataFrame = startId match {
+    case Some(from) if from == endId =>
+      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true).filter(lit(false))
+    case Some(from) =>
+      graft.table.Changelog.changes(table, from, Some(endId), streamingTag = true)
+    case None =>
+      // initial batch: the full contents as INSERT events at `endId`
+      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true)
   }
 
   /** Micro-batch DataFrame over `files` with snapshot `to`'s tombstones

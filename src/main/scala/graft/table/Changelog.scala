@@ -1,0 +1,211 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/**
+ * Row-level CDC: per-commit INSERT/DELETE row images (a Delta-CDF-style
+ * changelog) for any snapshot range — including merge / update / delete /
+ * tombstone commits that the file-level [[GraftTable.incrementalRead]]
+ * cannot express. This restores the one capability of the reference the
+ * append-only diff lacked: its incremental loads received HBase delete
+ * markers via raw scans (`job/JobUtil.java:573-576`, validity checks
+ * `adapter/HBaseSourceTableAdapter.java:592-604`) and its HDFS sink split
+ * `insert_*`/`delete_*` files for the downstream merge scripts
+ * (`adapter/HdfsTargetAdapter.java:37-152`).
+ *
+ * Output schema: the table columns plus [[Changelog.ChangeTypeCol]]
+ * ('insert' | 'delete') and [[Changelog.CommitCol]] (the snapshot id the
+ * change committed in). A consumer that folds the events in commit order —
+ * `state := (state \ deletes) ∪ inserts` — reconstructs `read()` exactly
+ * (proved in StreamCdcSpec).
+ *
+ * Per-commit semantics (chain-walked like [[GraftTable.incrementalFiles]]):
+ *  - append       → the committed files' rows as inserts, with the commit's
+ *                   own tombstones applied (a key tombstoned earlier is
+ *                   invisible in that snapshot, so it must not be delivered);
+ *  - delete-mor   → the parent-visible rows matching the NEWLY added
+ *                   tombstone keys, as deletes (file pruning via the key
+ *                   set's min/max bounds — the tombstone niche is small);
+ *  - merge/update/delete (any copy-on-write file replacement) → the logical
+ *    diff of the commit's removed vs added files: removed∖added as deletes,
+ *    added∖removed as inserts. Rewritten-but-unchanged rows cancel in the
+ *    EXCEPT ALL, so the emitted events are the semantic row changes; cost
+ *    scales with the commit's touched files, never the table.
+ *  - compact / cluster / rewrite-manifests / schema evolution → nothing.
+ *    This INCLUDES tombstone-materializing rewrites: physically applying
+ *    already-delivered equality deletes changes no logical row (their
+ *    delete events were emitted at the delete-mor commit) — so changelog
+ *    mode has no analog of incrementalRead's materialization refusal.
+ *
+ * Scale shape: each commit contributes one bounded subplan (its own added/
+ * removed files); the EXCEPT ALL shuffles only those rows; tombstone key
+ * joins broadcast below [[GraftTable.TombstoneBroadcastRowCap]]. Nothing
+ * scans the full table except a delete-mor whose keys span every file's
+ * bounds — inherent to equality deletes.
+ */
+object Changelog {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitCol = "_commit_snapshot_id"
+
+  /** Row-preserving commit operations: no logical row changes to emit. */
+  private val rowPreserving = Set("compact", "cluster", "rewrite-manifests",
+    "rename-column", "drop-column", "widen-column")
+
+  def schemaFor(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields :+
+      StructField(ChangeTypeCol, StringType, nullable = false) :+
+      StructField(CommitCol, LongType, nullable = false))
+
+  /** The changelog of `(fromSnapshotId, to]` as one DataFrame (commits
+    * union'd; order by [[CommitCol]] to fold). `streamingTag` marks the
+    * frame streaming for the DSv1 source (via a 0-row streaming-flagged
+    * relation union'd in — the diff subplans themselves stay BATCH plans,
+    * so their joins/aggregates never trip streaming-stateful planning). */
+  def changes(
+      table: GraftTable,
+      fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None,
+      streamingTag: Boolean = false): DataFrame = {
+    val spark = table.spark
+    val md = table.metadata
+    val sch = table.schema
+    val specs = table.allPartitionSpecs
+    val to = toSnapshotId.orElse(md.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException("changelog read on an empty table"))
+    require(md.snapshot(fromSnapshotId).nonEmpty || fromSnapshotId == 0,
+      s"unknown or expired snapshot $fromSnapshotId")
+
+    def rel(files: Seq[DataFileMeta]): DataFrame =
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+        spark, sch, table.root, files, specs)
+    def tag(df: DataFrame, kind: String, commitId: Long): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(kind)).withColumn(CommitCol, lit(commitId))
+
+    // chain walk newest → oldest (same traversal as incrementalFiles)
+    var cursor = md.snapshot(to).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot $to"))
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var done = false
+    while (!done && cursor.id != fromSnapshotId) {
+      val parent = cursor.parentId.flatMap(md.snapshot)
+      frames ++= commitFrame(table, spark, sch, cursor, parent, rel, tag)
+      cursor.parentId match {
+        case Some(_) if parent.nonEmpty => cursor = parent.get
+        case Some(pid) if pid == fromSnapshotId => done = true
+        case None if fromSnapshotId == 0 => done = true
+        case _ => throw new IllegalArgumentException(
+          s"snapshot chain from $to to $fromSnapshotId broken " +
+            "(expired snapshot, or a rollback onto another branch?)")
+      }
+    }
+
+    val empty = tag(org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+      spark, sch, table.root, Seq.empty, specs, isStreaming = streamingTag), "insert", 0L)
+      .filter(lit(false))
+    frames.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** The full table contents at `snapshotId` as insert events — the
+    * streaming source's initial-snapshot batch in change-rows mode. */
+  def initialSnapshot(table: GraftTable, snapshotId: Long, streamingTag: Boolean): DataFrame = {
+    val spark = table.spark
+    val sch = table.schema
+    val specs = table.allPartitionSpecs
+    val df = table.applyTombstones(
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+        spark, sch, table.root, table.files(Some(snapshotId)), specs,
+        isStreaming = streamingTag),
+      Some(snapshotId))
+    df.withColumn(ChangeTypeCol, lit("insert")).withColumn(CommitCol, lit(snapshotId))
+  }
+
+  /** Events of ONE commit (empty for row-preserving ops). */
+  private def commitFrame(
+      table: GraftTable,
+      spark: SparkSession,
+      sch: StructType,
+      snap: Snapshot,
+      parent: Option[Snapshot],
+      rel: Seq[DataFileMeta] => DataFrame,
+      tag: (DataFrame, String, Long) => DataFrame): Seq[DataFrame] = snap.operation match {
+
+    case "append" =>
+      val parentM = parent.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
+      val files = snap.manifests.filterNot(m => parentM.contains(m.path))
+        .flatMap(m => table.readManifest(m.path))
+      if (files.isEmpty) Seq.empty
+      else Seq(tag(table.applyTombstones(rel(files), Some(snap.id)), "insert", snap.id))
+
+    case op if rowPreserving.contains(op) => Seq.empty // incl. materializing rewrites
+
+    case "delete-mor" =>
+      val parentDel = parent.map(_.deleteManifestList.map(_.path).toSet).getOrElse(Set.empty)
+      val newDel = snap.deleteManifestList.filterNot(m => parentDel.contains(m.path))
+        .flatMap(m => table.readManifest(m.path))
+      if (newDel.isEmpty || parent.isEmpty) Seq.empty
+      else {
+        val keyDf = spark.read.parquet(newDel.map(table.absPath): _*).distinct()
+        val keyCols = keyDf.columns.toSeq
+        // file pruning by the key set's global per-column [min,max]: one
+        // tiny aggregate over the tombstone keys, then the standard
+        // min/max file prune — sound (wider bounds only admit more files)
+        val parentFiles = table.files(Some(parent.get.id))
+        val pruned = keyBoundsPredicate(spark, sch, keyDf, keyCols) match {
+          case Some(p) => PredicatePrune.prune(sch, parentFiles, p, table.allPartitionSpecs)
+          case None    => parentFiles
+        }
+        val vis = table.applyTombstones(rel(pruned), Some(parent.get.id))
+        val right =
+          if (newDel.map(_.rows).sum <= table.TombstoneBroadcastRowCap) broadcast(keyDf)
+          else keyDf
+        Seq(tag(vis.join(right, keyCols, "left_semi"), "delete", snap.id))
+      }
+
+    case _ => // copy-on-write file replacement: merge / update / delete / overwrite
+      val parentManifests = parent.map(_.manifests).getOrElse(Seq.empty)
+      val pm = parentManifests.map(_.path).toSet
+      val cm = snap.manifests.map(_.path).toSet
+      // shared manifests hold identical entries on both sides and cancel;
+      // only manifests unique to one side need reading (replaceFiles keeps
+      // untouched manifests as-is, so this is the commit's true footprint)
+      val parentOnly = parentManifests.filterNot(m => cm.contains(m.path))
+        .flatMap(m => table.readManifest(m.path))
+      val childOnly = snap.manifests.filterNot(m => pm.contains(m.path))
+        .flatMap(m => table.readManifest(m.path))
+      val childPaths = childOnly.map(_.path).toSet
+      val parentPaths = parentOnly.map(_.path).toSet
+      val removed = parentOnly.filterNot(e => childPaths.contains(e.path))
+      val added = childOnly.filterNot(e => parentPaths.contains(e.path))
+      if (removed.isEmpty && added.isEmpty) Seq.empty
+      else {
+        val remRows = table.applyTombstones(rel(removed), parent.map(_.id))
+        val addRows = table.applyTombstones(rel(added), Some(snap.id))
+        Seq(
+          tag(remRows.exceptAll(addRows), "delete", snap.id),
+          tag(addRows.exceptAll(remRows), "insert", snap.id))
+      }
+  }
+
+  /** Conjunction of per-column [min,max] range predicates covering every
+    * key tuple in `keyDf` — the sound file-prune for the delete-mor scan.
+    * None when no key column's type supports bounds. */
+  private def keyBoundsPredicate(
+      spark: SparkSession,
+      sch: StructType,
+      keyDf: DataFrame,
+      keyCols: Seq[String]): Option[org.apache.spark.sql.Column] = {
+    val usable = keyCols.filter(c =>
+      sch.fields.find(_.name == c).exists(f => Bounds.supported(f.dataType)))
+    if (usable.isEmpty) return None
+    val aggs = usable.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+    val row = keyDf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (row.anyNull) return None // empty key set or all-null keys: no prune
+    val preds = usable.zipWithIndex.map { case (c, i) =>
+      col(c) >= lit(row.get(2 * i)) && col(c) <= lit(row.get(2 * i + 1))
+    }
+    Some(preds.reduce(_ && _))
+  }
+}

@@ -433,6 +433,18 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     (added.toSeq, to)
   }
 
+  /**
+   * Row-level CDC changelog of `(fromSnapshotId, to]`: per-commit INSERT and
+   * DELETE row images ([[Changelog.ChangeTypeCol]] / [[Changelog.CommitCol]]
+   * columns appended to the table schema) — the change-capture mode that
+   * handles the row-CHANGING commits [[incrementalRead]] must refuse (merge /
+   * update / delete / tombstone commits), at the cost of computing each such
+   * commit's removed-vs-added row diff. Fold in commit order to materialize.
+   * Streaming form: `readStream.format("graft").option("change-rows", true)`.
+   */
+  def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame =
+    Changelog.changes(this, fromSnapshotId, toSnapshotId)
+
   /** Incremental-read result with the `to` snapshot's tombstones applied —
     * the consumer must see exactly what `read()` at `to` would show for
     * these rows (a key tombstoned before `from` and re-appended inside the

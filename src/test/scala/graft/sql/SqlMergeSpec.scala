@@ -393,13 +393,13 @@ class SqlMergeSpec extends SparkSuite {
          |WHEN MATCHED AND s.lang = 'de' THEN DELETE""".stripMargin))
     assert(ex3.getMessage.contains("NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION") ||
       ex3.getMessage.contains("unreachable"), ex3.getMessage)
-    // target-side references in the DELETE condition would silently rebind
-    // to same-named source columns — rejected
+    // UNQUALIFIED references shadowed by a target column stay ambiguous —
+    // they could bind to either relation (t.-qualified refs are supported)
     val ex4 = intercept[Exception](spark.sql(
       s"""MERGE INTO graft.`${t.root}` t USING c4 s ON t.url = s.url
-         |WHEN MATCHED AND t.lang = 'de' THEN DELETE
+         |WHEN MATCHED AND lang = 'de' THEN DELETE
          |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
-    assert(ex4.getMessage.contains("SOURCE columns only"), ex4.getMessage)
+    assert(ex4.getMessage.contains("ambiguous"), ex4.getMessage)
   }
 
   test("several conditional matched clauses: first-match-wins, per-clause column sets") {
@@ -562,5 +562,73 @@ class SqlMergeSpec extends SparkSuite {
       s"""MERGE INTO graft.`${t.root}` t USING dup_upd s ON t.k = s.k
          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
     assert(ex.getMessage.contains("matched key"), ex.getMessage)
+  }
+
+  test("matched clauses may reference TARGET columns: t.-conditions and t.-values") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType), StructField("tag", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-tgt"), schema)
+    t.append((1L to 100L).map(k => (k, k * 10.0, "base")).toDF("k", "v", "tag"))
+    // source halves v for 1..40 and doubles it for 61..100: only the
+    // doubled rows satisfy t.v < s.v; the freshness-style condition plus a
+    // both-sides assignment is the exact ANSI shape the verdict asked for
+    ((1L to 40L).map(k => (k, k * 5.0)) ++ (61L to 100L).map(k => (k, k * 20.0)))
+      .toDF("k", "v").createOrReplaceTempView("tgt_changes")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING tgt_changes s ON t.k = s.k
+         |WHEN MATCHED AND t.v < s.v THEN UPDATE SET v = t.v + s.v, tag = 'won'
+         |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.v, 'new')""".stripMargin)
+      .collect()
+    import scala.math.Ordering.Double.TotalOrdering
+    val got = t.read().select("k", "v", "tag").as[(Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for (k <- 1L to 40L) assert(got(k) === ((k * 10.0, "base")), s"stale update k=$k must lose")
+    for (k <- 41L to 60L) assert(got(k) === ((k * 10.0, "base")), s"unmatched target k=$k")
+    for (k <- 61L to 100L) assert(got(k) === ((k * 30.0, "won")), s"t.v + s.v at k=$k")
+
+    // a t.-condition DELETE too: remove rows whose CURRENT value exceeds a
+    // source threshold — needs the target value, not the source image
+    (61L to 70L).map(k => (k, 0.0)).toDF("k", "v").createOrReplaceTempView("tgt_del")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING tgt_del s ON t.k = s.k
+         |WHEN MATCHED AND t.tag = 'won' THEN DELETE""".stripMargin).collect()
+    assert(t.read().count() === 90)
+
+    // target refs in INSERT clauses stay rejected (the row does not exist)
+    val exIns = intercept[IllegalArgumentException](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING tgt_del s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, t.v, 'x')""".stripMargin))
+    assert(exIns.getMessage.contains("SOURCE columns only"), exIns.getMessage)
+
+    // unknown t.-column fails at analysis
+    val exUnk = intercept[IllegalArgumentException](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING tgt_del s ON t.k = s.k
+         |WHEN MATCHED AND t.nope = 1 THEN DELETE""".stripMargin))
+    assert(exUnk.getMessage.contains("unknown target column"), exUnk.getMessage)
+  }
+
+  test("target-referencing clauses refuse duplicate target keys loudly") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false), StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-tgtdup"), schema)
+    t.append((Seq((7L, 1.0), (7L, 2.0)) ++ (1L to 5L).map(k => (k, k * 1.0)))
+      .toDF("k", "v"))
+    Seq((7L, 100.0)).toDF("k", "v").createOrReplaceTempView("tgtdup_src")
+    // WITHOUT target refs duplicate target keys are legal (both rows update)
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING tgtdup_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin).collect()
+    assert(t.read().filter(col("k") === 7L && col("v") === 100.0).count() === 2)
+    // WITH a target ref the per-key value is ambiguous — loud failure
+    t.append(Seq((7L, 3.0)).toDF("k", "v")) // keep keys duplicated
+    val ex = intercept[IllegalArgumentException](spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING tgtdup_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.v""".stripMargin).collect())
+    assert(ex.getMessage.contains("multiple rows for key"), ex.getMessage)
   }
 }

@@ -207,4 +207,72 @@ class StreamCdcSpec extends SparkSuite {
       s"one append per micro-batch, in commit order (got ${batches.map(_._2.size)})")
     assert(batches.flatMap(_._2).distinct.size == 36)
   }
+
+  test("change-rows mode: a tailing consumer folds insert/delete events back to read()") {
+    import graft.table.Changelog
+    val root = tmpDir("graft-cdc-rows")
+    val ckpt = tmpDir("graft-cdc-rows-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(100, 1, "a"))
+
+    // (batchId, commitId, changeType, url, tsMillis, text, lang)
+    type Ev = (Long, Long, String, String, Long, String, String)
+    val got = new ConcurrentLinkedQueue[Ev]()
+    def drainChanges(): Unit = {
+      val q = spark.readStream.format("graft").option("change-rows", "true").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(col(Changelog.CommitCol), col(Changelog.ChangeTypeCol),
+            col("url"), col("warc_ts").cast("long"), col("text"), col("lang"))
+            .collect().foreach(r => got.add((batchId, r.getLong(0), r.getString(1),
+              r.getString(2), r.getLong(3), r.getString(4), r.getString(5))))
+          ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+
+    drainChanges() // initial snapshot as insert events
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.count(_._3 == "insert") == 100 && got.asScala.forall(_._3 == "insert"))
+
+    // while the stream is down: a merge (updates+deletes+inserts), a MoR
+    // tombstone delete, and a plain append — the full row-changing mix the
+    // append-only mode must refuse or drop
+    import spark.implicits._
+    val cur = t.read().as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val ks = cur.keys.toSeq.sorted
+    val src = ks.take(10).map { u => val o = cur(u)
+        (u, new java.sql.Timestamp(o._2.getTime + 1000L), o._3, "UPD", o._5, false) }
+      .++(ks.slice(20, 25).map { u => val o = cur(u)
+        (u, new java.sql.Timestamp(o._2.getTime + 1000L), o._3, "D", o._5, true) })
+      .++((0 until 7).map(i => (s"https://new.example.com/$i",
+        new java.sql.Timestamp(1735689600000L), Array[Byte](1), s"NEW$i", "en", false)))
+      .toDF("url", "warc_ts", "html", "text", "lang", "_deleted")
+    graft.ops.Merge.into(t, src)
+    t.deleteByKeysMoR(t.read().select("url").orderBy(desc("url")).limit(4))
+    t.append(pagesTagged(20, 9, "z"))
+
+    drainChanges()
+    // fold in (batch, commit) order: state := (state \ deletes) ∪ inserts
+    val state = scala.collection.mutable.Map.empty[(String, Long, String, String), Int]
+    def key(e: Ev) = (e._4, e._5, e._6, e._7)
+    for (e <- got.asScala.toSeq.sortBy(x => (x._1, x._2))) e._3 match {
+      case "insert" => state(key(e)) = state.getOrElse(key(e), 0) + 1
+      case "delete" =>
+        val k = key(e); val n = state.getOrElse(k, 0)
+        assert(n > 0, s"delete event for a row the consumer never saw: $k")
+        if (n == 1) state.remove(k) else state(k) = n - 1
+    }
+    val expect = t.read().select(col("url"), col("warc_ts").cast("long"), col("text"), col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(state.toMap === expect, "folded consumer state must equal read()")
+
+    // idle restart: nothing re-delivered
+    val before = got.size()
+    drainChanges()
+    assert(got.size() == before, "idle restart must deliver no events")
+  }
 }

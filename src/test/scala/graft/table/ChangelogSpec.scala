@@ -1,0 +1,128 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.{Cluster, Compact, Merge}
+import graft.run.Synth
+
+/**
+ * Row-level CDC changelog ([[Changelog]]): per-commit insert/delete row
+ * images for every commit kind, with the defining invariant that folding
+ * the events in commit order reconstructs `read()` exactly.
+ */
+class ChangelogSpec extends SparkSuite {
+
+  private val cols = Synth.pageSchema.fieldNames.toSeq
+
+  /** state := (state \ deletes) ∪ inserts, per commit ascending. */
+  private def fold(initial: DataFrame, events: DataFrame): DataFrame = {
+    val ev = events.localCheckpoint(true)
+    val commits = ev.select(Changelog.CommitCol).distinct()
+      .collect().map(_.getLong(0)).sorted
+    var state = initial.select(cols.map(col): _*)
+    for (c <- commits) {
+      val of = ev.filter(col(Changelog.CommitCol) === c)
+      val dels = of.filter(col(Changelog.ChangeTypeCol) === "delete").select(cols.map(col): _*)
+      val inss = of.filter(col(Changelog.ChangeTypeCol) === "insert").select(cols.map(col): _*)
+      state = state.exceptAll(dels).unionByName(inss)
+    }
+    state
+  }
+
+  private def counts(events: DataFrame): Map[String, Long] =
+    events.groupBy(Changelog.ChangeTypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("merge commit emits old images as deletes, new images as inserts") {
+    val t = GraftTable.create(spark, tmpDir("chg-merge"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 800, hosts = 10, partitions = 4))
+    val from = t.currentSnapshot.get.id
+    import spark.implicits._
+    val cur = t.read().as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    def page(u: String, shift: Long, text: String) = {
+      val o = cur(u); (u, new java.sql.Timestamp(o._2.getTime + shift), o._3, text, o._5)
+    }
+    val updKeys = cur.keys.toSeq.sorted.take(100)
+    val delKeys = cur.keys.toSeq.sorted.slice(200, 250)
+    val updates = updKeys.map(u => page(u, +1000L, "UPDATED"))
+    val deletes = delKeys.map(u => page(u, +1000L, "DEL"))
+    val inserts = (0 until 60).map(i =>
+      (s"https://new.example.com/p/$i", new java.sql.Timestamp(1735689600000L),
+        Array[Byte](1), s"NEW$i", "en"))
+    val src = (updates ++ inserts).toDF(cols: _*).withColumn("_deleted", lit(false))
+      .unionByName(deletes.toDF(cols: _*).withColumn("_deleted", lit(true)))
+    Merge.into(t, src)
+
+    val ev = t.changes(from).localCheckpoint(true)
+    val byType = counts(ev)
+    assert(byType("delete") === 150L, s"old images of 100 updates + 50 deletes: $byType")
+    assert(byType("insert") === 160L, s"new images of 100 updates + 60 inserts: $byType")
+    // delete images are the PRE-merge rows (old text), insert images the new
+    assert(ev.filter(col(Changelog.ChangeTypeCol) === "delete")
+      .filter(col("text").isin("UPDATED", "DEL")).count() === 0)
+    assert(ev.filter(col(Changelog.ChangeTypeCol) === "insert")
+      .filter(col("text") === "UPDATED").count() === 100)
+    assertSameRows(fold(t.readSnapshot(from), ev), t.read(), "merge fold")
+  }
+
+  test("delete-mor emits visible row images; hidden appends and materialization emit nothing") {
+    val t = GraftTable.create(spark, tmpDir("chg-mor"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 300, hosts = 6, partitions = 2))
+    val from = t.currentSnapshot.get.id
+    val base = t.read().localCheckpoint(true)
+    val victims = base.select("url").orderBy("url").limit(20).localCheckpoint(true)
+
+    t.deleteByKeysMoR(victims)                       // 20 delete events
+    val resurrect = base.join(victims, Seq("url"), "inner").limit(5)
+    t.append(resurrect)                              // hidden by tombstones: NO events
+    t.deleteByKeysMoR(victims.limit(3))              // keys already hidden: NO events
+    Cluster.zorderRewrite(t, Cluster.ZDims(), targetFileBytes = 1L << 20) // materializes: NO events
+    t.append(Synth.pages(spark, 40, hosts = 6, partitions = 1, seed = 9)) // 40 inserts
+
+    val ev = t.changes(from).localCheckpoint(true)
+    val byType = counts(ev)
+    assert(byType("delete") === 20L, s"one delete image per tombstoned visible row: $byType")
+    assert(byType.getOrElse("insert", 0L) === 40L,
+      s"hidden append and materialization emit nothing: $byType")
+    // delete images are full rows of the pre-delete snapshot
+    assert(ev.filter(col(Changelog.ChangeTypeCol) === "delete")
+      .join(victims, Seq("url"), "left_anti").count() === 0)
+    assertSameRows(fold(t.readSnapshot(from), ev), t.read(), "mor fold")
+  }
+
+  test("update/delete/compact chain folds to read(); row-preserving ops are silent") {
+    val t = GraftTable.create(spark, tmpDir("chg-dml"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 400, hosts = 8, partitions = 4))
+    val from = t.currentSnapshot.get.id
+    Merge.updateWhere(t, col("lang") === "de", Map("text" -> lit("DE-REWRITTEN")))
+    val nDe = t.read().filter(col("text") === "DE-REWRITTEN").count()
+    Compact.run(t, targetBytes = 1L << 30) // row-preserving (no tombstones): silent
+    Merge.deleteWhere(t, col("lang") === "fr")
+    t.append(Synth.pages(spark, 25, hosts = 8, partitions = 1, seed = 5))
+
+    val ev = t.changes(from).localCheckpoint(true)
+    // update → paired old/new images; delete → old images only; append → inserts
+    val upd = ev.filter(col(Changelog.ChangeTypeCol) === "insert" && col("text") === "DE-REWRITTEN")
+    assert(upd.count() === nDe, "one insert image per updated row")
+    assert(ev.filter(col(Changelog.ChangeTypeCol) === "delete" && col("lang") === "fr").count() > 0)
+    val compactIds = t.metadata.snapshots.filter(_.operation == "compact").map(_.id).toSet
+    assert(ev.filter(col(Changelog.CommitCol).isin(compactIds.toSeq: _*)).count() === 0,
+      "compaction must emit nothing")
+    assertSameRows(fold(t.readSnapshot(from), ev), t.read(), "dml fold")
+  }
+
+  test("changes(0) covers the whole history; bad snapshot ids fail loudly") {
+    val t = GraftTable.create(spark, tmpDir("chg-zero"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 100, hosts = 4, partitions = 2))
+    t.append(Synth.pages(spark, 50, hosts = 4, partitions = 1, seed = 2))
+    val ev = t.changes(0)
+    assert(counts(ev).getOrElse("insert", 0L) === 150L)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Synth.pageSchema)
+    assertSameRows(fold(empty, ev), t.read(), "full-history fold")
+    assert(intercept[IllegalArgumentException](t.changes(999)).getMessage.contains("unknown"))
+  }
+}
