@@ -367,6 +367,24 @@ object Merge {
 
     val totalBytes = math.max(touched.map(_.bytes).sum, 1L)
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // Size the JOIN shuffle by DATA, not the session's partition default:
+    // the full-outer SMJ sorts each shuffle partition, and with the default
+    // partition count a 10 GB merge puts ~300 MB per sort task — at high
+    // local concurrency every task shares one heap, the sorts turn
+    // multi-pass external and task time inflates several-fold (measured in
+    // the 10× soak: local[32] merge task-seconds ~6x local[8]'s). Raising
+    // AQE's initialPartitionNum caps per-task sort input near 64 MB while
+    // AQE coalesces small post-shuffle partitions back — plan-time only,
+    // sticky-upward per session, a no-op when AQE is off.
+    locally {
+      val conf = spark.sessionState.conf
+      if (conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled) {
+        val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        val want = math.ceil(totalBytes.toDouble / (64L << 20)).toInt
+        val cur = spark.conf.getOption(key).map(_.toInt).getOrElse(conf.numShufflePartitions)
+        if (want > cur) spark.conf.set(key, want.toString)
+      }
+    }
     val commitUuid = s"merge-$runId"
     val dir = s"${table.dataDir}/$commitUuid"
     if (!(log.doneSteps.contains("rewrite") && graft.table.FileIO.exists(s"$dir/_SUCCESS"))) {

@@ -70,9 +70,21 @@ object Soak {
     for (cpus <- levels) {
       val spark = mkSession(cpus)
       val taskSum = new java.util.concurrent.atomic.AtomicLong()
+      // spill is the local[N] scaling confounder to watch: N concurrent sort
+      // tasks share ONE JVM heap, so execution memory per task shrinks with
+      // N and a sort that fits at local[8] can thrash disk at local[32]
+      val spillSum = new java.util.concurrent.atomic.AtomicLong()
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           taskSum.addAndGet(t.taskInfo.duration)
+          val m = t.taskMetrics
+          if (m != null) {
+            spillSum.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
       })
       def settled(): Long = { Thread.sleep(300); taskSum.get() }
       def occ(sumMs: Long, wall: Double): Double =
@@ -124,6 +136,7 @@ object Soak {
         // 1% change set: half updates (newer version of an existing url),
         // half inserts — latest-wins CDC merge, the north rule's upsert
         val s2 = taskSum.get()
+        val spill2 = spillSum.get(); val shw2 = shufWrite.get()
         val (_, tMerge) = time {
           val changes = Synth.pages(spark, urls / 100, hosts = 2000,
             partitions = 64, htmlRepeatMax = 96, seed = 77L)
@@ -133,6 +146,8 @@ object Soak {
           Merge.into(tbl, changes, Seq("url"))
         }
         val sumMerge = settled() - s2
+        val mergeSpill = spillSum.get() - spill2
+        val mergeShufWrite = shufWrite.get() - shw2
         val nFilesMerged = tbl.files().size
 
         val (exp, tExpire) = time { Expire.expire(tbl, retainLast = 1) }
@@ -144,6 +159,7 @@ object Soak {
           f""""meta_ms":{"files_parse":${tMeta * 1000}%.0f,"plan_files_prune":${tPlan * 1000}%.0f},""" +
           f""""sec":{"append":$tAppend%.1f,"compact":$tCompact%.1f,"cluster":$tCluster%.1f,"merge":$tMerge%.1f,"expire":$tExpire%.1f},""" +
           f""""occ":{"compact":${occ(sumCompact, tCompact)}%.3f,"cluster":${occ(sumCluster, tCluster)}%.3f,"merge":${occ(sumMerge, tMerge)}%.3f},""" +
+          f""""merge_detail":{"task_sum_s":${sumMerge / 1e3}%.1f,"spill_gb":${mergeSpill / (1L << 30).toDouble}%.2f,"shuffle_write_gb":${mergeShufWrite / (1L << 30).toDouble}%.2f},""" +
           f""""gbps_compact_cluster":${gb / (tCompact + tCluster)}%.4f,""" +
           f""""expired":{"snapshots":${exp.removedSnapshots.size},"data_files":${exp.deletedDataFiles.size},"manifests":${exp.deletedManifests.size}},""" +
           f""""rows_final":$rows}""")

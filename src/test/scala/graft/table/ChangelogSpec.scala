@@ -114,6 +114,18 @@ class ChangelogSpec extends SparkSuite {
     assertSameRows(fold(t.readSnapshot(from), ev), t.read(), "dml fold")
   }
 
+  test("overwrite commits diff generically: full old contents out, new in") {
+    val t = GraftTable.create(spark, tmpDir("chg-ow"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 120, hosts = 4, partitions = 2))
+    val from = t.currentSnapshot.get.id
+    val fresh = Synth.pages(spark, 30, hosts = 4, partitions = 1, seed = 11)
+    fresh.write.format("graft").mode("overwrite").save(t.root)
+    val ev = t.changes(from).localCheckpoint(true)
+    val byType = counts(ev)
+    assert(byType("delete") === 120L && byType("insert") === 30L, byType.toString)
+    assertSameRows(fold(t.readSnapshot(from), ev), t.read(), "overwrite fold")
+  }
+
   test("changes(0) covers the whole history; bad snapshot ids fail loudly") {
     val t = GraftTable.create(spark, tmpDir("chg-zero"), Synth.pageSchema)
     t.append(Synth.pages(spark, 100, hosts = 4, partitions = 2))
