@@ -269,7 +269,9 @@ object Cluster {
         }
       }
 
-    val added = perGroup.flatMap(_._1)
+    // drop all-empty outputs (a fully-tombstoned partition group writes a
+    // 0-row, bound-less file — unprunable manifest noise)
+    val added = perGroup.flatMap(_._1).filter(_.rows > 0)
     val removed = inputs.map(_.path).toSet
     val committed = table.replaceFiles(removed, added, "cluster",
       Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts",

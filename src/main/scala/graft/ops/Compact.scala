@@ -142,9 +142,13 @@ object Compact {
       }
     pool.shutdown()
 
-    val added = finished.flatMap(_._1)
+    // drop all-empty outputs: a group whose every row was tombstoned
+    // writes a 0-row, bound-less parquet file — unprunable manifest
+    // noise (same rule as Merge/deleteWhere)
+    val added = finished.flatMap(_._1).filter(_.rows > 0)
     val removed = p.groups.flatten.map(_.path).toSet
-    val sourcesPerOutput = finished.flatMap { case (outs, srcs) => outs.map(o => o.path -> srcs) }.toMap
+    val sourcesPerOutput = finished
+      .flatMap { case (outs, srcs) => outs.filter(_.rows > 0).map(o => o.path -> srcs) }.toMap
     // full-coverage pass: when every data file of the planned snapshot was
     // rewritten (tombstones applied per group above), the tombstones are
     // fully materialized and the commit clears them — otherwise they stay

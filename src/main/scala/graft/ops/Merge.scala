@@ -375,19 +375,31 @@ object Merge {
     // the 10× soak: local[32] merge task-seconds ~6x local[8]'s). Raising
     // AQE's initialPartitionNum caps per-task sort input near 64 MB while
     // AQE coalesces small post-shuffle partitions back — plan-time only,
-    // sticky-upward per session, a no-op when AQE is off.
-    locally {
+    // SCOPED to the rewrite action (restored afterwards so a 100 GB merge
+    // doesn't leave every later query on the session planning thousands of
+    // initial partitions), a no-op when AQE is off.
+    val aqeInitKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    def withJoinShuffleSizedByData[T](body: => T): T = {
       val conf = spark.sessionState.conf
-      if (conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled) {
-        val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+      if (!(conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled)) body
+      else {
         val want = math.ceil(totalBytes.toDouble / (64L << 20)).toInt
-        val cur = spark.conf.getOption(key).map(_.toInt).getOrElse(conf.numShufflePartitions)
-        if (want > cur) spark.conf.set(key, want.toString)
+        val prev = spark.conf.getOption(aqeInitKey)
+        val cur = prev.map(_.toInt).getOrElse(conf.numShufflePartitions)
+        if (want <= cur) body
+        else {
+          spark.conf.set(aqeInitKey, want.toString)
+          try body
+          finally prev match {
+            case Some(v) => spark.conf.set(aqeInitKey, v)
+            case None    => spark.conf.unset(aqeInitKey)
+          }
+        }
       }
     }
     val commitUuid = s"merge-$runId"
     val dir = s"${table.dataDir}/$commitUuid"
-    if (!(log.doneSteps.contains("rewrite") && graft.table.FileIO.exists(s"$dir/_SUCCESS"))) {
+    if (!(log.doneSteps.contains("rewrite") && graft.table.FileIO.exists(s"$dir/_SUCCESS"))) withJoinShuffleSizedByData {
       graft.table.FileIO.deleteRecursively(dir)
       spark.sparkContext.setJobDescription(s"merge $runId (${touched.size} touched files)")
       // range-partition the merged output on the leading key WITHOUT sampling

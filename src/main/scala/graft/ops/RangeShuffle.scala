@@ -88,7 +88,13 @@ object RangeShuffle {
     val avgRows = math.max(1L, pts.map(_._3).sum / pts.length)
     val samples = pts.flatMap { case (lo, hi, rows) =>
       val k = math.max(2, (pointsPerFile * rows / avgRows).toInt)
-      (0 until k).map(i => lo + ((hi - lo).toDouble * i / (k - 1)).toLong)
+      // interpolate in DOUBLE: `hi - lo` overflows Long when the encoded
+      // key space spans most of the Long range — exactly what the
+      // sortable-bits double encoding produces for a file whose bounds
+      // straddle zero (lo ≈ -4.6e18, hi ≈ +4.6e18). Precision loss is
+      // fine (equi-depth boundaries are a heuristic); overflow is not.
+      val span = hi.toDouble - lo.toDouble
+      (0 until k).map(i => lo + (span * i / (k - 1)).toLong)
     }.sorted.toIndexedSeq
     (1 until n).map(i => samples(math.min(samples.length - 1, i * samples.length / n)))
       .distinct.toArray

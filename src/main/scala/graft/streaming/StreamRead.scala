@@ -87,9 +87,13 @@ class GraftStreamSource(
   // add-column evolution must not change the micro-batch schema under a
   // running query (files are read by name; a column added later simply
   // does not appear until the stream restarts)
+  private val baseSchema: StructType = table.schema
   override val schema: StructType =
-    if (changeRows) graft.table.Changelog.schemaFor(table.schema) else table.schema
+    if (changeRows) graft.table.Changelog.schemaFor(baseSchema) else baseSchema
   private val specs = table.allPartitionSpecs // union: old-generation dirs must keep pruning
+  // changelog batches read through the SAME pinned pair (field-id column
+  // resolution keeps post-rename/drop files readable by the old schema)
+  private val pinned = Some((baseSchema, specs))
 
   startingSnapshotId.foreach { id =>
     require(id == 0 || table.metadata.snapshot(id).nonEmpty,
@@ -160,12 +164,13 @@ class GraftStreamSource(
     * relation union'd in by the changelog builder. */
   private def changeBatch(startId: Option[Long], endId: Long): DataFrame = startId match {
     case Some(from) if from == endId =>
-      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true).filter(lit(false))
+      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true, pinned)
+        .filter(lit(false))
     case Some(from) =>
-      graft.table.Changelog.changes(table, from, Some(endId), streamingTag = true)
+      graft.table.Changelog.changes(table, from, Some(endId), streamingTag = true, pinned)
     case None =>
       // initial batch: the full contents as INSERT events at `endId`
-      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true)
+      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true, pinned)
   }
 
   /** Micro-batch DataFrame over `files` with snapshot `to`'s tombstones

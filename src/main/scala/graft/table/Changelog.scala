@@ -68,11 +68,14 @@ object Changelog {
       table: GraftTable,
       fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None,
-      streamingTag: Boolean = false): DataFrame = {
+      streamingTag: Boolean = false,
+      pinned: Option[(StructType, Seq[PartitionSpec])] = None): DataFrame = {
     val spark = table.spark
     val md = table.metadata
-    val sch = table.schema
-    val specs = table.allPartitionSpecs
+    // a streaming source pins schema+specs at stream start (mid-stream
+    // evolution must not change the micro-batch schema under a running
+    // query); batch callers read the live metadata
+    val (sch, specs) = pinned.getOrElse((table.schema, table.allPartitionSpecs))
     val to = toSnapshotId.orElse(md.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException("changelog read on an empty table"))
     require(md.snapshot(fromSnapshotId).nonEmpty || fromSnapshotId == 0,
@@ -110,10 +113,10 @@ object Changelog {
 
   /** The full table contents at `snapshotId` as insert events — the
     * streaming source's initial-snapshot batch in change-rows mode. */
-  def initialSnapshot(table: GraftTable, snapshotId: Long, streamingTag: Boolean): DataFrame = {
+  def initialSnapshot(table: GraftTable, snapshotId: Long, streamingTag: Boolean,
+      pinned: Option[(StructType, Seq[PartitionSpec])] = None): DataFrame = {
     val spark = table.spark
-    val sch = table.schema
-    val specs = table.allPartitionSpecs
+    val (sch, specs) = pinned.getOrElse((table.schema, table.allPartitionSpecs))
     val df = table.applyTombstones(
       org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
         spark, sch, table.root, table.files(Some(snapshotId)), specs,

@@ -151,7 +151,24 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         throw new IllegalArgumentException(s"unknown snapshot $id"))
       case None => md.currentSnapshot.getOrElse(return Seq.empty)
     }
-    snap.manifests.flatMap(m => readManifest(m.path))
+    stripUntrustedDecimalBounds(md, snap.manifests.flatMap(m => readManifest(m.path)))
+  }
+
+  /** Decimal bound strings changed space once (parquet stats are UNSCALED;
+    * early manifests stored them verbatim, current ones store the SCALED
+    * decimal). Tables created since carry [[GraftTable.DecimalStatsScaledProp]];
+    * for a table WITHOUT it, decimal bounds are ignored at planning time —
+    * no pruning is always sound, comparing mixed spaces is not. A full
+    * cluster rewrite re-collects stats; users can then set the property. */
+  private def stripUntrustedDecimalBounds(
+      md: TableMetadata, files: Seq[DataFileMeta]): Seq[DataFileMeta] = {
+    if (md.properties.get(GraftTable.DecimalStatsScaledProp).contains("true")) return files
+    val decCols = schemaOf(md).fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+    }.toSet
+    if (decCols.isEmpty) files
+    else files.map(f => f.copy(
+      minValues = f.minValues -- decCols, maxValues = f.maxValues -- decCols))
   }
 
   def readManifest(relPath: String): Seq[DataFileMeta] =
@@ -890,6 +907,12 @@ object GraftTable {
     * filters for (row-group skipping on point/IN lookups). */
   val BloomColumnsProp = "bloom-columns"
 
+  /** Stats-space marker: present (stamped by [[create]]) on every table
+    * whose manifests store decimal bounds as SCALED decimal strings.
+    * Absent = pre-fix manifests may hold raw unscaled parquet values —
+    * decimal bounds are then ignored at planning time (sound). */
+  val DecimalStatsScaledProp = "decimal-stats-scaled"
+
   /** Table property listing column NAMES vacated by rename/drop (lowercase,
     * comma-joined). A vacated name can never be reintroduced: existing data
     * files still carry a physical column of that name bound to the OLD
@@ -948,7 +971,9 @@ object GraftTable {
       currentSnapshotId = None,
       snapshots = Seq.empty,
       lastSnapshotId = 0L,
-      properties = properties + (NextFieldIdProp -> (schema.fields.length + 1).toString),
+      properties = properties +
+        (NextFieldIdProp -> (schema.fields.length + 1).toString) +
+        (DecimalStatsScaledProp -> "true"),
       schemaJson = Some(withIds.json))
     FileIO.mkdirs(s"$root/data")
     require(FileIO.putIfAbsent(s"$root/metadata/v1.json", MetaJson.write(md)),

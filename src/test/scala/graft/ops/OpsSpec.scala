@@ -409,9 +409,12 @@ class MergeSpec extends SparkSuite {
     val t = GraftTable.create(spark, tmpDir("graft-dbl-range"), schema)
     import spark.implicits._
     def pay(i: Int) = Seq.tabulate(8)(j => (i * 31 + j * 7919).toHexString).mkString("-")
-    // four score-disjoint files covering [-4000, 4000)
+    // four STRIPED files, each spanning the full [-2000, 2000) range: a
+    // file whose bounds straddle zero makes the sortable-bits encodings of
+    // (min, max) differ by more than Long.MaxValue — the boundary
+    // interpolation must not overflow (regression)
     for (b <- 0 until 4)
-      t.append((b * 2000 until (b + 1) * 2000).map(i => ((i - 4000) * 0.5, pay(i)))
+      t.append((b until 8000 by 4).map(i => ((i - 4000) * 0.5, pay(i)))
         .toDF("score", "payload").coalesce(1))
     val src = (0 until 8000 by 7).map(i => ((i - 4000) * 0.5, "updated"))
       .toDF("score", "payload")
@@ -462,6 +465,17 @@ class MergeSpec extends SparkSuite {
       s"decimal predicate pruning: ${hit.size}/${t.files().size}")
     assert(t.read(Some(col("amount") < lit(new java.math.BigDecimal("-380.00")))).count() ===
       t.read().filter(col("amount") < -380.0).count())
+    // upgrade guard: a table WITHOUT the decimal-stats-scaled marker may
+    // hold pre-fix (unscaled) bound strings — decimal bounds must then be
+    // IGNORED (no pruning is sound, comparing mixed spaces is not)
+    t.commitMetadataUpdate(md => md.copy(
+      properties = md.properties - GraftTable.DecimalStatsScaledProp))
+    assert(t.files().forall(f => !f.minValues.contains("amount")),
+      "unmarked tables must surface no decimal bounds to planning")
+    assert(t.planFiles(Some(col("amount") < lit(new java.math.BigDecimal("-380.00"))))
+      .size === t.files().size, "no decimal pruning without the marker")
+    assert(t.read(Some(col("amount") < lit(new java.math.BigDecimal("-380.00")))).count() ===
+      t.read().filter(col("amount") < -380.0).count(), "reads stay exact either way")
   }
 
   test("composite-key touched-file planning prunes on residual key columns") {

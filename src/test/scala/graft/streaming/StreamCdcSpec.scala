@@ -275,4 +275,38 @@ class StreamCdcSpec extends SparkSuite {
     drainChanges()
     assert(got.size() == before, "idle restart must deliver no events")
   }
+
+  test("change-rows keeps the schema pinned at stream start across mid-stream evolution") {
+    import graft.table.Changelog
+    val root = tmpDir("graft-cdc-pin")
+    val ckpt = tmpDir("graft-cdc-pin-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(40, 1, "a"))
+
+    val texts = new ConcurrentLinkedQueue[String]()
+    val q = spark.readStream.format("graft").option("change-rows", "true").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the micro-batch schema must stay the one pinned at stream start
+        assert(batch.columns.contains("text") && !batch.columns.contains("body"))
+        batch.filter(col(Changelog.ChangeTypeCol) === "insert")
+          .select("text").collect().foreach(r => texts.add(r.getString(0)))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(texts.size() == 40)
+      // rename mid-stream (row-preserving commit), then append NEW-schema
+      // rows: the SAME running query must keep delivering under the pinned
+      // old column name — field-id resolution reads the new files' `body`
+      // column through the pinned schema's `text` field
+      t.renameColumn("text", "body")
+      t.append(pagesTagged(15, 2, "b").withColumnRenamed("text", "body"))
+      q.processAllAvailable()
+      assert(texts.size() == 55, s"renamed-era appends must still arrive (got ${texts.size()})")
+      import scala.jdk.CollectionConverters._
+      assert(texts.asScala.forall(_ != null), "values must bind by field id, not go null")
+    } finally q.stop()
+  }
 }
