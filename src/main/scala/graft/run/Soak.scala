@@ -135,6 +135,7 @@ object Soak {
 
         // 1% change set: half updates (newer version of an existing url),
         // half inserts — latest-wins CDC merge, the north rule's upsert
+        val preMergeSnap = tbl.currentSnapshot.get.id
         val s2 = taskSum.get()
         val spill2 = spillSum.get(); val shw2 = shufWrite.get()
         val (_, tMerge) = time {
@@ -150,6 +151,15 @@ object Soak {
         val mergeShufWrite = shufWrite.get() - shw2
         val nFilesMerged = tbl.files().size
 
+        // row-level changelog of the merge commit at this scale: the
+        // EXCEPT-ALL diff reads the commit's removed+added files twice —
+        // its cost must scale with the commit, not blow up
+        val (nChanges, tChanges) = time {
+          tbl.changes(preMergeSnap)
+            .groupBy(graft.table.Changelog.ChangeTypeCol).count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
+        }
+
         val (exp, tExpire) = time { Expire.expire(tbl, retainLast = 1) }
         val rows = tbl.read().count()
         val gb = (inputBytes + compactedBytes).toDouble / (1L << 30)
@@ -160,6 +170,7 @@ object Soak {
           f""""sec":{"append":$tAppend%.1f,"compact":$tCompact%.1f,"cluster":$tCluster%.1f,"merge":$tMerge%.1f,"expire":$tExpire%.1f},""" +
           f""""occ":{"compact":${occ(sumCompact, tCompact)}%.3f,"cluster":${occ(sumCluster, tCluster)}%.3f,"merge":${occ(sumMerge, tMerge)}%.3f},""" +
           f""""merge_detail":{"task_sum_s":${sumMerge / 1e3}%.1f,"spill_gb":${mergeSpill / (1L << 30).toDouble}%.2f,"shuffle_write_gb":${mergeShufWrite / (1L << 30).toDouble}%.2f},""" +
+          f""""changelog":{"sec":$tChanges%.1f,"counts":"$nChanges"},""" +
           f""""gbps_compact_cluster":${gb / (tCompact + tCluster)}%.4f,""" +
           f""""expired":{"snapshots":${exp.removedSnapshots.size},"data_files":${exp.deletedDataFiles.size},"manifests":${exp.deletedManifests.size}},""" +
           f""""rows_final":$rows}""")

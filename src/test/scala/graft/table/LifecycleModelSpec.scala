@@ -117,6 +117,31 @@ class LifecycleModelSpec extends SparkSuite {
         assertSameRows(got.toDF(), visible.toDF(),
           s"round $round after ${oplog.mkString(" → ")}")
       }
+
+      // changelog invariant over the WHOLE random op interleaving: folding
+      // the retained chain's insert/delete row images onto its oldest
+      // snapshot reconstructs read() exactly — appends, ANSI merges, MoR
+      // deletes, materializing cluster rewrites, renames and expiry all
+      // composed in one history
+      val md = tbl.metadata
+      var base = md.currentSnapshot.get
+      while (base.parentId.flatMap(md.snapshot).nonEmpty)
+        base = base.parentId.flatMap(md.snapshot).get
+      val ev = tbl.changes(base.id).localCheckpoint(true)
+      val colsNow = tbl.schema.fieldNames.toSeq
+      var state = tbl.readSnapshot(base.id).select(colsNow.map(col): _*)
+      val commitIds = ev.select(Changelog.CommitCol).distinct()
+        .collect().map(_.getLong(0)).sorted
+      for (c <- commitIds) {
+        val of = ev.filter(col(Changelog.CommitCol) === c)
+        state = state
+          .exceptAll(of.filter(col(Changelog.ChangeTypeCol) === "delete")
+            .select(colsNow.map(col): _*))
+          .unionByName(of.filter(col(Changelog.ChangeTypeCol) === "insert")
+            .select(colsNow.map(col): _*))
+      }
+      assertSameRows(state, tbl.read().select(colsNow.map(col): _*),
+        s"round $round changelog fold after ${oplog.mkString(" → ")}")
     }
   }
 }
