@@ -45,8 +45,6 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         ExprHolder(strip(u.condition.getOrElse(Literal.TrueLiteral))))
     case a @ AddColumns(child, cols) if graftTablePath(child).isDefined =>
       val fields = cols.map { c =>
-        if (c.path.nonEmpty)
-          throw new IllegalArgumentException("graft ADD COLUMNS: nested columns are not supported")
         if (c.position.nonEmpty)
           throw new IllegalArgumentException("graft ADD COLUMNS: FIRST/AFTER positions are not supported (columns append)")
         if (c.default.nonEmpty)
@@ -54,7 +52,8 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (!c.nullable)
           throw new IllegalArgumentException(
             s"graft ADD COLUMNS: ${c.colName} must be nullable — existing files have no values for it")
-        org.apache.spark.sql.types.StructField(c.colName, c.dataType,
+        val parent = c.path.map(pathOf(_, "ADD COLUMNS"))
+        parent -> org.apache.spark.sql.types.StructField(c.colName, c.dataType,
           nullable = true, metadata = c.comment.map(cm =>
             new org.apache.spark.sql.types.MetadataBuilder().putString("comment", cm).build())
             .getOrElse(org.apache.spark.sql.types.Metadata.empty))
@@ -63,7 +62,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       GraftAddColumnsCommand(graftTablePath(child).get, fields)
     case r @ RenameColumn(child, colField, newName) if graftTablePath(child).isDefined =>
       val _ = r
-      GraftRenameColumnCommand(graftTablePath(child).get, topLevel(colField, "RENAME COLUMN"), newName)
+      GraftRenameColumnCommand(graftTablePath(child).get, pathOf(colField, "RENAME COLUMN"), newName)
     case ac @ AlterColumns(child, specs) if graftTablePath(child).isDefined =>
       val _ = ac
       val widens = specs.map {
@@ -71,7 +70,7 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if (nullab.nonEmpty || comment.nonEmpty || pos.nonEmpty || default.nonEmpty)
             throw new IllegalArgumentException(
               "graft ALTER COLUMN: only TYPE widening is supported (no nullability/comment/position/default)")
-          (topLevel(colField, "ALTER COLUMN"), dt)
+          (pathOf(colField, "ALTER COLUMN"), dt)
         case other => throw new IllegalArgumentException(
           s"graft ALTER COLUMN: only ALTER COLUMN <c> TYPE <wider-type> is supported, got $other")
       }
@@ -81,14 +80,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (ifExists)
         throw new IllegalArgumentException("graft DROP COLUMN: IF EXISTS is not supported")
       GraftDropColumnsCommand(graftTablePath(child).get,
-        cols.map(topLevel(_, "DROP COLUMN")))
+        cols.map(pathOf(_, "DROP COLUMN")))
   }
 
-  private def topLevel(f: org.apache.spark.sql.catalyst.analysis.FieldName, what: String): String =
+  /** Join a (possibly nested) field reference into the dotted-path form the
+    * evolution methods resolve — `meta.author` walks the struct, a quoted
+    * literal top-level name containing a dot wins at resolution time. */
+  private def pathOf(f: org.apache.spark.sql.catalyst.analysis.FieldName, what: String): String =
     f match {
-      case UnresolvedFieldName(Seq(name)) => name
+      case UnresolvedFieldName(parts) if parts.nonEmpty => parts.mkString(".")
       case other => throw new IllegalArgumentException(
-        s"graft $what: only top-level columns are supported, got $other")
+        s"graft $what: unsupported column reference $other")
     }
 
   private def graftPath(p: LogicalPlan): Option[String] = p match {
@@ -114,29 +116,54 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 /** `ALTER TABLE graft.… ADD COLUMNS (…)` — schema evolution through
-  * [[GraftTable.addColumn]] (old files read the new column as NULL). */
+  * [[GraftTable.addColumn]] / [[GraftTable.addField]] (old files read the
+  * new column as NULL). A dotted name (`meta.extra DOUBLE`) adds a field
+  * INSIDE the named struct. */
 case class GraftAddColumnsCommand(
     path: String,
-    fields: Seq[org.apache.spark.sql.types.StructField]) extends LeafRunnableCommand {
+    fields: Seq[(Option[String], org.apache.spark.sql.types.StructField)]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
-    fields.foreach(table.addColumn)
+    fields.foreach {
+      case (None, f) => table.addColumn(f)
+      case (Some(parent), f) =>
+        table.addField(GraftDml.canonicalColumn(session, table, parent), f)
+    }
     Seq.empty
   }
 }
 
 private[sql] object GraftDml {
-  /** Canonicalize a DDL-supplied column name to the table schema's spelling
-    * with the SESSION resolver (case-insensitive by default) — the evolution
-    * methods resolve with case-sensitive fieldIndex, and the rest of the SQL
-    * surface (MERGE assignment targets, ON keys) is resolver-aware, so
-    * `DROP COLUMN URL` must find column `url` like every other statement.
-    * Unknown names pass through so the evolution method fails with its own
-    * clear message. */
+  /** Canonicalize a DDL-supplied column name (or dotted struct path) to the
+    * table schema's spelling with the SESSION resolver (case-insensitive by
+    * default) — the evolution methods resolve with case-sensitive fieldIndex,
+    * and the rest of the SQL surface (MERGE assignment targets, ON keys) is
+    * resolver-aware, so `DROP COLUMN URL` must find column `url` like every
+    * other statement. A literal top-level column wins over path
+    * interpretation; unknown names/segments pass through so the evolution
+    * method fails with its own clear message. */
   def canonicalColumn(session: SparkSession, table: GraftTable, raw: String): String = {
     val resolver = session.sessionState.analyzer.resolver
-    table.schema.fieldNames.find(resolver(_, raw)).getOrElse(raw)
+    val sch = table.schema
+    sch.fieldNames.find(resolver(_, raw)).getOrElse {
+      if (!raw.contains(".")) raw
+      else {
+        // canonicalize per segment through struct types; bail to the raw
+        // string on any miss or non-struct crossing
+        var cur: org.apache.spark.sql.types.DataType = sch
+        val out = Seq.newBuilder[String]
+        for (p <- raw.split("\\.")) cur match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fields.find(f => resolver(f.name, p)) match {
+              case Some(f) => out += f.name; cur = f.dataType
+              case None => return raw
+            }
+          case _ => return raw
+        }
+        out.result().mkString(".")
+      }
+    }
   }
 }
 

@@ -499,7 +499,23 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // default), which is what rename/drop evolution resolves by later
     val md = metadata // one read: schema + partition specs derive from it
     val sch = schemaOf(md)
-    val cols = sch.fields.map(f => df.col(f.name).as(f.name, f.metadata)).toSeq
+    val cols = sch.fields.map { f =>
+      // NESTED field ids live in the column's TYPE (StructField metadata
+      // inside the struct), which comes from the incoming frame, not the
+      // top-level alias — cast struct columns to the table's type so
+      // fieldId.write stamps interior ids too. Only when the shapes agree
+      // in order and names (then the positional cast is a pure metadata
+      // reshape, and a no-op if the frame already carries the ids); any
+      // other frame keeps today's behavior.
+      val c = f.dataType match {
+        case st: StructType if df.schema.fields
+            .find(_.name.equalsIgnoreCase(f.name))
+            .exists(d => GraftTable.sameShape(d.dataType, st) && d.dataType != st) =>
+          df.col(f.name).cast(st)
+        case _ => df.col(f.name)
+      }
+      c.as(f.name, f.metadata)
+    }.toSeq
     val base = df.select(cols: _*)
     // hidden partitioning: group rows by the transforms so each file covers
     // ONE partition tuple (the derived columns live only in dir names —
@@ -691,8 +707,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def addColumn(field: org.apache.spark.sql.types.StructField): TableMetadata = {
     require(field.nullable, s"new column ${field.name} must be nullable (old files have no values)")
     require(!field.name.contains("."),
-      s"ADD COLUMN '${field.name}': dotted/nested column names are not supported " +
-        "(schema evolution applies to top-level columns only)")
+      s"ADD COLUMN '${field.name}': dotted names are not supported here — use " +
+        "addField(parentPath, field) (SQL: ADD COLUMNS (struct.leaf TYPE)) to add a " +
+        "nested field inside a struct")
     commitMetadataUpdate { md =>
       val cur = schemaOf(md)
       require(!cur.fieldNames.exists(_.equalsIgnoreCase(field.name)),
@@ -707,10 +724,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       } else {
         val nextId = md.properties.get(GraftTable.NextFieldIdProp).map(_.toInt)
           .getOrElse(GraftTable.maxFieldId(cur) + 1)
-        val withId = GraftTable.fieldWithId(field, nextId)
+        // struct-typed additions consume one id per interior field too, so
+        // their leaves are evolvable later like any created-with-the-table struct
+        val (withId, consumed) = GraftTable.stampIdsDeep(field, nextId)
         val next = StructType(cur.fields :+ withId)
         md.copy(schemaDdl = next.toDDL, schemaJson = Some(next.json),
-          properties = md.properties + (GraftTable.NextFieldIdProp -> (nextId + 1).toString))
+          properties = md.properties + (GraftTable.NextFieldIdProp -> consumed.toString))
       }
     }
   }
@@ -733,17 +752,42 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    */
   def renameColumn(from: String, to: String): Snapshot =
     evolveSchema("rename-column", s"$from->$to", retire = Seq(from)) { sch =>
-      refuseNested(sch, from, "RENAME COLUMN")
+      val path = resolvePath(sch, from, "RENAME COLUMN")
       require(!to.contains("."), s"RENAME COLUMN to '$to': dotted column names are not supported")
-      val idx = sch.fieldIndex(from)
-      require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)), s"column $to already exists")
-      require(!retired.contains(to.toLowerCase),
-        s"column name $to was previously dropped or renamed away; existing files still " +
-          "carry a physical column of that name, and parquet filter pushdown matches " +
-          "by NAME — rewrite the table (full cluster) to reclaim it")
-      evolutionGuards(sch, from, "rename")
-      (StructType(sch.fields.updated(idx, sch.fields(idx).copy(name = to))),
-        k => Some(if (k == from) to else k))
+      val fld = fieldAt(sch, path)
+      // parquet GROUP nodes (struct/array/map) never re-bind after a rename:
+      // ids on groups do not resolve in ANY reader path (verified empirically
+      // on this Spark — leaf ids do, group ids do not), so a renamed complex
+      // column would silently read as NULL from every old file
+      require(fld.dataType match {
+        case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }, s"RENAME COLUMN '$from': ${fld.dataType.simpleString} columns cannot be " +
+        "renamed in place — parquet group nodes resolve by NAME (field ids re-bind " +
+        "leaves, not groups); rename requires a table rewrite")
+      val parent = parentStruct(sch, path)
+      require(!parent.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists" +
+          (if (path.size > 1) s" in struct ${path.init.mkString(".")}" else ""))
+      val newPath = (path.init :+ to).mkString(".")
+      require(!retired.contains(newPath.toLowerCase),
+        s"column name $newPath was previously dropped or renamed away; existing files " +
+          "still carry a physical column of that name, and parquet filter pushdown " +
+          "matches by NAME — rewrite the table (full cluster) to reclaim it")
+      evolutionGuards(sch, path.head, "rename")
+      if (path.size == 1) {
+        val idx = sch.fieldIndex(from)
+        (StructType(sch.fields.updated(idx, sch.fields(idx).copy(name = to))),
+          Some((k: String) => Some(if (k == from) to else k)))
+      } else {
+        nestedGuards(sch, path, "rename")
+        // nested fields carry no manifest stats keys — metadata-only commit,
+        // manifests reused verbatim
+        (rebuildAt(sch, path.init, st =>
+          StructType(st.fields.updated(st.fieldIndex(path.last),
+            st.fields(st.fieldIndex(path.last)).copy(name = to)))), None)
+      }
     }
 
   /**
@@ -762,12 +806,33 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     require(names.nonEmpty && names.distinct.size == names.size,
       s"duplicate column in DROP: ${names.mkString(", ")}")
     evolveSchema("drop-column", names.mkString(","), retire = names) { sch =>
-      names.foreach(refuseNested(sch, _, "DROP COLUMN"))
-      names.foreach(sch.fieldIndex) // throws on unknown
-      require(sch.fields.length > names.size, "cannot drop every column")
-      names.foreach(n => evolutionGuards(sch, n, "drop"))
-      (StructType(sch.fields.filterNot(f => names.contains(f.name))),
-        k => if (names.contains(k)) None else Some(k))
+      val paths = names.map(resolvePath(sch, _, "DROP COLUMN"))
+      val (top, nested) = paths.partition(_.size == 1)
+      require(sch.fields.length > top.size, "cannot drop every column")
+      paths.foreach(p => evolutionGuards(sch, p.head, "drop"))
+      nested.foreach { p =>
+        nestedGuards(sch, p, "drop")
+        require(parentStruct(sch, p).fields.length > 1,
+          s"cannot drop the last field of struct ${p.init.mkString(".")} — " +
+            "drop the struct column itself")
+      }
+      val topNames = top.map(_.head).toSet
+      val afterTop = StructType(sch.fields.filterNot(f => topNames.contains(f.name)))
+      val next = nested.foldLeft(afterTop)((s, p) => rebuildAt(s, p.init, st =>
+        StructType(st.fields.filterNot(_.name == p.last))))
+      // a multi-drop must not leave any struct empty (each per-path check
+      // above sees the ORIGINAL schema; two drops can empty a 2-field struct)
+      def noEmpty(dt: org.apache.spark.sql.types.DataType, at: String): Unit = dt match {
+        case st: StructType =>
+          require(st.fields.nonEmpty,
+            s"cannot drop every field of struct $at — drop the struct column itself")
+          st.fields.foreach(f => noEmpty(f.dataType, if (at.isEmpty) f.name else s"$at.${f.name}"))
+        case _ => ()
+      }
+      next.fields.foreach(f => noEmpty(f.dataType, f.name))
+      // only top-level drops touch manifest stats keys
+      (next, if (topNames.isEmpty) None
+             else Some((k: String) => if (topNames.contains(k)) None else Some(k)))
     }
   }
 
@@ -798,36 +863,137 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     evolveSchema("widen-column", detail, retire = Seq.empty) { sch =>
       val strip = scala.collection.mutable.Set.empty[String]
       val next = widens.foldLeft(sch) { case (cur, (name, to)) =>
-        refuseNested(cur, name, "ALTER COLUMN TYPE")
-        val idx = cur.fieldIndex(name)
-        val from = cur.fields(idx).dataType
+        val path = resolvePath(cur, name, "ALTER COLUMN TYPE")
+        val from = fieldAt(cur, path).dataType
         require(GraftTable.widenOk((from, to)),
           s"cannot widen ${from.simpleString} to ${to.simpleString} for $name " +
             s"(allowed: integral up-casts, integral→double, float→double)")
-        // spec/tombstone guards only — no field-id requirement (name keeps)
-        allPartitionSpecs.find(_.sourceColumn == name).foreach(sp =>
+        // spec/tombstone guards only — no field-id requirement (the NAME
+        // path is unchanged, so old files bind by name at any nesting depth)
+        allPartitionSpecs.find(_.sourceColumn == path.head).foreach(sp =>
           throw new IllegalArgumentException(
-            s"column $name drives partition transform $sp — bucket hashes differ by " +
-              "type; widen requires a table rewrite"))
-        if (from == org.apache.spark.sql.types.FloatType) strip += name
-        StructType(cur.fields.updated(idx, cur.fields(idx).copy(dataType = to)))
+            s"column ${path.head} drives partition transform $sp — bucket hashes differ " +
+              "by type; widen requires a table rewrite"))
+        // nested leaves carry no manifest bounds; float-stat stripping is a
+        // top-level-only concern
+        if (from == org.apache.spark.sql.types.FloatType && path.size == 1) strip += name
+        if (path.size == 1)
+          StructType(cur.fields.updated(cur.fieldIndex(name),
+            cur.fields(cur.fieldIndex(name)).copy(dataType = to)))
+        else rebuildAt(cur, path.init, st =>
+          StructType(st.fields.updated(st.fieldIndex(path.last),
+            st.fields(st.fieldIndex(path.last)).copy(dataType = to))))
       }
       require(tombstones().isEmpty,
         "table has live merge-on-read tombstones; materialize them first, then widen")
-      (next, k => if (strip.contains(k)) None else Some(k))
+      (next, if (strip.isEmpty && widens.forall(_._1.contains(".")))
+               // all-nested widen touches no stats keys — reuse manifests
+               None
+             else Some((k: String) => if (strip.contains(k)) None else Some(k)))
     }
   }
 
-  /** Nested paths refuse LOUDLY at every evolution entry point: top-level
-    * columns carry stable parquet field ids, fields inside a struct do not
-    * ([[GraftTable.withFieldIds]]) — a nested rename would silently NULL the
-    * field in old files. A dotted name that IS a (pathological) top-level
-    * column passes through. */
-  private def refuseNested(sch: StructType, name: String, what: String): Unit =
-    require(!name.contains(".") || sch.fieldNames.contains(name),
-      s"$what '$name': nested-field evolution is not supported — schema evolution " +
-        "applies to TOP-LEVEL columns only (fields inside a struct have no stable " +
-        "parquet field id; evolving one requires a table rewrite)")
+  /**
+   * Schema evolution INSIDE a struct: append a nullable field to the struct
+   * at `parentPath` (dotted for structs-in-structs). Old files lack the leaf
+   * and read NULL — on id-ful interiors the new field's fresh id is simply
+   * absent from old file groups (verified: absent id → NULL, not error); on
+   * legacy (id-less) interiors the field is added WITHOUT an id so schema
+   * and files stay consistently name-resolved (mixing an id-ful field into
+   * an id-less group ERRORS at read time). SQL surface:
+   * `ALTER TABLE graft.`/p`` ADD COLUMNS (meta.extra DOUBLE)`.
+   */
+  def addField(parentPath: String, field: org.apache.spark.sql.types.StructField): TableMetadata = {
+    require(field.nullable, s"new field ${field.name} must be nullable (old files have no values)")
+    require(!field.name.contains("."),
+      s"ADD COLUMNS '${field.name}': the new field name cannot be dotted (give the " +
+        "struct path as the parent, e.g. meta.extra adds extra under meta)")
+    commitMetadataUpdate { md =>
+      val cur = schemaOf(md)
+      val path = resolvePath(cur, parentPath, "ADD COLUMNS")
+      val parentField = fieldAt(cur, path)
+      val parent = parentField.dataType match {
+        case st: StructType => st
+        case other => throw new IllegalArgumentException(
+          s"ADD COLUMNS: $parentPath is ${other.simpleString}, not a struct")
+      }
+      require(!parent.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"field ${field.name} already exists in struct $parentPath")
+      val full = (path :+ field.name).mkString(".").toLowerCase
+      require(!retiredOf(md).contains(full),
+        s"field name ${(path :+ field.name).mkString(".")} was previously dropped or " +
+          "renamed away; existing files still carry a physical column of that name, and " +
+          "parquet filter pushdown matches by NAME — rewrite the table to reclaim it")
+      // stamp ids only when the ROOT column's interior is fully id-ful
+      // (tables created since nested ids; adds preserve the completeness class)
+      val rootIdful = GraftTable.hasFieldIds(cur) &&
+        GraftTable.nestedIdsComplete(fieldAt(cur, Seq(path.head)).dataType)
+      if (!rootIdful) {
+        val next = rebuildAt(cur, path, st => StructType(st.fields :+ field))
+        md.copy(schemaDdl = next.toDDL,
+          schemaJson = if (GraftTable.hasFieldIds(cur)) Some(next.json) else None)
+      } else {
+        val nextId = md.properties.get(GraftTable.NextFieldIdProp).map(_.toInt)
+          .getOrElse(GraftTable.maxFieldId(cur) + 1)
+        val (withId, consumed) = GraftTable.stampIdsDeep(field, nextId)
+        val next = rebuildAt(cur, path, st => StructType(st.fields :+ withId))
+        md.copy(schemaDdl = next.toDDL, schemaJson = Some(next.json),
+          properties = md.properties + (GraftTable.NextFieldIdProp -> consumed.toString))
+      }
+    }
+  }
+
+  /** Resolve a possibly-dotted column path to canonical segments. A literal
+    * top-level column wins (a pathological name containing a dot); otherwise
+    * segments walk STRUCT types only — crossing an array or map is refused
+    * (fields inside their elements/values carry no stable ids). */
+  private def resolvePath(sch: StructType, name: String, what: String): Seq[String] = {
+    if (sch.fieldNames.contains(name)) return Seq(name)
+    val parts = name.split("\\.").toSeq
+    var cur: org.apache.spark.sql.types.DataType = sch
+    val out = Seq.newBuilder[String]
+    for (p <- parts) cur match {
+      case st: StructType =>
+        val idx = st.fieldIndex(p) // throws naming the missing segment
+        out += st.fields(idx).name
+        cur = st.fields(idx).dataType
+      case other => throw new IllegalArgumentException(
+        s"$what '$name': path crosses ${other.simpleString} — nested evolution is " +
+          "supported through STRUCT fields only (array/map interiors have no stable " +
+          "field ids; evolving one requires a table rewrite)")
+    }
+    out.result()
+  }
+
+  private def fieldAt(sch: StructType, path: Seq[String]): org.apache.spark.sql.types.StructField = {
+    val head = sch.fields(sch.fieldIndex(path.head))
+    if (path.size == 1) head
+    else fieldAt(head.dataType.asInstanceOf[StructType], path.tail)
+  }
+
+  /** Struct CONTAINING the leaf at `path` (the schema itself for top-level). */
+  private def parentStruct(sch: StructType, path: Seq[String]): StructType =
+    if (path.size == 1) sch
+    else fieldAt(sch, path.init).dataType.asInstanceOf[StructType]
+
+  /** Rebuild the schema with `f` applied to the struct at `parentPath`. */
+  private def rebuildAt(sch: StructType, parentPath: Seq[String], f: StructType => StructType): StructType =
+    if (parentPath.isEmpty) f(sch)
+    else {
+      val idx = sch.fieldIndex(parentPath.head)
+      val fld = sch.fields(idx)
+      val inner = rebuildAt(fld.dataType.asInstanceOf[StructType], parentPath.tail, f)
+      StructType(sch.fields.updated(idx, fld.copy(dataType = inner)))
+    }
+
+  /** Extra preconditions for evolving a field INSIDE a struct: the root
+    * column's interior must be fully id-ful — files written before nested
+    * ids existed cannot re-bind a renamed leaf, and an id-ful requested
+    * schema over an id-less file group fails the whole read. */
+  private def nestedGuards(sch: StructType, path: Seq[String], what: String): Unit =
+    require(GraftTable.nestedIdsComplete(fieldAt(sch, Seq(path.head)).dataType),
+      s"struct ${path.head} predates nested field ids (its interior fields resolve by " +
+        s"NAME only); nested $what requires a table rewrite")
 
   private def evolutionGuards(sch: StructType, colName: String, what: String): Unit = {
     require(GraftTable.hasFieldIds(sch),
@@ -852,24 +1018,31 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     md.properties.get(GraftTable.RetiredColumnsProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 
-  /** Shared rename/drop machinery: one commit carrying the new schema, the
-    * stats-remapped manifests, and the vacated name's retirement — all
-    * atomic (row-preserving — incremental readers pass through it). */
+  /** Shared rename/drop/widen machinery: one commit carrying the new schema,
+    * the stats-remapped manifests, and the vacated name's retirement — all
+    * atomic (row-preserving — incremental readers pass through it). `f`
+    * returning no remap means no manifest stats key is touched (nested-only
+    * evolution: nested leaves carry no bounds) — the parent's manifests are
+    * reused verbatim, keeping the commit O(1) regardless of file count. */
   private def evolveSchema(op: String, detail: String, retire: Seq[String])(
-      f: StructType => (StructType, String => Option[String])): Snapshot = {
+      f: StructType => (StructType, Option[String => Option[String]])): Snapshot = {
     val md0 = metadata
-    val (nextSchema, remapKey) = f(schemaOf(md0))
-    def remap[V](m: Map[String, V]): Map[String, V] =
-      m.flatMap { case (k, v) => remapKey(k).map(_ -> v) }
+    val (nextSchema, remapOpt) = f(schemaOf(md0))
     commitFull(op, expectedSnapshotId = md0.currentSnapshotId,
       propertyUpdates = Map(GraftTable.RetiredColumnsProp ->
         (retiredOf(md0) ++ retire.map(_.toLowerCase)).toSeq.sorted.mkString(",")),
       schemaUpdate = Some(nextSchema)) { parent =>
-      val manifests = parent.map(_.manifests).getOrElse(Seq.empty).map { m =>
-        writeManifest(readManifest(m.path).map(e => e.copy(
-          minValues = remap(e.minValues),
-          maxValues = remap(e.maxValues),
-          nullCounts = remap(e.nullCounts))))
+      val manifests = remapOpt match {
+        case None => parent.map(_.manifests).getOrElse(Seq.empty)
+        case Some(remapKey) =>
+          def remap[V](m: Map[String, V]): Map[String, V] =
+            m.flatMap { case (k, v) => remapKey(k).map(_ -> v) }
+          parent.map(_.manifests).getOrElse(Seq.empty).map { m =>
+            writeManifest(readManifest(m.path).map(e => e.copy(
+              minValues = remap(e.minValues),
+              maxValues = remap(e.maxValues),
+              nullCounts = remap(e.nullCounts))))
+          }
       }
       (manifests, parent.flatMap(_.deleteManifests), Map(op -> detail))
     }
@@ -938,19 +1111,73 @@ object GraftTable {
       FloatType -> DoubleType)
   }
 
-  def maxFieldId(schema: StructType): Int =
-    schema.fields.collect { case f if f.metadata.contains(FieldIdKey) =>
-      f.metadata.getLong(FieldIdKey).toInt }.foldLeft(0)(math.max)
+  def maxFieldId(schema: StructType): Int = {
+    def one(f: org.apache.spark.sql.types.StructField): Int = {
+      val own = if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey).toInt else 0
+      f.dataType match {
+        case st: StructType => math.max(own, maxFieldId(st))
+        case _ => own
+      }
+    }
+    schema.fields.map(one).foldLeft(0)(math.max)
+  }
 
   def fieldWithId(f: org.apache.spark.sql.types.StructField, id: Int): org.apache.spark.sql.types.StructField =
     f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putLong(FieldIdKey, id.toLong).build())
 
-  /** Stamp stable field ids 1..n (fresh, ignoring any caller-supplied ids —
-    * the table owns its id space). Top-level columns only: nested-field
-    * evolution is out of scope. */
-  def withFieldIds(schema: StructType): StructType =
-    StructType(schema.fields.zipWithIndex.map { case (f, i) => fieldWithId(f, i + 1) })
+  /** Stamp `f` and (depth-first) every struct field UNDER it with fresh ids
+    * starting at `next`; returns the stamped field and the next unused id.
+    * Recursion descends STRUCTS only: fields inside array elements / map
+    * values are not `StructField`s of the walked type and stay id-less —
+    * consistent between schema and written files, so they keep resolving by
+    * name (and nested evolution refuses to cross array/map, see
+    * `resolvePath`). */
+  def stampIdsDeep(f: org.apache.spark.sql.types.StructField, next: Int): (org.apache.spark.sql.types.StructField, Int) = {
+    val withId = fieldWithId(f, next)
+    f.dataType match {
+      case st: StructType =>
+        var n = next + 1
+        val kids = st.fields.map { c => val (k, n2) = stampIdsDeep(c, n); n = n2; k }
+        (withId.copy(dataType = StructType(kids)), n)
+      case _ => (withId, next + 1)
+    }
+  }
+
+  /** Stamp stable field ids (fresh, ignoring any caller-supplied ids — the
+    * table owns its id space): pre-order over top-level columns and the
+    * struct fields nested under them, so leaf fields inside structs can be
+    * renamed/widened later without a rewrite. Flat schemas get 1..n exactly
+    * as before. */
+  def withFieldIds(schema: StructType): StructType = {
+    var n = 1
+    StructType(schema.fields.map { f => val (g, n2) = stampIdsDeep(f, n); n = n2; g })
+  }
+
+  /** Structural type equality ignoring metadata, nullability, and name case
+    * but NOT field order — the shapes under which a positional struct cast
+    * is a pure metadata reshape (Cast matches struct fields by POSITION; a
+    * reordered frame must not be silently re-assigned). */
+  def sameShape(a: org.apache.spark.sql.types.DataType, b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+        f.name.equalsIgnoreCase(g.name) && sameShape(f.dataType, g.dataType) }
+    case (x: org.apache.spark.sql.types.ArrayType, y: org.apache.spark.sql.types.ArrayType) =>
+      sameShape(x.elementType, y.elementType)
+    case (x: org.apache.spark.sql.types.MapType, y: org.apache.spark.sql.types.MapType) =>
+      sameShape(x.keyType, y.keyType) && sameShape(x.valueType, y.valueType)
+    case _ => a == b // primitives carry no metadata
+  }
+
+  /** True when every struct field in the subtree under `dt` carries a field
+    * id — the precondition for nested evolution (files written before nested
+    * ids existed cannot re-bind a renamed leaf, and an id-ful requested
+    * schema over an id-less file group ERRORS rather than degrading). */
+  def nestedIdsComplete(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: StructType =>
+      st.fields.forall(f => f.metadata.contains(FieldIdKey) && nestedIdsComplete(f.dataType))
+    case _ => true
+  }
 
   /** Create a new empty table at `root`. */
   def create(
@@ -972,7 +1199,7 @@ object GraftTable {
       snapshots = Seq.empty,
       lastSnapshotId = 0L,
       properties = properties +
-        (NextFieldIdProp -> (schema.fields.length + 1).toString) +
+        (NextFieldIdProp -> (maxFieldId(withIds) + 1).toString) +
         (DecimalStatsScaledProp -> "true"),
       schemaJson = Some(withIds.json))
     FileIO.mkdirs(s"$root/data")

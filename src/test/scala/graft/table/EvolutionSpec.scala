@@ -245,19 +245,158 @@ class EvolutionSpec extends SparkSuite {
     assert(t2.schema("n").dataType === LongType)
   }
 
-  test("nested-field evolution refuses loudly at every entry point") {
-    val tbl = GraftTable.create(spark, tmpDir("evo-nested"), Synth.pageSchema)
-    tbl.append(batch("a", 20))
-    assert(intercept[IllegalArgumentException](tbl.renameColumn("meta.width", "w"))
-      .getMessage.contains("nested"))
-    assert(intercept[IllegalArgumentException](tbl.dropColumns(Seq("meta.width")))
-      .getMessage.contains("nested"))
-    assert(intercept[IllegalArgumentException](
-      tbl.widenColumns(Seq("meta.width" -> org.apache.spark.sql.types.LongType)))
-      .getMessage.contains("nested"))
-    assert(intercept[IllegalArgumentException](tbl.addColumn(
-      StructField("meta.extra", DoubleType))).getMessage.contains("nested"))
-    assert(intercept[IllegalArgumentException](tbl.renameColumn("text", "a.b"))
-      .getMessage.contains("dotted"))
+  // ---- nested-field evolution (leaves inside structs, by nested field id) --
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+
+  private val nestedSchema = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("author", StringType),
+      StructField("score", IntegerType),
+      StructField("sub", StructType(Seq(
+        StructField("d", DoubleType), StructField("e", LongType)))))))))
+
+  /** frame WITHOUT any field ids — as a user's append arrives */
+  private def nestedBatch(tag: String, n: Int) = spark.createDataFrame(
+    spark.sparkContext.parallelize((1 to n).map(i =>
+      Row(s"$tag/$i", Row(s"auth$i", i, Row(i / 2.0, i.toLong)))), 2),
+    nestedSchema)
+
+  test("nested rename binds old files by field id; manifests reused verbatim") {
+    val tbl = GraftTable.create(spark, tmpDir("evo-nest1"), nestedSchema)
+    tbl.append(nestedBatch("a", 100))
+    val preAuthors = tbl.read().selectExpr("url", "meta.author").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val preManifests = tbl.currentSnapshot.get.manifests.map(_.path)
+
+    tbl.renameColumn("meta.author", "writer")
+    // old files' interior values bind to the NEW name through the nested id
+    val post = tbl.read().selectExpr("url", "meta.writer").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(post === preAuthors, "nested rename must carry old files' values")
+    // nested leaves carry no stats keys: the commit reuses parent manifests
+    assert(tbl.currentSnapshot.get.manifests.map(_.path) === preManifests,
+      "nested-only evolution must not rewrite manifests")
+    // filter through the renamed path over old files stays correct
+    assert(tbl.read().filter(col("meta.writer") === "auth42").count() === 1)
+
+    // post-rename appends write the new interior name; both generations read
+    val b = nestedBatch("b", 40)
+    tbl.append(spark.createDataFrame(b.rdd, tbl.schema))
+    assert(tbl.read().filter(col("meta.writer").isNotNull).count() === 140)
+
+    // deep: struct-in-struct leaf rename
+    tbl.renameColumn("meta.sub.d", "dd")
+    assert(tbl.read().selectExpr("sum(meta.sub.dd)").head().getDouble(0) > 0)
+
+    // retired interior path cannot come back
+    assert(intercept[Exception](tbl.renameColumn("meta.writer", "author"))
+      .getMessage.contains("previously dropped"))
+    assert(intercept[Exception](
+      tbl.addField("meta", StructField("author", StringType)))
+      .getMessage.contains("previously dropped"))
+    // sibling collision inside the struct
+    assert(intercept[Exception](tbl.renameColumn("meta.writer", "score"))
+      .getMessage.contains("already exists in struct"))
+  }
+
+  test("nested add + widen: NULL on old files, values on new; widen across generations") {
+    val tbl = GraftTable.create(spark, tmpDir("evo-nest2"), nestedSchema)
+    tbl.append(nestedBatch("a", 60))
+    tbl.addField("meta", StructField("extra", DoubleType))
+    assert(tbl.read().filter(col("meta.extra").isNull).count() === 60)
+    // new appends carry the field (frame aligned to the evolved schema)
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 20).map(i =>
+        Row(s"b/$i", Row(s"auth$i", i, Row(i / 2.0, i.toLong), i * 1.5))), 1),
+      tbl.schema)
+    tbl.append(b)
+    assert(tbl.read().filter(col("meta.extra").isNotNull).count() === 20)
+
+    // widen nested int -> long: old int32 interiors read through, sum intact
+    val preSum = (1 to 60).map(_.toLong).sum + (1 to 20).map(_.toLong).sum
+    tbl.widenColumn("meta.score", LongType)
+    assert(tbl.schema("meta").dataType.asInstanceOf[StructType]("score").dataType === LongType)
+    assert(tbl.read().selectExpr("sum(meta.score)").head().getLong(0) === preSum)
+    assert(tbl.read().filter(col("meta.score") === 42L).count() === 1)
+
+    // SQL surface: nested add / rename / widen / drop, case-insensitive
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` ADD COLUMNS (META.tag STRING)")
+    assert(tbl.read().filter(col("meta.tag").isNull).count() === 80)
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` RENAME COLUMN META.SCORE TO points")
+    assert(tbl.read().selectExpr("sum(meta.points)").head().getLong(0) === preSum)
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` DROP COLUMN meta.sub.e")
+    assert(!tbl.schema("meta").dataType.asInstanceOf[StructType]("sub")
+      .dataType.asInstanceOf[StructType].fieldNames.contains("e"))
+    assert(tbl.read().count() === 80)
+  }
+
+  test("nested drop: container and leaf; empty-struct and last-field guards") {
+    val tbl = GraftTable.create(spark, tmpDir("evo-nest3"), nestedSchema)
+    tbl.append(nestedBatch("a", 30))
+    // drop a CONTAINER inside a struct (name-based projection, no id needed)
+    tbl.dropColumns(Seq("meta.sub"))
+    assert(!tbl.schema("meta").dataType.asInstanceOf[StructType].fieldNames.contains("sub"))
+    assert(tbl.read().count() === 30)
+    assert(tbl.read().selectExpr("meta.author").where("meta.author is not null").count() === 30)
+    // dropping the last field of a struct is refused, dropping both at once too
+    assert(intercept[Exception](tbl.dropColumns(Seq("meta.author", "meta.score")))
+      .getMessage.contains("every field"))
+    tbl.dropColumns(Seq("meta.author"))
+    assert(intercept[Exception](tbl.dropColumns(Seq("meta.score")))
+      .getMessage.contains("last field"))
+    // retired container path: re-adding meta.sub refused
+    assert(intercept[Exception](tbl.addField("meta",
+      StructField("sub", StructType(Seq(StructField("x", IntegerType))))))
+      .getMessage.contains("previously dropped"))
+  }
+
+  test("complex-typed columns cannot be renamed in place (groups bind by name)") {
+    val tbl = GraftTable.create(spark, tmpDir("evo-nest4"), nestedSchema)
+    tbl.append(nestedBatch("a", 10))
+    // struct container: verified empirically — a renamed GROUP reads as NULL
+    // from every old file in every reader path; must refuse, top-level...
+    assert(intercept[Exception](tbl.renameColumn("meta", "info"))
+      .getMessage.contains("cannot be renamed in place"))
+    // ...and nested containers
+    assert(intercept[Exception](tbl.renameColumn("meta.sub", "s2"))
+      .getMessage.contains("cannot be renamed in place"))
+  }
+
+  test("nested evolution guards: legacy interiors, array crossing, unknown paths") {
+    import org.apache.spark.sql.types.ArrayType
+    val tbl = GraftTable.create(spark, tmpDir("evo-nest5"), nestedSchema)
+    tbl.append(nestedBatch("a", 10))
+    // simulate a table whose struct interior predates nested field ids
+    val stripped = StructType(tbl.schema.fields.map {
+      case f if f.name == "meta" =>
+        GraftTable.fieldWithId(StructField("meta",
+          org.apache.spark.sql.types.DataType.fromJson(
+            f.dataType.json).asInstanceOf[StructType] match {
+              case st => StructType(st.fields.map(x =>
+                x.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+            }), 2)
+      case f => f
+    })
+    tbl.commitMetadataUpdate(md => md.copy(schemaJson = Some(stripped.json)))
+    assert(intercept[Exception](tbl.renameColumn("meta.author", "writer"))
+      .getMessage.contains("predates nested field ids"))
+    // nested ADD on a legacy interior stays id-less (consistent, readable)
+    tbl.addField("meta", StructField("extra", DoubleType))
+    assert(tbl.read().filter(col("meta.extra").isNull).count() === 10)
+    assert(!tbl.schema("meta").dataType.asInstanceOf[StructType]("extra")
+      .metadata.contains(GraftTable.FieldIdKey))
+
+    // paths crossing array/map are refused
+    val t2 = GraftTable.create(spark, tmpDir("evo-nest6"), StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("arr", ArrayType(StructType(Seq(StructField("x", IntegerType))))))))
+    assert(intercept[Exception](t2.renameColumn("arr.x", "y"))
+      .getMessage.contains("STRUCT fields only"))
+    // unknown segment names the missing piece
+    assert(intercept[Exception](tbl.renameColumn("meta.nope", "x"))
+      .getMessage.toLowerCase.contains("nope"))
   }
 }
