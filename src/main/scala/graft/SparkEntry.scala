@@ -505,6 +505,40 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // NESTED schema evolution end-to-end: leaf fields inside a struct
+    // rename (info.name→cname, binds old files by nested field id), add
+    // (info.bonus, NULL on the pre-evolution generation), and widen
+    // (info.nk int32→long) — then both file generations aggregate through
+    // the evolved schema. DuckDB replays the two generations relationally.
+    "q36_nested_evolution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val base = cust.select(col("c_custkey").as("k"),
+        struct(col("c_name").as("name"), col("c_nationkey").as("nk")).as("info"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q36").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, base.schema)
+      tbl.append(base.coalesce(8))
+      tbl.renameColumn("info.name", "cname")
+      tbl.addField("info", org.apache.spark.sql.types.StructField(
+        "bonus", org.apache.spark.sql.types.DoubleType))
+      tbl.widenColumn("info.nk", org.apache.spark.sql.types.LongType)
+      val second = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select((col("c_custkey") + 50000000L).as("k"),
+          struct(col("c_name").as("cname"),
+            col("c_nationkey").cast("long").as("nk"),
+            col("c_acctbal").as("bonus")).as("info"))
+      tbl.append(second)
+      val out = tbl.read()
+        .select(col("k"), col("info.cname").as("cname"),
+          col("info.nk").as("nk"), col("info.bonus").as("bonus"))
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"),
+          sum("nk").as("nk_sum"), count(col("bonus")).as("n_bonus"),
+          round(sum("bonus"), 2).as("bonus_sum"),
+          sum(length(col("cname"))).as("name_len_sum"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -834,5 +868,24 @@ object SparkEntry {
         |SELECT change_type, count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
         |       round(sum(c_acctbal), 2) AS bal_sum,
         |       count(DISTINCT c_mktsegment) AS n_seg
-        |FROM ev GROUP BY 1""".stripMargin)
+        |FROM ev GROUP BY 1""".stripMargin,
+    // q36: nested evolution replayed relationally — generation 1 is the
+    // full customer set THROUGH the evolved schema (renamed cname carries
+    // the old files' values via nested field ids, added bonus reads NULL,
+    // nk reads widened to BIGINT); generation 2 appends post-evolution
+    // rows with real bonus values
+    "q36_nested_evolution" ->
+      """WITH g1 AS (SELECT c_custkey AS k, c_name AS cname,
+        |                   CAST(c_nationkey AS BIGINT) AS nk,
+        |                   CAST(NULL AS DOUBLE) AS bonus
+        |            FROM customer),
+        |g2 AS (SELECT c_custkey + 50000000 AS k, c_name AS cname,
+        |              CAST(c_nationkey AS BIGINT) AS nk, c_acctbal AS bonus
+        |       FROM customer WHERE c_custkey % 7 = 0),
+        |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+        |SELECT count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(sum(nk) AS BIGINT) AS nk_sum, count(bonus) AS n_bonus,
+        |       round(sum(bonus), 2) AS bonus_sum,
+        |       CAST(sum(length(cname)) AS BIGINT) AS name_len_sum
+        |FROM u""".stripMargin)
 }
