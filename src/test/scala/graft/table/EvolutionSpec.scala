@@ -281,6 +281,10 @@ class EvolutionSpec extends SparkSuite {
       "nested-only evolution must not rewrite manifests")
     // filter through the renamed path over old files stays correct
     assert(tbl.read().filter(col("meta.writer") === "auth42").count() === 1)
+    // ...including through the file-pruning read path: nested predicates
+    // carry no stats keys, so they must evaluate as UNKNOWN (keep the file),
+    // never wrongly prune
+    assert(tbl.read(Some(col("meta.writer") === "auth42")).count() === 1)
 
     // post-rename appends write the new interior name; both generations read
     val b = nestedBatch("b", 40)
