@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectHintResolutionRule(session => graft.sql.GraftRelationRule(session))
     // OPTIMIZE / VACUUM have no Spark grammar production — parser wrap
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // count/min/max over a bare graft scan answered from manifest stats
+    // (no file reads; see GraftMetadataAggRule soundness gates)
+    ext.injectOptimizerRule(session => graft.sql.GraftMetadataAggRule(session))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("zorder_key"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -139,6 +142,10 @@ object GraftExtensions {
   /** Register into an already-built session (builder extensions only apply
     * to sessions created with them). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.exists(
+        _.isInstanceOf[graft.sql.GraftMetadataAggRule]))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.sql.GraftMetadataAggRule(spark))
     val fr = spark.sessionState.functionRegistry
     fr.createOrReplaceTempFunction("zorder_key",
       args => ZOrderKey(args.tail, intLit(args.head, "zorder_key")), "built-in")

@@ -539,6 +539,66 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // Metadata-only aggregates (sql/GraftMetadataAggRule): count/min/max
+    // over the bare table scan answer from manifest stats without reading a
+    // data file (MetadataAggSpec asserts the no-scan plan; this query pins
+    // the VALUES against DuckDB computing the same aggregates by scanning)
+    "q37_metadata_agg" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("buyer"),
+        floor(col("o_totalprice")).cast("decimal(12,2)").as("price"),
+        col("o_orderdate"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q37").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, ord.schema)
+      tbl.append(ord.coalesce(8))
+      val out = tbl.read().agg(
+        count(lit(1)).as("n_rows"), count(col("buyer")).as("n_buyer"),
+        min("o_orderkey").as("key_min"), max("o_orderkey").as("key_max"),
+        // final cast to double for comparator stability (Decimal repr
+        // differs across engines); the metadata path still resolves the
+        // DECIMAL bounds — the cast applies to the folded literal
+        min("price").cast("double").as("price_min"),
+        max("price").cast("double").as("price_max"),
+        min("o_orderdate").as("date_min"), max("o_orderdate").as("date_max"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
+    }),
+
+    // Row-level CDC with update-image pairing: the merge commit's
+    // delete+insert of the same key become update_preimage/update_postimage
+    // events (Changelog.withUpdateImages); replayed relationally in DuckDB
+    // by classifying keys across the pre/post states
+    "q38_cdc_updates" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val root = java.nio.file.Files.createTempDirectory("graft-q38").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, cust.schema)
+      tbl.append(cust.coalesce(8))
+      val from = tbl.currentSnapshot.get.id
+      val m = cust.filter(pmod(col("c_custkey"), lit(6)) === 0)
+        .withColumn("op", when(pmod(col("c_custkey"), lit(4)) === 0, "D").otherwise("U"))
+      val i = cust.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 30000000L)
+        .withColumn("op", lit("I"))
+      m.unionByName(i).createOrReplaceTempView("q38src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING q38src s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 25.0
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val out = tbl.changes(from, updateImagesOn = Seq("c_custkey"))
+        .groupBy(col(graft.table.Changelog.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("c_custkey").as("key_sum"),
+          round(sum("c_acctbal"), 2).as("bal_sum"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -887,5 +947,36 @@ object SparkEntry {
         |       CAST(sum(nk) AS BIGINT) AS nk_sum, count(bonus) AS n_bonus,
         |       round(sum(bonus), 2) AS bonus_sum,
         |       CAST(sum(length(cname)) AS BIGINT) AS name_len_sum
-        |FROM u""".stripMargin)
+        |FROM u""".stripMargin,
+    // q37: the engine answers these from manifest stats (no file reads);
+    // DuckDB computes the same aggregates the honest way over the source
+    "q37_metadata_agg" ->
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END) AS n_buyer,
+        |       min(o_orderkey) AS key_min, max(o_orderkey) AS key_max,
+        |       CAST(min(CAST(floor(o_totalprice) AS DECIMAL(12,2))) AS DOUBLE) AS price_min,
+        |       CAST(max(CAST(floor(o_totalprice) AS DECIMAL(12,2))) AS DOUBLE) AS price_max,
+        |       min(o_orderdate) AS date_min, max(o_orderdate) AS date_max
+        |FROM orders""".stripMargin,
+    // q38: update-image pairing replayed relationally — matched 'D' keys
+    // (custkey % 12 = 0) are deletes, other matched keys (custkey % 6 = 0)
+    // are update pre/post image pairs, shifted source keys are inserts
+    "q38_cdc_updates" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+        |ev AS (
+        |  SELECT 'delete' AS change_type, c_custkey, c_acctbal
+        |  FROM base WHERE c_custkey % 12 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', c_custkey, c_acctbal
+        |  FROM base WHERE c_custkey % 6 = 0 AND c_custkey % 12 <> 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', c_custkey, c_acctbal + 25.0
+        |  FROM base WHERE c_custkey % 6 = 0 AND c_custkey % 12 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', c_custkey + 30000000, c_acctbal
+        |  FROM base WHERE c_custkey % 11 = 0)
+        |SELECT change_type, count(*) AS n_rows,
+        |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       round(sum(c_acctbal), 2) AS bal_sum
+        |FROM ev GROUP BY 1""".stripMargin)
 }

@@ -41,6 +41,10 @@ import graft.table.{DataFileMeta, GraftTable}
  *    columns ([[graft.table.Changelog]]); the initial batch is the table
  *    contents as insert events. Folding the events in commit order
  *    reconstructs `read()` exactly;
+ *  - `update-images-on`: comma-separated key columns — in change-rows mode,
+ *    pair each commit's delete+insert of the same key tuple into
+ *    `update_preimage`/`update_postimage` events (preimage folds as delete,
+ *    postimage as insert);
  *  - `max-snapshots-per-trigger`: admission control — cap how many chain
  *    commits one micro-batch may cover (applies from the second trigger of
  *    a run; the initial snapshot batch is indivisible).
@@ -82,6 +86,14 @@ class GraftStreamSource(
       "skip-change-commits contradicts it — pick one")
   private val maxSnapshotsPerTrigger = opt("max-snapshots-per-trigger").map(_.toInt)
   maxSnapshotsPerTrigger.foreach(n => require(n > 0, "max-snapshots-per-trigger must be > 0"))
+  /** `update-images-on=k1,k2`: pair per-commit delete+insert of a key tuple
+    * into update_preimage/update_postimage events (change-rows mode only;
+    * [[graft.table.Changelog.withUpdateImages]]). */
+  private val updateImagesOn: Seq[String] =
+    opt("update-images-on").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  require(updateImagesOn.isEmpty || changeRows,
+    "update-images-on requires change-rows=true")
 
   // schema and partition specs are PINNED at stream start: mid-stream
   // add-column evolution must not change the micro-batch schema under a
@@ -94,6 +106,9 @@ class GraftStreamSource(
   // changelog batches read through the SAME pinned pair (field-id column
   // resolution keeps post-rename/drop files readable by the old schema)
   private val pinned = Some((baseSchema, specs))
+  updateImagesOn.filterNot(baseSchema.fieldNames.contains).foreach(c =>
+    throw new IllegalArgumentException(
+      s"update-images-on column '$c' is not in the table schema"))
 
   startingSnapshotId.foreach { id =>
     require(id == 0 || table.metadata.snapshot(id).nonEmpty,
@@ -167,7 +182,8 @@ class GraftStreamSource(
       graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true, pinned)
         .filter(lit(false))
     case Some(from) =>
-      graft.table.Changelog.changes(table, from, Some(endId), streamingTag = true, pinned)
+      graft.table.Changelog.changes(table, from, Some(endId), streamingTag = true, pinned,
+        updateImagesOn = updateImagesOn)
     case None =>
       // initial batch: the full contents as INSERT events at `endId`
       graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true, pinned)

@@ -49,6 +49,8 @@ object Changelog {
 
   val ChangeTypeCol = "_change_type"
   val CommitCol = "_commit_snapshot_id"
+  val UpdatePreimage = "update_preimage"
+  val UpdatePostimage = "update_postimage"
 
   /** Row-preserving commit operations: no logical row changes to emit. */
   private val rowPreserving = Set("compact", "cluster", "rewrite-manifests",
@@ -69,7 +71,8 @@ object Changelog {
       fromSnapshotId: Long,
       toSnapshotId: Option[Long] = None,
       streamingTag: Boolean = false,
-      pinned: Option[(StructType, Seq[PartitionSpec])] = None): DataFrame = {
+      pinned: Option[(StructType, Seq[PartitionSpec])] = None,
+      updateImagesOn: Seq[String] = Seq.empty): DataFrame = {
     val spark = table.spark
     val md = table.metadata
     // a streaming source pins schema+specs at stream start (mid-stream
@@ -105,10 +108,50 @@ object Changelog {
       }
     }
 
-    val empty = tag(org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-      spark, sch, table.root, Seq.empty, specs, isStreaming = streamingTag), "insert", 0L)
-      .filter(lit(false))
-    frames.foldLeft(empty)(_ unionByName _)
+    // the commit diffs are BATCH subplans; update-image pairing adds a
+    // Window which must also stay on the batch side (a Window over a
+    // streaming-flagged child would be planned as an unsupported streaming
+    // stateful operator) — so pair FIRST, then union in the 0-row
+    // streaming-flagged relation that carries the isStreaming bit
+    val batchEmpty = tag(rel(Seq.empty), "insert", 0L).filter(lit(false))
+    val union = frames.foldLeft(batchEmpty)(_ unionByName _)
+    val paired =
+      if (updateImagesOn.isEmpty) union
+      else withUpdateImages(union, updateImagesOn, sch)
+    if (!streamingTag) paired
+    else paired.unionByName(
+      tag(org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+        spark, sch, table.root, Seq.empty, specs, isStreaming = true), "insert", 0L)
+        .filter(lit(false)))
+  }
+
+  /**
+   * Pair each commit's delete+insert events that share a key tuple into
+   * `update_preimage` / `update_postimage` events (Delta-CDF-style): a key
+   * that a commit both removed and re-added changed in place, and a consumer
+   * that distinguishes updates from churn (e.g. a downstream index) needs
+   * the pre/post images labeled as one logical update. Unpaired events keep
+   * their insert/delete labels; the fold rule is unchanged (preimage folds
+   * as delete, postimage as insert).
+   *
+   * One hash shuffle over the changelog rows on (commit, key) — cost scales
+   * with the emitted changes, never the table. Key tuples are compared with
+   * null-safe grouping semantics; with keys duplicated WITHIN one commit
+   * (legal only for plain appends) every colliding event is relabeled, so
+   * pair on a unique key (the MERGE key) as Delta requires.
+   */
+  def withUpdateImages(df: DataFrame, keyCols: Seq[String], sch: StructType): DataFrame = {
+    require(keyCols.nonEmpty, "update-image pairing needs at least one key column")
+    val missing = keyCols.filterNot(c => sch.fieldNames.contains(c))
+    require(missing.isEmpty,
+      s"update-image key columns not in table schema: ${missing.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      (CommitCol +: keyCols).map(col): _*)
+    val kinds = size(collect_set(col(ChangeTypeCol)).over(w))
+    df.withColumn(ChangeTypeCol,
+      when(kinds === 2 && col(ChangeTypeCol) === "delete", lit(UpdatePreimage))
+        .when(kinds === 2 && col(ChangeTypeCol) === "insert", lit(UpdatePostimage))
+        .otherwise(col(ChangeTypeCol)))
   }
 
   /** The full table contents at `snapshotId` as insert events — the

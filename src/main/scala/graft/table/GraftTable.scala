@@ -458,9 +458,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * update / delete / tombstone commits), at the cost of computing each such
    * commit's removed-vs-added row diff. Fold in commit order to materialize.
    * Streaming form: `readStream.format("graft").option("change-rows", true)`.
+   *
+   * `updateImagesOn`: pair each commit's delete+insert of the same key tuple
+   * into `update_preimage`/`update_postimage` events (Delta-CDF-style; see
+   * [[Changelog.withUpdateImages]]) — pass the table's MERGE key.
    */
-  def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame =
-    Changelog.changes(this, fromSnapshotId, toSnapshotId)
+  def changes(fromSnapshotId: Long, toSnapshotId: Option[Long] = None,
+      updateImagesOn: Seq[String] = Seq.empty): DataFrame =
+    Changelog.changes(this, fromSnapshotId, toSnapshotId,
+      updateImagesOn = updateImagesOn)
 
   /** Incremental-read result with the `to` snapshot's tombstones applied —
     * the consumer must see exactly what `read()` at `to` would show for

@@ -34,7 +34,7 @@ import graft.table.{DataFileMeta, PartitionSpec, PredicatePrune}
 class GraftFileIndex(
     tableSchema: StructType,
     rootDir: String,
-    metas: Seq[DataFileMeta],
+    val metas: Seq[DataFileMeta],
     specs: Seq[PartitionSpec] = Seq.empty)
   extends FileIndex {
 

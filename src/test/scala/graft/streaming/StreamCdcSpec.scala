@@ -276,6 +276,59 @@ class StreamCdcSpec extends SparkSuite {
     assert(got.size() == before, "idle restart must deliver no events")
   }
 
+  test("update-images-on labels streamed merge commits as update pre/post images") {
+    import graft.table.Changelog
+    val root = tmpDir("graft-cdc-upd")
+    val ckpt = tmpDir("graft-cdc-upd-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(60, 1, "a"))
+
+    val got = new ConcurrentLinkedQueue[(String, String, String)]() // (type, url, text)
+    def drainU(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("change-rows", "true").option("update-images-on", "url").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(col(Changelog.ChangeTypeCol), col("url"), col("text"))
+            .collect().foreach(r => got.add((r.getString(0), r.getString(1), r.getString(2))))
+          ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+
+    drainU() // initial snapshot: 60 inserts
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.count(_._1 == "insert") == 60)
+
+    import spark.implicits._
+    val cur = t.read().as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val ks = cur.keys.toSeq.sorted
+    val src = ks.take(8).map { u => val o = cur(u)
+        (u, new java.sql.Timestamp(o._2.getTime + 1000L), o._3, "UPD", o._5, false) }
+      .++(ks.slice(20, 23).map { u => val o = cur(u)
+        (u, new java.sql.Timestamp(o._2.getTime + 1000L), o._3, "D", o._5, true) })
+      .++((0 until 4).map(i => (s"https://new.example.com/ui/$i",
+        new java.sql.Timestamp(1735689600000L), Array[Byte](1), s"NEW$i", "en", false)))
+      .toDF("url", "warc_ts", "html", "text", "lang", "_deleted")
+    graft.ops.Merge.into(t, src)
+
+    drainU()
+    val byType = got.asScala.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byType(Changelog.UpdatePreimage) == 8, byType.toString)
+    assert(byType(Changelog.UpdatePostimage) == 8, byType.toString)
+    assert(byType("delete") == 3 && byType("insert") == 64, byType.toString)
+    assert(got.asScala.filter(_._1 == Changelog.UpdatePostimage).forall(_._3 == "UPD"))
+
+    // update-images-on without change-rows fails the query at start
+    val bad = spark.readStream.format("graft").option("update-images-on", "url").load(root)
+      .writeStream.option("checkpointLocation", tmpDir("graft-cdc-upd-bad"))
+      .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    try intercept[StreamingQueryException](bad.processAllAvailable())
+    finally bad.stop()
+  }
+
   test("change-rows keeps the schema pinned at stream start across mid-stream evolution") {
     import graft.table.Changelog
     val root = tmpDir("graft-cdc-pin")

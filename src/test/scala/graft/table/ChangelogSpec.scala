@@ -126,6 +126,53 @@ class ChangelogSpec extends SparkSuite {
     assertSameRows(fold(t.readSnapshot(from), ev), t.read(), "overwrite fold")
   }
 
+  test("update-image pairing: per-commit delete+insert of a key is one logical update") {
+    val t = GraftTable.create(spark, tmpDir("chg-upd"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 500, hosts = 8, partitions = 4))
+    val from = t.currentSnapshot.get.id
+    import spark.implicits._
+    val cur = t.read().as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val ks = cur.keys.toSeq.sorted
+    def page(u: String, text: String) = { val o = cur(u)
+      (u, new java.sql.Timestamp(o._2.getTime + 1000L), o._3, text, o._5) }
+    val src = ks.take(60).map(u => page(u, "UPDATED")).toDF(cols: _*)
+      .withColumn("_deleted", lit(false))
+      .unionByName(ks.slice(100, 130).map(u => page(u, "D")).toDF(cols: _*)
+        .withColumn("_deleted", lit(true)))
+      .unionByName((0 until 15).map(i => (s"https://new.example.com/u/$i",
+        new java.sql.Timestamp(1735689600000L), Array[Byte](1), s"NEW$i", "en"))
+        .toDF(cols: _*).withColumn("_deleted", lit(false)))
+    Merge.into(t, src)
+    t.append(Synth.pages(spark, 25, hosts = 8, partitions = 1, seed = 7))
+
+    val ev = t.changes(from, updateImagesOn = Seq("url")).localCheckpoint(true)
+    val byType = counts(ev)
+    assert(byType(Changelog.UpdatePreimage) === 60L, byType.toString)
+    assert(byType(Changelog.UpdatePostimage) === 60L, byType.toString)
+    assert(byType("delete") === 30L, byType.toString)
+    assert(byType("insert") === 40L, s"15 merge inserts + 25 appended: $byType")
+    // pre images carry the OLD row, post images the new one
+    assert(ev.filter(col(Changelog.ChangeTypeCol) === Changelog.UpdatePreimage)
+      .filter(col("text") === "UPDATED").count() === 0)
+    assert(ev.filter(col(Changelog.ChangeTypeCol) === Changelog.UpdatePostimage)
+      .filter(col("text") =!= "UPDATED").count() === 0)
+    // exactly one pre + one post per updated key
+    val perKey = ev.filter(col(Changelog.ChangeTypeCol).startsWith("update_"))
+      .groupBy("url").agg(countDistinct(Changelog.ChangeTypeCol).as("k"), count(lit(1)).as("n"))
+    assert(perKey.filter(col("k") =!= 2 || col("n") =!= 2).count() === 0)
+    // fold rule: preimage folds as delete, postimage as insert
+    val folded = fold(t.readSnapshot(from), ev.withColumn(Changelog.ChangeTypeCol,
+      when(col(Changelog.ChangeTypeCol) === Changelog.UpdatePreimage, "delete")
+        .when(col(Changelog.ChangeTypeCol) === Changelog.UpdatePostimage, "insert")
+        .otherwise(col(Changelog.ChangeTypeCol))))
+    assertSameRows(folded, t.read(), "update-image fold")
+    // unknown key column fails loudly
+    val e = intercept[IllegalArgumentException](
+      t.changes(from, updateImagesOn = Seq("nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("changes(0) covers the whole history; bad snapshot ids fail loudly") {
     val t = GraftTable.create(spark, tmpDir("chg-zero"), Synth.pageSchema)
     t.append(Synth.pages(spark, 100, hosts = 4, partitions = 2))
