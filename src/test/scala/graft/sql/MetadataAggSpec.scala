@@ -70,6 +70,28 @@ class MetadataAggSpec extends SparkSuite {
     assert(mn.collect()(0).isNullAt(0))
   }
 
+  test("SQL front door: SELECT count/min/max FROM graft.`path` is metadata-only") {
+    val t = freshTable(400)
+    val q = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS mn, max(ts) AS mx FROM graft.`${t.root}`")
+    assert(noScan(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 400 && r.getLong(1) == 0)
+    assert(r.getTimestamp(2).getTime == (1700000000L + 399 * 60) * 1000)
+    // time travel pins the aggregated snapshot
+    val s1 = t.currentSnapshot.get.id
+    t.append(spark.range(400, 450).select(
+      col("id").as("k"), (col("id") * 2).as("v"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 60).as("ts"),
+      (col("id") % 100).cast("decimal(9,2)").as("d"),
+      concat(lit("u"), lpad(col("id").cast("string"), 6, "0")).as("s")))
+    val tt = spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` VERSION AS OF $s1")
+    assert(noScan(tt), tt.queryExecution.optimizedPlan.toString)
+    assert(tt.collect()(0).getLong(0) == 400)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}`")
+      .collect()(0).getLong(0) == 450)
+  }
+
   test("soundness gates fall back to a real scan") {
     val t = freshTable()
     // string bounds are truncation-widened → never metadata-answered
