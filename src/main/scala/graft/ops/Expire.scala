@@ -30,8 +30,11 @@ object Expire {
     val md = table.metadata
     val current = md.currentSnapshotId.getOrElse(return Result(Nil, Nil, Nil))
     val byId = md.snapshots.sortBy(_.id)
+    // named refs (tags) pin their snapshot — and thereby every file it
+    // references — regardless of age or retainLast, until the tag is dropped
     val keepIds = (byId.takeRight(retainLast).map(_.id) :+ current).toSet ++
-      byId.filter(_.timestampMs >= olderThanMs).map(_.id)
+      byId.filter(_.timestampMs >= olderThanMs).map(_.id) ++
+      md.refMap.values.map(_.snapshotId)
     val (kept, dropped) = byId.partition(s => keepIds.contains(s.id))
     if (dropped.isEmpty) return Result(Nil, Nil, Nil)
 

@@ -44,6 +44,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SET\s+PARTITION\s+SPEC\s*\((.+)\)\s*;?\s*""".r
   private val DropSpecRe =
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+PARTITION\s+SPEC\s*;?\s*""".r
+  // named snapshot refs (Iceberg's CREATE/DROP TAG — no Spark grammar):
+  // CREATE [OR REPLACE] TAG name [AS OF VERSION n], DROP TAG [IF EXISTS] name
+  private val CreateTagRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+""" +
+      """([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private val DropTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?([A-Za-z0-9._-]+)\s*;?\s*""".r
 
   // graft tables are PATH-addressed: intercept only identifiers that look
   // like paths (contain a slash — `./name` works for a table in the CWD).
@@ -62,6 +69,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftSetPartitionSpecCommand(path, Some(spec.trim))
     case DropSpecRe(path) if isPath(path) =>
       GraftSetPartitionSpecCommand(path, None)
+    case CreateTagRe(path, orReplace, name, asOf) if isPath(path) =>
+      GraftTagCommand(path, name, create = true,
+        snapshotId = Option(asOf).map(_.toLong), replace = orReplace != null)
+    case DropTagRe(path, ifExists, name) if isPath(path) =>
+      GraftTagCommand(path, name, create = false, ifExists = ifExists != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -134,5 +146,27 @@ case class GraftSetPartitionSpecCommand(path: String, spec: Option[String])
   override def run(session: SparkSession): Seq[Row] = {
     GraftTable.load(session, path).setPartitionSpec(spec)
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.`p` CREATE [OR REPLACE] TAG name [AS OF VERSION n]` /
+  * `… DROP TAG [IF EXISTS] name` → named snapshot refs
+  * ([[GraftTable.createTag]]/[[GraftTable.dropTag]]): the tagged snapshot is
+  * time-travelable as `VERSION AS OF 'name'` and pinned against VACUUM. */
+case class GraftTagCommand(path: String, name: String, create: Boolean,
+    snapshotId: Option[Long] = None, replace: Boolean = false,
+    ifExists: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType)(),
+    AttributeReference("snapshot_id", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    if (create) {
+      val md = t.createTag(name, snapshotId, replace)
+      Seq(Row(name, md.refMap(name).snapshotId))
+    } else {
+      t.dropTag(name, ifExists)
+      Seq(Row(name, -1L))
+    }
   }
 }

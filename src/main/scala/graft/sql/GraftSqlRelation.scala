@@ -48,6 +48,7 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
       (kind match {
         case "snapshots" => table.snapshotsDf
         case "files"     => table.filesDf()
+        case "refs"      => table.refsDf
       }).queryExecution.analyzed
     case u: UnresolvedRelation if graftPath(u).isDefined && !u.isStreaming =>
       readPlan(graftPath(u).get, None, None)
@@ -57,7 +58,7 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def metaTable(u: UnresolvedRelation): Option[(String, String)] =
     if (u.multipartIdentifier.length == 3 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-        Set("snapshots", "files").contains(u.multipartIdentifier(2).toLowerCase))
+        Set("snapshots", "files", "refs").contains(u.multipartIdentifier(2).toLowerCase))
       Some((u.multipartIdentifier(1), u.multipartIdentifier(2).toLowerCase))
     else None
 
@@ -78,9 +79,9 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
     val df = (timestamp, version) match {
       case (None, None) => table.read()
       case (None, Some(v)) =>
-        val id = v.toLongOption.getOrElse(
-          throw new IllegalArgumentException(s"graft VERSION AS OF expects a snapshot id, got '$v'"))
-        table.readSnapshot(id)
+        // numeric = snapshot id; otherwise a named ref (tag) — the two
+        // cannot collide (createTag rejects numeric-looking names)
+        table.readSnapshot(v.toLongOption.getOrElse(table.refSnapshotId(v)))
       case (Some(ts), None) =>
         val micros = Cast(ts, TimestampType, Some(session.sessionState.conf.sessionLocalTimeZone))
           .eval(null).asInstanceOf[Long]

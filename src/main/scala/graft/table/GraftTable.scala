@@ -702,6 +702,68 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       md.copy(currentSnapshotId = Some(toSnapshotId))
     }
 
+  // ---- named snapshot refs (tags) ---------------------------------------
+
+  /** Named snapshot refs: tag name → pinned snapshot. */
+  def refs: Map[String, RefMeta] = metadata.refMap
+
+  /** Snapshot id a ref name resolves to; error lists known refs. */
+  def refSnapshotId(name: String): Long =
+    metadata.refMap.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown ref '$name' on $root — known refs: " +
+        (if (refs.isEmpty) "(none)" else refs.keys.toSeq.sorted.mkString(", ")))).snapshotId
+
+  /**
+   * Tag a retained snapshot with a stable name (Iceberg-style ref): the
+   * snapshot becomes addressable as `VERSION AS OF '<name>'` and is PINNED
+   * against [[graft.ops.Expire.expire]] (the tag holds the snapshot and
+   * every file it references until the tag is dropped) — the lakehouse
+   * form of a release/audit label over the reference's one-mutable-table
+   * world, where no historical state was addressable at all.
+   *
+   * Names must not look like snapshot ids (they share the `VERSION AS OF`
+   * namespace) and must be path/SQL-safe. `replace=true` atomically moves
+   * an existing tag.
+   */
+  def createTag(name: String, snapshotId: Option[Long] = None,
+      replace: Boolean = false): TableMetadata = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"ref name '$name' must match [A-Za-z0-9._-]+")
+    require(name.toLongOption.isEmpty,
+      s"ref name '$name' would be ambiguous with a snapshot id in VERSION AS OF")
+    commitMetadataUpdate { md =>
+      val id = snapshotId.orElse(md.currentSnapshotId).getOrElse(
+        throw new IllegalArgumentException(s"cannot tag an empty table (no snapshots)"))
+      require(md.snapshot(id).nonEmpty,
+        s"cannot tag unknown or expired snapshot $id")
+      require(replace || !md.refMap.contains(name),
+        s"ref '$name' already exists (points at snapshot ${md.refMap(name).snapshotId}); " +
+          "pass replace=true / CREATE OR REPLACE TAG to move it")
+      md.copy(refs = Some(md.refMap.updated(name, RefMeta(id))))
+    }
+  }
+
+  /** Drop a tag — the snapshot stays until expiry ages it out normally. */
+  def dropTag(name: String, ifExists: Boolean = false): TableMetadata =
+    commitMetadataUpdate { md =>
+      if (!md.refMap.contains(name) && !ifExists)
+        throw new IllegalArgumentException(
+          s"unknown ref '$name' on $root — known refs: " +
+            (if (md.refMap.isEmpty) "(none)" else md.refMap.keys.toSeq.sorted.mkString(", ")))
+      md.copy(refs = Some(md.refMap - name).filter(_.nonEmpty))
+    }
+
+  /** Snapshot-isolated read of the snapshot a tag points at. */
+  def readRef(name: String): DataFrame = readSnapshot(refSnapshotId(name))
+
+  /** Refs as a DataFrame (``graft.`path`.refs`` metadata table). */
+  def refsDf: DataFrame = {
+    import spark.implicits._
+    metadata.refMap.toSeq.sortBy(_._1).map { case (n, r) =>
+      (n, r.kind, r.snapshotId)
+    }.toDF("name", "kind", "snapshot_id")
+  }
+
   /**
    * Schema evolution: append a nullable column. Existing data files simply
    * lack the Parquet column — the reader yields NULL, and stats pruning

@@ -57,6 +57,12 @@ final case class Snapshot(
   def deleteManifestList: Seq[ManifestMeta] = deleteManifests.getOrElse(Seq.empty)
 }
 
+/** Named snapshot reference (Iceberg-style tag): pins `snapshotId` against
+  * expiry and names it for time travel (`VERSION AS OF 'name'`). `kind` is
+  * "tag" today; the field exists so a future movable-branch ref
+  * deserializes without a format bump. */
+final case class RefMeta(snapshotId: Long, kind: String = "tag")
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -69,10 +75,13 @@ final case class TableMetadata(
     // StructType.json — unlike toDDL it preserves per-field metadata, which
     // carries the stable parquet field ids that make rename/drop column
     // evolution readable across old files; None on pre-evolution metadata
-    schemaJson: Option[String] = None) {
+    schemaJson: Option[String] = None,
+    // named snapshot refs; Option so pre-refs metadata JSON deserializes
+    refs: Option[Map[String, RefMeta]] = None) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.id == id))
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
+  def refMap: Map[String, RefMeta] = refs.getOrElse(Map.empty)
 }
 
 object MetaJson {

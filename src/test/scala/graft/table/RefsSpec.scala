@@ -1,0 +1,116 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.Expire
+import graft.run.Synth
+
+/**
+ * Named snapshot refs (tags): stable names for snapshots, addressable from
+ * SQL time travel and PINNED against snapshot expiry — the audit/release
+ * label a 100 TB corpus needs ("the crawl we trained run X on") without
+ * cloning a byte.
+ */
+class RefsSpec extends SparkSuite {
+
+  private def batch(tag: String, n: Int) =
+    Synth.pages(spark, n, hosts = 5, partitions = 2)
+      .withColumn("url", concat(lit(s"$tag/"), col("url")))
+
+  test("create/read/replace/drop tags; names validated") {
+    val tbl = GraftTable.create(spark, tmpDir("refs"), Synth.pageSchema)
+    val s1 = tbl.append(batch("a", 100)).id
+    tbl.createTag("v1.0")                      // defaults to current snapshot
+    val s2 = tbl.append(batch("b", 50)).id
+    tbl.createTag("audit-2026_08", Some(s1))   // explicit older snapshot
+
+    assert(tbl.refs.keySet == Set("v1.0", "audit-2026_08"))
+    assert(tbl.refSnapshotId("v1.0") == s1)
+    assert(tbl.readRef("v1.0").count() == 100)
+    assert(tbl.read().count() == 150)
+
+    // replace moves the pointer only with the explicit flag
+    intercept[IllegalArgumentException](tbl.createTag("v1.0"))
+    tbl.createTag("v1.0", Some(s2), replace = true)
+    assert(tbl.refSnapshotId("v1.0") == s2)
+
+    // invalid names and targets fail loudly
+    intercept[IllegalArgumentException](tbl.createTag("42"))          // looks like a snapshot id
+    intercept[IllegalArgumentException](tbl.createTag("has space"))
+    intercept[IllegalArgumentException](tbl.createTag("x`y"))
+    intercept[IllegalArgumentException](tbl.createTag("nope", Some(999L)))
+    intercept[IllegalArgumentException](tbl.dropTag("missing"))
+    tbl.dropTag("missing", ifExists = true) // no-op
+    intercept[IllegalArgumentException](tbl.readRef("missing"))
+
+    tbl.dropTag("v1.0")
+    tbl.dropTag("audit-2026_08")
+    assert(tbl.refs.isEmpty)
+    // refs key absent again after the last drop → pre-refs JSON shape
+    assert(tbl.metadata.refs.isEmpty)
+  }
+
+  test("a tag pins its snapshot and files through expiry; dropping unpins") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-pin"), Synth.pageSchema)
+    tbl.append(batch("a", 120))
+    // binary columns compare by reference in Row equality — fingerprint
+    // every column through a hash projection instead
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(xxhash64(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq.sorted
+    val taggedRows = fingerprint(tbl.read())
+    tbl.createTag("release")
+    val taggedId = tbl.refSnapshotId("release")
+
+    // overwrite replaces every data file — without the tag, expiry would GC
+    // the original snapshot and its files
+    batch("b", 80).write.format("graft").mode("overwrite").save(tbl.root)
+    val r1 = Expire.expire(tbl, retainLast = 1)
+    assert(!r1.removedSnapshots.contains(taggedId), "tagged snapshot must survive expiry")
+    assert(tbl.metadata.snapshot(taggedId).nonEmpty)
+
+    // the pinned snapshot still reads byte-identically (files not GC'd)
+    assert(fingerprint(tbl.readRef("release")) == taggedRows)
+    assert(tbl.read().count() == 80)
+
+    // dropping the tag releases the pin: the next expiry removes it and
+    // the re-read fails (snapshot no longer retained)
+    tbl.dropTag("release")
+    val r2 = Expire.expire(tbl, retainLast = 1)
+    assert(r2.removedSnapshots.contains(taggedId))
+    assert(r2.deletedDataFiles.nonEmpty, "untagged snapshot's exclusive files are GC'd")
+    intercept[Exception](tbl.readSnapshot(taggedId).collect())
+  }
+
+  test("SQL surface: CREATE/DROP TAG, VERSION AS OF 'name', .refs, VACUUM pin") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-sql"), Synth.pageSchema)
+    tbl.append(batch("a", 90))
+    val s1 = tbl.currentSnapshot.get.id
+    val created = spark.sql(s"ALTER TABLE graft.`${tbl.root}` CREATE TAG v1").collect()
+    assert(created.head.getString(0) == "v1" && created.head.getLong(1) == s1)
+    tbl.append(batch("b", 60))
+
+    assert(spark.sql(s"SELECT * FROM graft.`${tbl.root}` VERSION AS OF 'v1'").count() == 90)
+    assert(spark.sql(s"SELECT * FROM graft.`${tbl.root}` VERSION AS OF $s1").count() == 90)
+    val refs = spark.sql(s"SELECT name, kind, snapshot_id FROM graft.`${tbl.root}`.refs").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("v1", "tag", s1)))
+
+    // CREATE OR REPLACE moves it; AS OF VERSION pins an explicit snapshot
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` CREATE OR REPLACE TAG v1 AS OF VERSION ${s1 + 1}")
+    assert(tbl.refSnapshotId("v1") == s1 + 1)
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` CREATE TAG keep AS OF VERSION $s1")
+
+    // VACUUM RETAIN 1 SNAPSHOTS keeps the tagged snapshot alive
+    spark.sql(s"VACUUM graft.`${tbl.root}` RETAIN 1 SNAPSHOTS")
+    assert(spark.sql(s"SELECT * FROM graft.`${tbl.root}` VERSION AS OF 'keep'").count() == 90)
+
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` DROP TAG IF EXISTS nothere")
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` DROP TAG keep")
+    assert(tbl.refs.keySet == Set("v1"))
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`${tbl.root}` VERSION AS OF 'keep'").collect())
+    assert(err.getMessage.contains("unknown ref"))
+  }
+}
