@@ -47,7 +47,15 @@ import graft.table.{DataFileMeta, GraftTable}
  *    postimage as insert);
  *  - `max-snapshots-per-trigger`: admission control — cap how many chain
  *    commits one micro-batch may cover (applies from the second trigger of
- *    a run; the initial snapshot batch is indivisible).
+ *    a run).
+ *  - `max-files-per-trigger`: chunk the INITIAL snapshot batch — at most
+ *    this many data files per micro-batch until the table's starting
+ *    contents are delivered (path-ordered, exactly-once across restarts
+ *    via [[GraftInitOffset]] positions in the offset log). Without it the
+ *    initial batch is the whole table — one micro-batch reading 100 TB.
+ *    Chain tailing after the initial load is governed by
+ *    `max-snapshots-per-trigger`; appends are delivered whole (a commit is
+ *    the atomic unit of the chain diff).
  *
  * Semantics notes:
  *  - each batch applies the `to` snapshot's TOMBSTONES (merge-on-read
@@ -67,6 +75,26 @@ object GraftStreamSource {
     * diverge. */
   private[graft] def opt(parameters: Map[String, String], key: String): Option[String] =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private val InitOffsetRe = """\{"snapshot":(\d+),"file":(\d+)\}""".r
+
+  /** Parse either offset wire form: plain `<snapshotId>` (a completed
+    * snapshot — the LongOffset format all pre-chunking checkpoints hold) or
+    * `{"snapshot":S,"file":K}` (mid-initial-load position: the first K
+    * path-ordered files of snapshot S are delivered). Restarts hand back
+    * SerializedOffset, so the json string is the only contract. */
+  private[streaming] def parseOffset(json: String): (Long, Option[Long]) =
+    json.trim match {
+      case InitOffsetRe(snap, pos) => (snap.toLong, Some(pos.toLong))
+      case s => (s.toLong, None)
+    }
+}
+
+/** Offset INSIDE the initial snapshot: the first `filePos` (path-ordered)
+  * data files of `snapshotId` have been delivered. */
+private[streaming] final case class GraftInitOffset(snapshotId: Long, filePos: Long)
+  extends OffsetV1 {
+  override def json: String = s"""{"snapshot":$snapshotId,"file":$filePos}"""
 }
 
 class GraftStreamSource(
@@ -86,6 +114,11 @@ class GraftStreamSource(
       "skip-change-commits contradicts it — pick one")
   private val maxSnapshotsPerTrigger = opt("max-snapshots-per-trigger").map(_.toInt)
   maxSnapshotsPerTrigger.foreach(n => require(n > 0, "max-snapshots-per-trigger must be > 0"))
+  private val maxFilesPerTrigger = opt("max-files-per-trigger").map(_.toInt)
+  maxFilesPerTrigger.foreach(n => require(n > 0, "max-files-per-trigger must be > 0"))
+  require(maxFilesPerTrigger.isEmpty || startingSnapshotId.isEmpty,
+    "max-files-per-trigger chunks the initial snapshot; " +
+      "starting-snapshot-id skips it — pick one")
   /** `update-images-on=k1,k2`: pair per-commit delete+insert of a key tuple
     * into update_preimage/update_postimage events (change-rows mode only;
     * [[graft.table.Changelog.withUpdateImages]]). */
@@ -116,17 +149,47 @@ class GraftStreamSource(
   }
 
   /** Newest end offset handed to [[getBatch]] — the reference point for
-    * [[maxSnapshotsPerTrigger]] admission (volatile: the streaming thread
-    * calls getOffset/getBatch, but tests may probe concurrently). */
-  @volatile private var lastPlannedEnd: Option[Long] = None
+    * admission control: `(snapshotId, Some(filePos))` mid-initial-load,
+    * `(snapshotId, None)` once a snapshot is fully delivered (volatile: the
+    * streaming thread calls getOffset/getBatch, but tests may probe
+    * concurrently). */
+  @volatile private var lastPlannedEnd: Option[(Long, Option[Long])] = None
+
+  /** Path-ordered file list of the initial snapshot (cached: every chunk
+    * trigger re-derives positions from the SAME immutable list). */
+  @volatile private var initCache: Option[(Long, IndexedSeq[DataFileMeta])] = None
+  private def initFiles(snap: Long): IndexedSeq[DataFileMeta] = initCache match {
+    case Some((s, fs)) if s == snap => fs
+    case _ =>
+      val fs = table.files(Some(snap)).sortBy(_.path).toIndexedSeq
+      initCache = Some((snap, fs)); fs
+  }
 
   override def getOffset: Option[OffsetV1] = {
     val md = table.metadata
     val current = md.currentSnapshotId.getOrElse(return None)
-    for (last <- lastPlannedEnd)
+    for ((last, _) <- lastPlannedEnd)
       require(current >= last,
         s"current snapshot $current is behind delivered offset $last (rollback under a live stream?)")
-    val floor = lastPlannedEnd.orElse(startingSnapshotId)
+    lastPlannedEnd match {
+      case Some((snap, Some(pos))) =>
+        // mid-initial-load: keep chunking the pinned snapshot `snap` even
+        // if the table has advanced — chain tailing starts after it
+        val total = initFiles(snap).size
+        val next = maxFilesPerTrigger.map(m => math.min(pos + m, total.toLong))
+          .getOrElse(total.toLong)
+        return if (next >= total) Some(LongOffset(snap))
+               else Some(GraftInitOffset(snap, next))
+      case None if maxFilesPerTrigger.isDefined =>
+        // first trigger with chunking on (starting-snapshot-id is rejected
+        // up front, so this IS the initial load): cap the first chunk
+        val total = initFiles(current).size
+        val m = maxFilesPerTrigger.get
+        return if (total > m) Some(GraftInitOffset(current, m))
+               else Some(LongOffset(current))
+      case _ => // fall through to whole-snapshot chain admission
+    }
+    val floor = lastPlannedEnd.map(_._1).orElse(startingSnapshotId)
     val capped = (maxSnapshotsPerTrigger, floor) match {
       case (Some(maxN), Some(from)) if current != from =>
         // ancestors of `current` newer than `from`, oldest first; the cap
@@ -155,21 +218,54 @@ class GraftStreamSource(
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endId = end.json.trim.toLong
-    lastPlannedEnd = Some(endId)
-    val startId = start.map(_.json.trim.toLong).orElse(startingSnapshotId)
-    if (changeRows) return changeBatch(startId, endId)
-    startId match {
-      case Some(from) if from == endId =>
-        streamingDf(Seq.empty, endId)
-      case Some(from) =>
-        val (files, to) = table.incrementalFiles(from, Some(endId), skipChangeCommits)
-        streamingDf(files, to)
-      case None =>
-        // initial batch: the table's full contents as of `endId` (the
-        // streaming analog of a batch read — Delta-style initial snapshot)
-        streamingDf(table.files(Some(endId)), endId)
+    val endO = GraftStreamSource.parseOffset(end.json)
+    lastPlannedEnd = Some(endO)
+    val startO = start.map(o => GraftStreamSource.parseOffset(o.json))
+      .orElse(startingSnapshotId.map(id => (id, Option.empty[Long])))
+    (startO, endO) match {
+      // ---- chunked initial load: [from, until) of the path-ordered list
+      case (s, (snap, Some(until))) =>
+        val from = s match {
+          case None => 0L
+          case Some((s0, Some(p))) =>
+            require(s0 == snap, s"initial-load offsets span snapshots $s0 vs $snap"); p
+          case Some((s0, None)) => throw new IllegalStateException(
+            s"mid-initial offset after completed snapshot $s0 — corrupt offset log?")
+        }
+        initialChunk(snap, from, until)
+      case (Some((s0, Some(p))), (snap, None)) if s0 == snap =>
+        // final chunk: the rest of the initial snapshot
+        initialChunk(snap, p, initFiles(snap).size.toLong)
+      case (Some((s0, Some(_))), (snap, None)) => throw new IllegalStateException(
+        s"initial-load offsets span snapshots $s0 vs $snap — corrupt offset log?")
+
+      // ---- whole-snapshot chain tailing (original semantics)
+      case (sO, (endId, None)) =>
+        val startId = sO.map(_._1)
+        if (changeRows) return changeBatch(startId, endId)
+        startId match {
+          case Some(from) if from == endId =>
+            streamingDf(Seq.empty, endId)
+          case Some(from) =>
+            val (files, to) = table.incrementalFiles(from, Some(endId), skipChangeCommits)
+            streamingDf(files, to)
+          case None =>
+            // initial batch: the table's full contents as of `endId` (the
+            // streaming analog of a batch read — Delta-style initial snapshot)
+            streamingDf(table.files(Some(endId)), endId)
+        }
     }
+  }
+
+  /** One initial-load chunk: files [from, until) of the pinned snapshot's
+    * path-ordered list, with its tombstones applied — in change-rows mode
+    * tagged as insert events at that snapshot, otherwise plain rows. */
+  private def initialChunk(snap: Long, from: Long, until: Long): DataFrame = {
+    val chunk = initFiles(snap).slice(from.toInt, until.toInt)
+    if (changeRows)
+      graft.table.Changelog.initialSnapshot(table, snap, streamingTag = true, pinned,
+        filesOverride = Some(chunk))
+    else streamingDf(chunk, snap)
   }
 
   /** change-rows mode: the batch is the commits' insert/delete row images

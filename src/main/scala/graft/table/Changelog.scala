@@ -157,12 +157,14 @@ object Changelog {
   /** The full table contents at `snapshotId` as insert events — the
     * streaming source's initial-snapshot batch in change-rows mode. */
   def initialSnapshot(table: GraftTable, snapshotId: Long, streamingTag: Boolean,
-      pinned: Option[(StructType, Seq[PartitionSpec])] = None): DataFrame = {
+      pinned: Option[(StructType, Seq[PartitionSpec])] = None,
+      filesOverride: Option[Seq[DataFileMeta]] = None): DataFrame = {
     val spark = table.spark
     val (sch, specs) = pinned.getOrElse((table.schema, table.allPartitionSpecs))
     val df = table.applyTombstones(
       org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-        spark, sch, table.root, table.files(Some(snapshotId)), specs,
+        spark, sch, table.root,
+        filesOverride.getOrElse(table.files(Some(snapshotId))), specs,
         isStreaming = streamingTag),
       Some(snapshotId))
     df.withColumn(ChangeTypeCol, lit("insert")).withColumn(CommitCol, lit(snapshotId))

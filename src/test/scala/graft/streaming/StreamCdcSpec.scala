@@ -362,4 +362,106 @@ class StreamCdcSpec extends SparkSuite {
       assert(texts.asScala.forall(_ != null), "values must bind by field id, not go null")
     } finally q.stop()
   }
+
+  test("max-files-per-trigger chunks the initial snapshot, then chain tailing resumes") {
+    val root = tmpDir("graft-cdc-chunk")
+    val ckpt = tmpDir("graft-cdc-chunk-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(100, 1, "a")) // partitions=2 → 2 files per append
+    t.append(pagesTagged(50, 2, "b"))
+    t.append(pagesTagged(30, 3, "c"))
+    assert(t.files().size == 6)
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    drain(root, ckpt, got, Map("max-files-per-trigger" -> "2"))
+    import scala.jdk.CollectionConverters._
+    def batches = got.asScala.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(batches.size == 3, s"6 files / 2 per trigger = 3 micro-batches (got ${batches.size})")
+    assert(batches.flatMap(_._2).size == 180 && batches.flatMap(_._2).distinct.size == 180,
+      "chunked initial load delivers the full contents exactly once")
+
+    // after the initial load, appends tail as whole commits
+    t.append(pagesTagged(20, 4, "d"))
+    drain(root, ckpt, got, Map("max-files-per-trigger" -> "2"))
+    assert(batches.size == 4 && batches.flatMap(_._2).distinct.size == 200)
+    // idle restart: nothing re-delivered
+    drain(root, ckpt, got, Map("max-files-per-trigger" -> "2"))
+    assert(batches.flatMap(_._2).size == 200)
+  }
+
+  test("chunked initial load: restart mid-load resumes at the file position exactly once") {
+    val root = tmpDir("graft-cdc-chunk-resume")
+    val ckpt = tmpDir("graft-cdc-chunk-resume-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(60, 1, "a"))
+    t.append(pagesTagged(40, 2, "b"))
+    t.append(pagesTagged(20, 3, "c"))
+    // MoR-delete a few keys: every chunk must apply the snapshot's tombstones
+    val victims = t.read().select("url").limit(5).collect().map(_.getString(0)).toSeq
+    t.deleteByKeysMoR(spark.createDataset(victims)(
+      org.apache.spark.sql.Encoders.STRING).toDF("url"))
+    val snapDel = t.currentSnapshot.get.id
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    // Trigger.Once = exactly one micro-batch, then stop: each run is a REAL
+    // restart from the checkpoint with a fresh source instance
+    def oneBatch(): Unit = {
+      val q = spark.readStream.format("graft").option("max-files-per-trigger", "2")
+        .load(root).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          got.add((batchId, batch.select("url").collect().map(_.getString(0)).toSeq)); ()
+        }
+        .start()
+      try { q.awaitTermination() } finally { q.stop() }
+    }
+    import scala.jdk.CollectionConverters._
+    def urls = got.asScala.toSeq.flatMap(_._2)
+
+    oneBatch() // chunk 1: files [0,2)
+    val afterFirst = urls.size
+    assert(afterFirst > 0 && afterFirst < 115, s"first chunk is a strict subset ($afterFirst)")
+    // the offset log holds a mid-initial position, not a snapshot id
+    val off0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ckpt/offsets/0")))
+    assert(off0.contains(s"""{"snapshot":$snapDel,"file":2}"""), s"offset 0 was: $off0")
+
+    oneBatch() // restart: chunk 2 resumes at file 2
+    assert(urls.size > afterFirst && urls.size < 115, "second chunk advances, still partial")
+
+    // drain the rest (chunk 3 + completion)
+    drain(root, ckpt, got, Map("max-files-per-trigger" -> "2"))
+    assert(urls.size == 115 && urls.distinct.size == 115,
+      s"chunks across restarts union to the tombstone-filtered contents (got ${urls.size})")
+    assert(victims.forall(v => !urls.contains(v)), "tombstoned keys never delivered")
+    assert(urls.toSet == t.read().select("url").collect().map(_.getString(0)).toSet)
+  }
+
+  test("change-rows initial load chunks into insert events exactly once") {
+    val root = tmpDir("graft-cdc-chunk-rows")
+    val ckpt = tmpDir("graft-cdc-chunk-rows-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(50, 1, "a"))
+    t.append(pagesTagged(50, 2, "b"))
+
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    val q = spark.readStream.format("graft")
+      .option("change-rows", "true").option("max-files-per-trigger", "1")
+      .load(root).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.collect()
+        assert(rows.forall(r =>
+          r.getString(r.fieldIndex(graft.table.Changelog.ChangeTypeCol)) == "insert"))
+        got.add((batchId, rows.map(_.getString(0)).toSeq)); ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    import scala.jdk.CollectionConverters._
+    val batches = got.asScala.toSeq.filter(_._2.nonEmpty)
+    assert(batches.size == 4, s"4 files / 1 per trigger (got ${batches.size})")
+    val urls = batches.flatMap(_._2)
+    assert(urls.size == 100 && urls.distinct.size == 100)
+  }
 }
