@@ -37,9 +37,15 @@ object Compact {
       table: GraftTable,
       targetBytes: Long,
       orderBy: Option[String] = None,
-      smallFileFraction: Double = 0.75): Option[Plan] = {
+      smallFileFraction: Double = 0.75,
+      predicate: Option[org.apache.spark.sql.Column] = None): Option[Plan] = {
     val snap = table.currentSnapshot.getOrElse(return None)
-    val all = table.files()
+    // WHERE-scoped maintenance: only files whose stats range intersects the
+    // predicate are candidates — at 100 TB you compact the hot partition,
+    // not the table. Rewrites are row-preserving for ANY file subset, so
+    // scoping never affects correctness (and a scoped pass never clears
+    // tombstones — the full-coverage check below compares against ALL files)
+    val all = table.planFiles(predicate)
     val threshold = (targetBytes * smallFileFraction).toLong
     val small = all.filter(_.bytes < threshold)
     // with live MoR tombstones a rewrite has a second purpose — applying
@@ -93,14 +99,15 @@ object Compact {
       targetBytes: Long = 128L * 1024 * 1024,
       runId: String = java.util.UUID.randomUUID.toString,
       orderBy: Option[String] = None,
-      jobParallelism: Int = 8): Option[Snapshot] = {
+      jobParallelism: Int = 8,
+      predicate: Option[org.apache.spark.sql.Column] = None): Option[Snapshot] = {
     val spark = table.spark
     val t0 = System.nanoTime()
     var log = Maintenance.start(table, runId, "compact")
     log.committedSnapshotId.foreach { id =>
       return table.metadata.snapshot(id) // already fully committed earlier
     }
-    val p = plan(table, targetBytes, orderBy).getOrElse(return None)
+    val p = plan(table, targetBytes, orderBy, predicate = predicate).getOrElse(return None)
     val planStep = s"plan@${p.snapshotId}"
     require(log.doneSteps.isEmpty || log.doneSteps.contains(planStep),
       s"resume $runId: table advanced past planned snapshot; start a fresh run")

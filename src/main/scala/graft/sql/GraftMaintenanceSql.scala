@@ -33,8 +33,11 @@ import graft.table.GraftTable
  */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // WHERE scopes the pass to files whose stats intersect the predicate
+  // (Delta's `OPTIMIZE t WHERE … [ZORDER]` shape — the predicate text is
+  // parsed by Spark's own expression parser in the command)
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s*(?:(ZORDER)(?:\s+(HILBERT))?)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER)(?:\s+(HILBERT))?)?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   // partition-spec evolution (Spark has no such grammar): SET replaces the
@@ -61,8 +64,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def isPath(p: String): Boolean = p.contains("/")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(path, zorder, hilbert) if isPath(path) =>
-      GraftOptimizeCommand(path, zorder != null, hilbert != null)
+    case OptimizeRe(path, where, zorder, hilbert) if isPath(path) =>
+      GraftOptimizeCommand(path, zorder != null, hilbert != null,
+        Option(where).map(_.trim).filter(_.nonEmpty))
     case VacuumRe(path, retain) if isPath(path) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(10))
     case SetSpecRe(path, spec) if isPath(path) =>
@@ -93,7 +97,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 /** `OPTIMIZE graft.`path`` → compaction; `… ZORDER [HILBERT]` → full
   * clustering rewrite. Returns (operation, snapshot_id); snapshot_id -1
   * when the pass was a no-op (nothing to compact / empty table). */
-case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean)
+case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean,
+    where: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType)(),
@@ -101,6 +106,10 @@ case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean)
 
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftTable.load(session, path)
+    // WHERE → candidate files by metadata-bounds intersection; a rewrite of
+    // any subset is row-preserving, so scoping is always sound (and a
+    // scoped pass never clears MoR tombstones — full-coverage gated)
+    val pred = where.map(org.apache.spark.sql.functions.expr)
     if (zorder) {
       // the Z-dims are the north rule's (lang, url-host, warc_ts) — fail
       // with a real message instead of a mid-job unresolved-column error
@@ -110,10 +119,11 @@ case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean)
         s"OPTIMIZE ... ZORDER clusters on (lang, url-host, warc_ts) and needs columns " +
           s"${needed.mkString(", ")}; for other schemas use the programmatic Cluster API")
       val curve = if (hilbert) "hilbert" else "zorder"
-      val snap = Cluster.zorderRewrite(t, Cluster.ZDims(curve = curve))
+      val only = pred.map(p => t.planFiles(Some(p)))
+      val snap = Cluster.zorderRewrite(t, Cluster.ZDims(curve = curve), onlyFiles = only)
       Seq(Row(s"cluster-$curve", snap.map(_.id).getOrElse(-1L)))
     } else {
-      val snap = Compact.run(t)
+      val snap = Compact.run(t, predicate = pred)
       Seq(Row("compact", snap.map(_.id).getOrElse(-1L)))
     }
   }

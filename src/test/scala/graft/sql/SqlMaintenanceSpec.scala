@@ -34,6 +34,52 @@ class SqlMaintenanceSpec extends SparkSuite {
     assert(t.read().agg(bit_xor(xxhash64(col("url"), col("text")))).head().getLong(0) === pre)
   }
 
+  test("OPTIMIZE WHERE scopes the pass to predicate-matching files only") {
+    val t = GraftTable.create(spark, tmpDir("sqlmaint-where"), Synth.pageSchema)
+    // two disjoint lang populations, each as many small files
+    t.append(Synth.pages(spark, 800, partitions = 6).withColumn("lang", lit("aa")))
+    t.append(Synth.pages(spark, 800, partitions = 6, seed = 7).withColumn("lang", lit("bb")))
+    val pre = t.read().agg(bit_xor(xxhash64(col("url"), col("text"), col("lang"))))
+      .head().getLong(0)
+    val bbPaths = t.files().filter(_.minValues.get("lang").contains("bb")).map(_.path).toSet
+    assert(bbPaths.size == 6)
+
+    val r = spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE lang = 'aa'").collect()
+    assert(r.head.getString(0) == "compact" && r.head.getLong(1) > 0)
+    val after = t.files()
+    assert(after.map(_.path).toSet.intersect(bbPaths) == bbPaths,
+      "files outside the predicate must be untouched (same paths)")
+    assert(after.count(_.minValues.get("lang").contains("aa")) == 1,
+      "matching small files compact into one")
+    assert(t.read().agg(bit_xor(xxhash64(col("url"), col("text"), col("lang"))))
+      .head().getLong(0) == pre, "scoped maintenance preserves every row")
+
+    // a scoped pass must NOT clear live MoR tombstones (non-matching files
+    // may still hold tombstoned keys)
+    import spark.implicits._
+    val dead = t.read().filter(col("lang") === "bb").select("url").as[String].take(3).toSeq
+    // the same url can exist under both langs — the key delete hides all of them
+    val expected = 1600 - t.read().filter(col("url").isin(dead: _*)).count()
+    t.deleteByKeysMoR(dead.toDF("url"))
+    spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE lang = 'aa'").collect()
+    assert(t.tombstones().nonEmpty, "scoped compact must keep the tombstone set live")
+    assert(t.read().count() == expected)
+
+    // WHERE + ZORDER: scoped clustering rewrites only matching files
+    t.append(Synth.pages(spark, 400, partitions = 4, seed = 11).withColumn("lang", lit("aa")))
+    val cntBefore = t.read().count()
+    val bbNow = t.files().filter(_.minValues.get("lang").contains("bb")).map(_.path).toSet
+    val rz = spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE lang = 'aa' ZORDER").collect()
+    assert(rz.head.getString(0) == "cluster-zorder" && rz.head.getLong(1) > 0)
+    assert(t.files().map(_.path).toSet.intersect(bbNow) == bbNow,
+      "ZORDER WHERE leaves non-matching files in place")
+    assert(t.read().count() == cntBefore, "scoped ZORDER preserves the visible rows")
+
+    // WHERE matching nothing → clean no-op
+    val r0 = spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE lang = 'zz'").collect()
+    assert(r0.head.getLong(1) == -1L, "no matching files → no-op, not an error")
+  }
+
   test("hilbert variant and delegate passthrough") {
     val t = GraftTable.create(spark, tmpDir("sqlmaint-h"), Synth.pageSchema)
     t.append(Synth.pages(spark, 1000, partitions = 4))
