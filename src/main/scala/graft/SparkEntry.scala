@@ -599,6 +599,35 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // Named snapshot refs end-to-end: tag the initial load, append a second
+    // generation, run a WHERE-scoped compaction (row-preserving), VACUUM
+    // with the tag pinning the initial snapshot against GC — then read BOTH
+    // the tagged state (SQL time travel by name, through the expired-away
+    // history) and the head. DuckDB replays the two underlying row sets.
+    "q39_refs_lifecycle" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val a = ord.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      val b = ord.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      val root = java.nio.file.Files.createTempDirectory("graft-q39").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, a.schema)
+      tbl.append(a.coalesce(8))
+      s.sql(s"ALTER TABLE graft.`$root` CREATE TAG base").collect()
+      tbl.append(b.coalesce(8))
+      s.sql(s"OPTIMIZE graft.`$root` WHERE price < 100000.0").collect()
+      s.sql(s"VACUUM graft.`$root` RETAIN 1 SNAPSHOTS").collect()
+      def agg(df: DataFrame, src: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("price"), 2).as("price_sum")).withColumn("src", lit(src))
+      val out = agg(s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 'base'"), "base")
+        .unionByName(agg(s.sql(s"SELECT * FROM graft.`$root`"), "head"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -978,5 +1007,19 @@ object SparkEntry {
         |SELECT change_type, count(*) AS n_rows,
         |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
         |       round(sum(c_acctbal), 2) AS bal_sum
-        |FROM ev GROUP BY 1""".stripMargin)
+        |FROM ev GROUP BY 1""".stripMargin,
+    // q39: the tagged state is generation A alone (the tag pins it through
+    // VACUUM); the head is A ∪ B — the scoped OPTIMIZE between them is
+    // row-preserving, so neither aggregate may move
+    "q39_refs_lifecycle" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price
+        |           FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |             CAST(o_totalprice AS DOUBLE) AS price
+        |      FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(price), 2) AS price_sum, 'base' AS src FROM a
+        |UNION ALL
+        |SELECT count(*), CAST(sum(o_orderkey) AS BIGINT), round(sum(price), 2), 'head'
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)""".stripMargin)
 }

@@ -54,6 +54,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
   private val DropTagRe =
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?([A-Za-z0-9._-]+)\s*;?\s*""".r
+  // Delta-style RESTORE (no Spark grammar): snapshot id or 'tag' name
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([A-Za-z0-9._-]+)')\s*;?\s*""".r
 
   // graft tables are PATH-addressed: intercept only identifiers that look
   // like paths (contain a slash — `./name` works for a table in the CWD).
@@ -78,6 +81,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         snapshotId = Option(asOf).map(_.toLong), replace = orReplace != null)
     case DropTagRe(path, ifExists, name) if isPath(path) =>
       GraftTagCommand(path, name, create = false, ifExists = ifExists != null)
+    case RestoreRe(path, id, tag) if isPath(path) =>
+      GraftRestoreCommand(path, Option(id).map(_.toLong), Option(tag))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -156,6 +161,23 @@ case class GraftSetPartitionSpecCommand(path: String, spec: Option[String])
   override def run(session: SparkSession): Seq[Row] = {
     GraftTable.load(session, path).setPartitionSpec(spec)
     Seq.empty
+  }
+}
+
+/** `RESTORE TABLE graft.`p` TO VERSION AS OF <id|'tag'>` → instant,
+  * data-free pointer rollback ([[GraftTable.rollback]]); abandoned
+  * snapshots stay until expiry (redo = another RESTORE). */
+case class GraftRestoreCommand(path: String, snapshotId: Option[Long], tag: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("previous_snapshot_id", LongType)(),
+    AttributeReference("restored_snapshot_id", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val prev = t.currentSnapshot.map(_.id).getOrElse(-1L)
+    val target = snapshotId.getOrElse(t.refSnapshotId(tag.get))
+    t.rollback(target)
+    Seq(Row(prev, target))
   }
 }
 

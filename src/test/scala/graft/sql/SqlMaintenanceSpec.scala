@@ -80,6 +80,26 @@ class SqlMaintenanceSpec extends SparkSuite {
     assert(r0.head.getLong(1) == -1L, "no matching files → no-op, not an error")
   }
 
+  test("RESTORE TABLE rolls back to a version or tag, data-free") {
+    val t = GraftTable.create(spark, tmpDir("sqlmaint-restore"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 500, partitions = 2))
+    val s1 = t.currentSnapshot.get.id
+    spark.sql(s"ALTER TABLE graft.`${t.root}` CREATE TAG before-bad-load")
+    t.append(Synth.pages(spark, 200, partitions = 2, seed = 5))
+    assert(t.read().count() == 700)
+
+    val r = spark.sql(s"RESTORE TABLE graft.`${t.root}` TO VERSION AS OF 'before-bad-load'")
+      .collect().head
+    assert(r.getLong(0) == s1 + 1 && r.getLong(1) == s1)
+    assert(t.read().count() == 500, "restore hides the bad append instantly")
+
+    // redo: restore forward by numeric id (abandoned snapshots stay)
+    spark.sql(s"RESTORE TABLE graft.`${t.root}` TO VERSION AS OF ${s1 + 1}").collect()
+    assert(t.read().count() == 700)
+    intercept[Exception](
+      spark.sql(s"RESTORE TABLE graft.`${t.root}` TO VERSION AS OF 999").collect())
+  }
+
   test("hilbert variant and delegate passthrough") {
     val t = GraftTable.create(spark, tmpDir("sqlmaint-h"), Synth.pageSchema)
     t.append(Synth.pages(spark, 1000, partitions = 4))
