@@ -47,13 +47,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+SET\s+PARTITION\s+SPEC\s*\((.+)\)\s*;?\s*""".r
   private val DropSpecRe =
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+PARTITION\s+SPEC\s*;?\s*""".r
-  // named snapshot refs (Iceberg's CREATE/DROP TAG — no Spark grammar):
-  // CREATE [OR REPLACE] TAG name [AS OF VERSION n], DROP TAG [IF EXISTS] name
+  // named snapshot refs (Iceberg's CREATE/DROP TAG/BRANCH — no Spark
+  // grammar): CREATE [OR REPLACE] TAG|BRANCH name [AS OF VERSION n],
+  // DROP TAG|BRANCH [IF EXISTS] name, FAST FORWARD BRANCH name (publish)
   private val CreateTagRe =
-    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+""" +
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+CREATE\s+(OR\s+REPLACE\s+)?(TAG|BRANCH)\s+""" +
       """([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
   private val DropTagRe =
-    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+TAG\s+(IF\s+EXISTS\s+)?([A-Za-z0-9._-]+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+(TAG|BRANCH)\s+(IF\s+EXISTS\s+)?([A-Za-z0-9._-]+)\s*;?\s*""".r
+  private val FastForwardRe =
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*""".r
   // Delta-style RESTORE (no Spark grammar): snapshot id or 'tag' name
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([A-Za-z0-9._-]+)')\s*;?\s*""".r
@@ -76,11 +79,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftSetPartitionSpecCommand(path, Some(spec.trim))
     case DropSpecRe(path) if isPath(path) =>
       GraftSetPartitionSpecCommand(path, None)
-    case CreateTagRe(path, orReplace, name, asOf) if isPath(path) =>
-      GraftTagCommand(path, name, create = true,
+    case CreateTagRe(path, orReplace, kind, name, asOf) if isPath(path) =>
+      GraftTagCommand(path, name, create = true, kind = kind.toLowerCase,
         snapshotId = Option(asOf).map(_.toLong), replace = orReplace != null)
-    case DropTagRe(path, ifExists, name) if isPath(path) =>
-      GraftTagCommand(path, name, create = false, ifExists = ifExists != null)
+    case DropTagRe(path, kind, ifExists, name) if isPath(path) =>
+      GraftTagCommand(path, name, create = false, kind = kind.toLowerCase,
+        ifExists = ifExists != null)
+    case FastForwardRe(path, name) if isPath(path) =>
+      GraftFastForwardCommand(path, name)
     case RestoreRe(path, id, tag) if isPath(path) =>
       GraftRestoreCommand(path, Option(id).map(_.toLong), Option(tag))
     case _ => delegate.parsePlan(sqlText)
@@ -181,24 +187,40 @@ case class GraftRestoreCommand(path: String, snapshotId: Option[Long], tag: Opti
   }
 }
 
-/** `ALTER TABLE graft.`p` CREATE [OR REPLACE] TAG name [AS OF VERSION n]` /
-  * `… DROP TAG [IF EXISTS] name` → named snapshot refs
-  * ([[GraftTable.createTag]]/[[GraftTable.dropTag]]): the tagged snapshot is
-  * time-travelable as `VERSION AS OF 'name'` and pinned against VACUUM. */
+/** `ALTER TABLE graft.`p` CREATE [OR REPLACE] TAG|BRANCH name [AS OF
+  * VERSION n]` / `… DROP TAG|BRANCH [IF EXISTS] name` → named snapshot refs
+  * ([[GraftTable.createTag]]/[[GraftTable.createBranch]]/drops): refs are
+  * time-travelable as `VERSION AS OF 'name'` and pinned against VACUUM;
+  * branches additionally take staged appends (`append(df, toBranch=…)`). */
 case class GraftTagCommand(path: String, name: String, create: Boolean,
-    snapshotId: Option[Long] = None, replace: Boolean = false,
-    ifExists: Boolean = false) extends LeafRunnableCommand {
+    kind: String = "tag", snapshotId: Option[Long] = None,
+    replace: Boolean = false, ifExists: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("name", StringType)(),
     AttributeReference("snapshot_id", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftTable.load(session, path)
     if (create) {
-      val md = t.createTag(name, snapshotId, replace)
+      val md = if (kind == "branch") t.createBranch(name, snapshotId, replace)
+               else t.createTag(name, snapshotId, replace)
       Seq(Row(name, md.refMap(name).snapshotId))
     } else {
-      t.dropTag(name, ifExists)
+      if (kind == "branch") t.dropBranch(name, ifExists) else t.dropTag(name, ifExists)
       Seq(Row(name, -1L))
     }
+  }
+}
+
+/** `ALTER TABLE graft.`p` FAST FORWARD BRANCH name` → publish a staged
+  * branch ([[GraftTable.fastForward]]): main moves to the branch head iff
+  * it is a pure fast-forward. Returns the new main snapshot id. */
+case class GraftFastForwardCommand(path: String, name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType)(),
+    AttributeReference("snapshot_id", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val md = t.fastForward(name)
+    Seq(Row(name, md.currentSnapshotId.getOrElse(-1L)))
   }
 }

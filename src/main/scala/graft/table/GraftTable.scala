@@ -565,9 +565,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   def append(
       df: DataFrame,
       summary: Map[String, String] = Map.empty,
-      propertyUpdates: Map[String, String] = Map.empty): Snapshot = {
+      propertyUpdates: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None): Snapshot = {
     val metas = writeDataFiles(df)
-    commit("append", propertyUpdates = propertyUpdates) { parent =>
+    commit("append", propertyUpdates = propertyUpdates, toBranch = toBranch) { parent =>
       val mf = writeManifest(metas)
       (parent.map(_.manifests).getOrElse(Seq.empty) :+ mf,
         summary ++ Map(
@@ -627,9 +628,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * alter them.
    */
   def commit(op: String, expectedSnapshotId: Option[Long] = None,
-      propertyUpdates: Map[String, String] = Map.empty)(
+      propertyUpdates: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None)(
       build: Option[Snapshot] => (Seq[ManifestMeta], Map[String, String])): Snapshot =
-    commitFull(op, expectedSnapshotId, propertyUpdates) { parent =>
+    commitFull(op, expectedSnapshotId, propertyUpdates, toBranch = toBranch) { parent =>
       val (manifests, summary) = build(parent)
       (manifests, parent.flatMap(_.deleteManifests), summary)
     }
@@ -639,14 +641,27 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * atomically in the same metadata version (rename/drop evolution). */
   def commitFull(op: String, expectedSnapshotId: Option[Long] = None,
       propertyUpdates: Map[String, String] = Map.empty,
-      schemaUpdate: Option[StructType] = None)(
+      schemaUpdate: Option[StructType] = None,
+      toBranch: Option[String] = None)(
       build: Option[Snapshot] => (Seq[ManifestMeta], Option[Seq[ManifestMeta]], Map[String, String])): Snapshot = {
+    require(toBranch.isEmpty || schemaUpdate.isEmpty,
+      s"$op: schema evolution commits to main only, not a branch")
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
       val v = currentVersion
       val md = metadataAt(v)
-      val parent = md.currentSnapshot
+      // a branch commit's parent is the BRANCH head; main's pointer is
+      // untouched — the snapshot joins the log, only the ref moves
+      val parent = toBranch match {
+        case None => md.currentSnapshot
+        case Some(b) =>
+          val r = md.refMap.getOrElse(b, throw new IllegalArgumentException(
+            s"$op: unknown branch '$b' on $root — create it with createBranch"))
+          require(r.kind == "branch", s"$op: ref '$b' is a ${r.kind}, not a branch")
+          Some(md.snapshot(r.snapshotId).getOrElse(throw new IllegalStateException(
+            s"$op: branch '$b' head ${r.snapshotId} is not a retained snapshot")))
+      }
       for (expected <- expectedSnapshotId)
         require(parent.map(_.id).contains(expected),
           s"$op planned against snapshot $expected but current is ${parent.map(_.id)}: concurrent commit, replan required")
@@ -657,15 +672,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         timestampMs = System.currentTimeMillis(),
         operation = op,
         manifests = manifests,
-        summary = summary,
+        summary = summary ++ toBranch.map("branch" -> _),
         deleteManifests = deleteManifests.filter(_.nonEmpty))
       val next = md.copy(
-        currentSnapshotId = Some(snap.id),
+        currentSnapshotId = if (toBranch.isEmpty) Some(snap.id) else md.currentSnapshotId,
         snapshots = md.snapshots :+ snap,
         lastSnapshotId = snap.id,
         properties = md.properties ++ propertyUpdates,
         schemaDdl = schemaUpdate.map(_.toDDL).getOrElse(md.schemaDdl),
-        schemaJson = schemaUpdate.map(_.json).orElse(md.schemaJson))
+        schemaJson = schemaUpdate.map(_.json).orElse(md.schemaJson),
+        refs = toBranch.map(b => md.refMap.updated(b, RefMeta(snap.id, "branch")))
+          .map(Some(_)).getOrElse(md.refs))
       if (FileIO.putIfAbsent(s"$metadataDir/v${v + 1}.json", MetaJson.write(next))) {
         FileIO.writeString(hintPath, (v + 1).toString)
         return snap
@@ -726,31 +743,93 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * an existing tag.
    */
   def createTag(name: String, snapshotId: Option[Long] = None,
-      replace: Boolean = false): TableMetadata = {
+      replace: Boolean = false): TableMetadata =
+    createRef(name, "tag", snapshotId, replace)
+
+  /**
+   * Create a BRANCH: a movable ref `append(df, toBranch = Some(name))`
+   * commits onto without touching the main pointer — the write-audit-publish
+   * staging lane (stage appends on a branch, validate them, [[fastForward]]
+   * main). Branches are append+read only; maintenance and MERGE target main.
+   * Like tags, a branch head pins its snapshot (and files) against expiry.
+   */
+  def createBranch(name: String, snapshotId: Option[Long] = None,
+      replace: Boolean = false): TableMetadata =
+    createRef(name, "branch", snapshotId, replace)
+
+  private def createRef(name: String, kind: String, snapshotId: Option[Long],
+      replace: Boolean): TableMetadata = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"ref name '$name' must match [A-Za-z0-9._-]+")
     require(name.toLongOption.isEmpty,
       s"ref name '$name' would be ambiguous with a snapshot id in VERSION AS OF")
     commitMetadataUpdate { md =>
       val id = snapshotId.orElse(md.currentSnapshotId).getOrElse(
-        throw new IllegalArgumentException(s"cannot tag an empty table (no snapshots)"))
+        throw new IllegalArgumentException(s"cannot $kind an empty table (no snapshots)"))
       require(md.snapshot(id).nonEmpty,
-        s"cannot tag unknown or expired snapshot $id")
-      require(replace || !md.refMap.contains(name),
-        s"ref '$name' already exists (points at snapshot ${md.refMap(name).snapshotId}); " +
-          "pass replace=true / CREATE OR REPLACE TAG to move it")
-      md.copy(refs = Some(md.refMap.updated(name, RefMeta(id))))
+        s"cannot $kind unknown or expired snapshot $id")
+      md.refMap.get(name).foreach { existing =>
+        require(replace && existing.kind == kind,
+          s"ref '$name' already exists (${existing.kind} at snapshot ${existing.snapshotId}); " +
+            (if (existing.kind == kind) s"pass replace=true / CREATE OR REPLACE to move it"
+             else s"a ${existing.kind} cannot be replaced by a $kind — drop it first"))
+      }
+      md.copy(refs = Some(md.refMap.updated(name, RefMeta(id, kind))))
     }
   }
 
   /** Drop a tag — the snapshot stays until expiry ages it out normally. */
   def dropTag(name: String, ifExists: Boolean = false): TableMetadata =
+    dropRef(name, "tag", ifExists)
+
+  /** Drop a branch — its staged snapshots stay until expiry GCs them. */
+  def dropBranch(name: String, ifExists: Boolean = false): TableMetadata =
+    dropRef(name, "branch", ifExists)
+
+  private def dropRef(name: String, kind: String, ifExists: Boolean): TableMetadata =
     commitMetadataUpdate { md =>
-      if (!md.refMap.contains(name) && !ifExists)
-        throw new IllegalArgumentException(
+      md.refMap.get(name) match {
+        case None if ifExists => md
+        case None => throw new IllegalArgumentException(
           s"unknown ref '$name' on $root — known refs: " +
             (if (md.refMap.isEmpty) "(none)" else md.refMap.keys.toSeq.sorted.mkString(", ")))
-      md.copy(refs = Some(md.refMap - name).filter(_.nonEmpty))
+        case Some(r) =>
+          require(r.kind == kind, s"ref '$name' is a ${r.kind}, not a $kind")
+          md.copy(refs = Some(md.refMap - name).filter(_.nonEmpty))
+      }
+    }
+
+  /**
+   * Publish a branch: move MAIN to the branch head, required to be a pure
+   * fast-forward (main's current snapshot is an ancestor of the branch
+   * head — nothing committed to main since the branch diverged). The
+   * ancestry requirement also refuses crossing a main-side schema-evolution
+   * commit, which by construction breaks ancestry. The branch ref stays
+   * (now pointing at main's snapshot); drop it when done.
+   */
+  def fastForward(branch: String): TableMetadata =
+    commitMetadataUpdate { md =>
+      val r = md.refMap.getOrElse(branch, throw new IllegalArgumentException(
+        s"unknown ref '$branch' on $root"))
+      require(r.kind == "branch", s"ref '$branch' is a ${r.kind}, not a branch")
+      val head = r.snapshotId
+      val mainId = md.currentSnapshotId.getOrElse(
+        throw new IllegalArgumentException("cannot fast-forward an empty table"))
+      if (mainId == head) md
+      else {
+        // walk the branch head's parent chain looking for main's snapshot
+        var cur = md.snapshot(head)
+        var found = false
+        while (cur.nonEmpty && !found) {
+          found = cur.get.parentId.contains(mainId)
+          cur = cur.get.parentId.flatMap(md.snapshot)
+        }
+        require(found,
+          s"cannot fast-forward: main snapshot $mainId is not an ancestor of " +
+            s"branch '$branch' head $head — main advanced since the branch " +
+            "diverged (rebase by re-staging, or RESTORE main first)")
+        md.copy(currentSnapshotId = Some(head))
+      }
     }
 
   /** Snapshot-isolated read of the snapshot a tag points at. */

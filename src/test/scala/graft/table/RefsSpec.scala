@@ -83,6 +83,75 @@ class RefsSpec extends SparkSuite {
     intercept[Exception](tbl.readSnapshot(taggedId).collect())
   }
 
+  test("branches: staged appends, isolation, fast-forward publish (WAP)") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-branch"), Synth.pageSchema)
+    tbl.append(batch("base", 100))
+    val mainSnap = tbl.currentSnapshot.get.id
+    tbl.createBranch("staging")
+
+    // two staged appends: the branch advances, main does not move
+    val b1 = tbl.append(batch("s1", 30), toBranch = Some("staging"))
+    val b2 = tbl.append(batch("s2", 20), toBranch = Some("staging"))
+    assert(b2.parentId.contains(b1.id) && b1.parentId.contains(mainSnap))
+    assert(tbl.currentSnapshot.get.id == mainSnap, "main pointer untouched by branch commits")
+    assert(tbl.read().count() == 100, "main readers see none of the staged rows")
+    assert(tbl.readRef("staging").count() == 150, "branch readers see base + staged")
+    assert(tbl.refs("staging").snapshotId == b2.id)
+
+    // audit passes → publish: main fast-forwards to the branch head
+    tbl.fastForward("staging")
+    assert(tbl.currentSnapshot.get.id == b2.id)
+    assert(tbl.read().count() == 150)
+    // idempotent when already at head
+    tbl.fastForward("staging")
+    tbl.dropBranch("staging")
+
+    // diverged main refuses the publish
+    tbl.createBranch("late", Some(b1.id))
+    intercept[IllegalArgumentException](tbl.fastForward("late"))
+    // kind guards
+    tbl.createTag("just-a-tag")
+    intercept[IllegalArgumentException](tbl.fastForward("just-a-tag"))
+    intercept[IllegalArgumentException](tbl.dropTag("late"))
+    intercept[IllegalArgumentException](tbl.dropBranch("just-a-tag"))
+    intercept[IllegalArgumentException](tbl.append(batch("x", 5), toBranch = Some("just-a-tag")))
+    intercept[IllegalArgumentException](tbl.append(batch("x", 5), toBranch = Some("missing")))
+    // schema evolution never lands on a branch
+    intercept[IllegalArgumentException](tbl.commitFull(
+      "rename-column", toBranch = Some("late"),
+      schemaUpdate = Some(tbl.schema))(p => (p.get.manifests, None, Map.empty)))
+  }
+
+  test("branch head pins staged files through expiry; SQL branch DDL + publish") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-branch-sql"), Synth.pageSchema)
+    tbl.append(batch("base", 80))
+    val r = spark.sql(s"ALTER TABLE graft.`${tbl.root}` CREATE BRANCH audit").collect()
+    assert(r.head.getString(0) == "audit")
+    tbl.append(batch("staged", 40), toBranch = Some("audit"))
+
+    // main-side churn that would GC unreferenced files: overwrite + vacuum.
+    // NOTE main has advanced → the branch is no longer fast-forwardable,
+    // but its staged state must survive expiry intact
+    batch("v2", 60).write.format("graft").mode("overwrite").save(tbl.root)
+    spark.sql(s"VACUUM graft.`${tbl.root}` RETAIN 1 SNAPSHOTS").collect()
+    assert(spark.sql(s"SELECT * FROM graft.`${tbl.root}` VERSION AS OF 'audit'").count() == 120,
+      "branch head (base+staged files) pinned through VACUUM")
+    val refs = spark.sql(s"SELECT kind FROM graft.`${tbl.root}`.refs").collect()
+    assert(refs.map(_.getString(0)).toSeq == Seq("branch"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`${tbl.root}` FAST FORWARD BRANCH audit").collect())
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` DROP BRANCH audit").collect()
+
+    // clean WAP round-trip through SQL on the new main
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` CREATE BRANCH wap").collect()
+    tbl.append(batch("w", 25), toBranch = Some("wap"))
+    val ff = spark.sql(s"ALTER TABLE graft.`${tbl.root}` FAST FORWARD BRANCH wap").collect()
+    assert(ff.head.getLong(1) == tbl.currentSnapshot.get.id)
+    assert(tbl.read().count() == 85)
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` DROP BRANCH IF EXISTS wap").collect()
+    assert(tbl.refs.isEmpty)
+  }
+
   test("SQL surface: CREATE/DROP TAG, VERSION AS OF 'name', .refs, VACUUM pin") {
     val tbl = GraftTable.create(spark, tmpDir("refs-sql"), Synth.pageSchema)
     tbl.append(batch("a", 90))
