@@ -30,11 +30,23 @@ object Expire {
     val md = table.metadata
     val current = md.currentSnapshotId.getOrElse(return Result(Nil, Nil, Nil))
     val byId = md.snapshots.sortBy(_.id)
-    // named refs (tags) pin their snapshot — and thereby every file it
-    // references — regardless of age or retainLast, until the tag is dropped
+    // named refs pin their snapshot — and thereby every file it references —
+    // regardless of age or retainLast, until the ref is dropped. A BRANCH
+    // additionally pins its staged chain head→base (exclusive): expiring an
+    // intermediate staged commit would break the fast-forward ancestry walk
+    // mid-staging. Main history below the base ages out normally.
+    val branchChains = md.refMap.values.filter(_.kind == "branch").flatMap { r =>
+      val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = md.snapshot(r.snapshotId)
+      while (cur.nonEmpty && !r.baseSnapshotId.contains(cur.get.id)) {
+        chain += cur.get.id
+        cur = cur.get.parentId.flatMap(md.snapshot)
+      }
+      chain
+    }
     val keepIds = (byId.takeRight(retainLast).map(_.id) :+ current).toSet ++
       byId.filter(_.timestampMs >= olderThanMs).map(_.id) ++
-      md.refMap.values.map(_.snapshotId)
+      md.refMap.values.map(_.snapshotId) ++ branchChains
     val (kept, dropped) = byId.partition(s => keepIds.contains(s.id))
     if (dropped.isEmpty) return Result(Nil, Nil, Nil)
 

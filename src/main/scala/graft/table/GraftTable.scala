@@ -681,8 +681,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         properties = md.properties ++ propertyUpdates,
         schemaDdl = schemaUpdate.map(_.toDDL).getOrElse(md.schemaDdl),
         schemaJson = schemaUpdate.map(_.json).orElse(md.schemaJson),
-        refs = toBranch.map(b => md.refMap.updated(b, RefMeta(snap.id, "branch")))
-          .map(Some(_)).getOrElse(md.refs))
+        refs = toBranch.map { b =>
+          val r = md.refMap(b) // validated above
+          // the branch base (divergence point) survives every staged commit
+          md.refMap.updated(b, RefMeta(snap.id, "branch",
+            r.baseSnapshotId.orElse(Some(r.snapshotId))))
+        }.map(Some(_)).getOrElse(md.refs))
       if (FileIO.putIfAbsent(s"$metadataDir/v${v + 1}.json", MetaJson.write(next))) {
         FileIO.writeString(hintPath, (v + 1).toString)
         return snap
@@ -774,7 +778,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
             (if (existing.kind == kind) s"pass replace=true / CREATE OR REPLACE to move it"
              else s"a ${existing.kind} cannot be replaced by a $kind — drop it first"))
       }
-      md.copy(refs = Some(md.refMap.updated(name, RefMeta(id, kind))))
+      md.copy(refs = Some(md.refMap.updated(name,
+        RefMeta(id, kind, if (kind == "branch") Some(id) else None))))
     }
   }
 

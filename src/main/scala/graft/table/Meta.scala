@@ -57,11 +57,17 @@ final case class Snapshot(
   def deleteManifestList: Seq[ManifestMeta] = deleteManifests.getOrElse(Seq.empty)
 }
 
-/** Named snapshot reference (Iceberg-style tag): pins `snapshotId` against
-  * expiry and names it for time travel (`VERSION AS OF 'name'`). `kind` is
-  * "tag" today; the field exists so a future movable-branch ref
-  * deserializes without a format bump. */
-final case class RefMeta(snapshotId: Long, kind: String = "tag")
+/** Named snapshot reference: pins `snapshotId` against expiry and names it
+  * for time travel (`VERSION AS OF 'name'`). `kind` is "tag" (immovable) or
+  * "branch" (moved by staged commits). For a branch, `baseSnapshotId`
+  * records where it diverged from main: expiry pins the staged chain
+  * head→base so a mid-staging VACUUM can never break the fast-forward
+  * ancestry walk. */
+final case class RefMeta(
+    snapshotId: Long,
+    kind: String = "tag",
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    baseSnapshotId: Option[Long] = None)
 
 final case class TableMetadata(
     formatVersion: Int,

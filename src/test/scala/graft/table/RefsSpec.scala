@@ -102,6 +102,9 @@ class RefsSpec extends SparkSuite {
     tbl.fastForward("staging")
     assert(tbl.currentSnapshot.get.id == b2.id)
     assert(tbl.read().count() == 150)
+    // a publish is CDC-transparent: incremental readers on main see the
+    // staged commits as ordinary appends across the fast-forward
+    assert(tbl.incrementalRead(mainSnap).count() == 50)
     // idempotent when already at head
     tbl.fastForward("staging")
     tbl.dropBranch("staging")
@@ -120,6 +123,26 @@ class RefsSpec extends SparkSuite {
     intercept[IllegalArgumentException](tbl.commitFull(
       "rename-column", toBranch = Some("late"),
       schemaUpdate = Some(tbl.schema))(p => (p.get.manifests, None, Map.empty)))
+  }
+
+  test("VACUUM mid-staging keeps the whole staged chain publishable") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-branch-vac"), Synth.pageSchema)
+    val old = tbl.append(batch("old", 10)).id
+    tbl.append(batch("base", 90))
+    tbl.createBranch("st")
+    val c1 = tbl.append(batch("s1", 30), toBranch = Some("st")).id
+    tbl.append(batch("s2", 20), toBranch = Some("st"))
+
+    val r = Expire.expire(tbl, retainLast = 1)
+    assert(r.removedSnapshots == Seq(old),
+      s"only pre-branch main history expires (got ${r.removedSnapshots})")
+    assert(tbl.metadata.snapshot(c1).nonEmpty,
+      "intermediate staged commit pinned via the branch chain")
+
+    tbl.fastForward("st") // the ancestry walk crosses c1 — must still work
+    // expiring the `old` SNAPSHOT removes time travel to it, not its rows:
+    // later snapshots' manifests still reference the files
+    assert(tbl.read().count() == 150)
   }
 
   test("branch head pins staged files through expiry; SQL branch DDL + publish") {
