@@ -57,6 +57,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+(TAG|BRANCH)\s+(IF\s+EXISTS\s+)?([A-Za-z0-9._-]+)\s*;?\s*""".r
   private val FastForwardRe =
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+FAST\s+FORWARD\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*""".r
+  // PUBLISH = fast-forward or, when main advanced, cherry-pick the staged
+  // appends onto main's head (GraftTable.publish)
+  private val PublishRe =
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+PUBLISH\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*""".r
   // Delta-style RESTORE (no Spark grammar): snapshot id or 'tag' name
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([A-Za-z0-9._-]+)')\s*;?\s*""".r
@@ -87,6 +91,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         ifExists = ifExists != null)
     case FastForwardRe(path, name) if isPath(path) =>
       GraftFastForwardCommand(path, name)
+    case PublishRe(path, name) if isPath(path) =>
+      GraftPublishCommand(path, name)
     case RestoreRe(path, id, tag) if isPath(path) =>
       GraftRestoreCommand(path, Option(id).map(_.toLong), Option(tag))
     case _ => delegate.parsePlan(sqlText)
@@ -221,6 +227,21 @@ case class GraftFastForwardCommand(path: String, name: String) extends LeafRunna
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftTable.load(session, path)
     val md = t.fastForward(name)
+    Seq(Row(name, md.currentSnapshotId.getOrElse(-1L)))
+  }
+}
+
+/** `ALTER TABLE graft.`p` PUBLISH BRANCH name` → [[GraftTable.publish]]:
+  * fast-forward when main is an ancestor of the branch head, otherwise
+  * cherry-pick the staged appends onto main's head as one "publish"
+  * commit. Returns the new main snapshot id. */
+case class GraftPublishCommand(path: String, name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType)(),
+    AttributeReference("snapshot_id", LongType)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val md = t.publish(name)
     Seq(Row(name, md.currentSnapshotId.getOrElse(-1L)))
   }
 }

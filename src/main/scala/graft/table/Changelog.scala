@@ -180,7 +180,7 @@ object Changelog {
       rel: Seq[DataFileMeta] => DataFrame,
       tag: (DataFrame, String, Long) => DataFrame): Seq[DataFrame] = snap.operation match {
 
-    case "append" =>
+    case "append" | "publish" => // publish = branch cherry-pick: pure additions
       val parentM = parent.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
       val files = snap.manifests.filterNot(m => parentM.contains(m.path))
         .flatMap(m => table.readManifest(m.path))

@@ -415,7 +415,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val added = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
     while (cursor.id != fromSnapshotId) {
       cursor.operation match {
-        case "append" =>
+        // "publish" (branch cherry-pick) is append-SHAPED: manifests are
+        // the parent's plus the staged additions, tombstones unchanged
+        case "append" | "publish" =>
           val parentManifests = cursor.parentId
             .flatMap(md.snapshot).map(_.manifests.map(_.path).toSet)
             .getOrElse(Set.empty)
@@ -832,20 +834,124 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         require(found,
           s"cannot fast-forward: main snapshot $mainId is not an ancestor of " +
             s"branch '$branch' head $head — main advanced since the branch " +
-            "diverged (rebase by re-staging, or RESTORE main first)")
-        md.copy(currentSnapshotId = Some(head))
+            "diverged (publish(branch) cherry-picks staged appends onto the " +
+            "new head, or RESTORE main first)")
+        // main now == head: the divergence point moves up, so expiry stops
+        // pinning the published chain and normal retention applies to it
+        md.copy(currentSnapshotId = Some(head),
+          refs = Some(md.refMap.updated(branch, RefMeta(head, "branch", Some(head)))))
+      }
+    }
+
+  /**
+   * Publish a branch even when MAIN ADVANCED during staging: fast-forward
+   * when possible ([[fastForward]] semantics), otherwise CHERRY-PICK — one
+   * "publish" commit on main whose manifest list is main's plus every
+   * manifest the staged appends added. Sound because branch commits are
+   * append-only (each staged manifest is a closed set of immutable files;
+   * re-anchoring it onto a different parent cannot change a row) and
+   * main-side rewrites touched disjoint files, so without this the common
+   * case — a compaction/cluster/merge landing on main mid-staging — forced
+   * a full re-stage. Equality-delete semantics are preserved: tombstones
+   * added on main during staging suppress matching staged keys exactly as
+   * they would suppress a plain append's rows.
+   *
+   * Refusals (each a measured hazard, not caution):
+   *  - a schema-evolution commit newer than the branch base — rename/drop
+   *    stats-key remaps and widen's float-stats strip rewrote only MAIN's
+   *    manifests, so staged manifests would carry pre-evolution stats keys
+   *    (unknown-bounds at best, unsound widened-float pruning at worst);
+   *    mirrors [[rollback]]'s guard;
+   *  - the base is no longer an ancestor of main (RESTORE crossed the
+   *    divergence point — the staged work was built on abandoned history);
+   *  - a pre-base-tracking branch (no recorded divergence point).
+   *
+   * The branch ref then points at the publish commit with a fresh base, so
+   * staging can continue on the same branch. Idempotent at head.
+   */
+  def publish(branch: String): TableMetadata =
+    commitMetadataUpdate { md =>
+      val r = md.refMap.getOrElse(branch, throw new IllegalArgumentException(
+        s"unknown ref '$branch' on $root"))
+      require(r.kind == "branch", s"ref '$branch' is a ${r.kind}, not a branch")
+      val head = r.snapshotId
+      val mainId = md.currentSnapshotId.getOrElse(
+        throw new IllegalArgumentException("cannot publish onto an empty table"))
+      def ancestorOf(start: Long, target: Long): Boolean = {
+        var cur = md.snapshot(start)
+        while (cur.nonEmpty) {
+          if (cur.get.id == target) return true
+          cur = cur.get.parentId.flatMap(md.snapshot)
+        }
+        false
+      }
+      if (mainId == head)
+        md.copy(refs = Some(md.refMap.updated(branch, RefMeta(head, "branch", Some(head)))))
+      else if (ancestorOf(head, mainId))
+        md.copy(currentSnapshotId = Some(head),
+          refs = Some(md.refMap.updated(branch, RefMeta(head, "branch", Some(head)))))
+      else {
+        val base = r.baseSnapshotId.getOrElse(throw new IllegalArgumentException(
+          s"branch '$branch' predates divergence-point tracking — " +
+            "re-stage to publish onto an advanced main"))
+        md.snapshots.find(s => s.id > base &&
+            Set("rename-column", "drop-column", "widen-column")(s.operation)).foreach(s =>
+          throw new IllegalArgumentException(
+            s"cannot publish '$branch' across schema-evolution snapshot ${s.id} " +
+              s"('${s.operation}': ${s.summary.getOrElse(s.operation, "")}) — staged " +
+              "manifests carry pre-evolution stats keys; re-stage on the new schema"))
+        require(ancestorOf(mainId, base),
+          s"cannot publish '$branch': its base $base is not an ancestor of main " +
+            s"$mainId (main was restored past the divergence point — re-stage)")
+        val chain = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+        var cur = md.snapshot(head)
+        while (cur.nonEmpty && cur.get.id != base) {
+          chain += cur.get
+          cur = cur.get.parentId.flatMap(md.snapshot)
+        }
+        require(cur.nonEmpty,
+          s"branch '$branch' chain from $head to base $base is broken (expired snapshot?)")
+        chain.foreach(s => require(s.operation == "append",
+          s"staged snapshot ${s.id} is a '${s.operation}' commit; " +
+            "only appends can be cherry-picked"))
+        val addedManifests = chain.reverse.flatMap { s =>
+          val pm = s.parentId.flatMap(md.snapshot)
+            .map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
+          s.manifests.filterNot(m => pm.contains(m.path))
+        }
+        val mainHead = md.snapshot(mainId).getOrElse(throw new IllegalStateException(
+          s"main snapshot $mainId is not retained"))
+        val snap = Snapshot(
+          id = md.lastSnapshotId + 1,
+          parentId = Some(mainId),
+          timestampMs = System.currentTimeMillis(),
+          operation = "publish",
+          manifests = mainHead.manifests ++ addedManifests,
+          summary = Map(
+            "branch" -> branch,
+            "staged-commits" -> chain.size.toString,
+            "added-files" -> addedManifests.map(_.fileCount).sum.toString,
+            "added-rows" -> addedManifests.map(_.rows).sum.toString,
+            "added-bytes" -> addedManifests.map(_.bytes).sum.toString),
+          deleteManifests = mainHead.deleteManifests)
+        md.copy(
+          currentSnapshotId = Some(snap.id),
+          snapshots = md.snapshots :+ snap,
+          lastSnapshotId = snap.id,
+          refs = Some(md.refMap.updated(branch, RefMeta(snap.id, "branch", Some(snap.id)))))
       }
     }
 
   /** Snapshot-isolated read of the snapshot a tag points at. */
   def readRef(name: String): DataFrame = readSnapshot(refSnapshotId(name))
 
-  /** Refs as a DataFrame (``graft.`path`.refs`` metadata table). */
+  /** Refs as a DataFrame (``graft.`path`.refs`` metadata table);
+    * `base_snapshot_id` is a branch's divergence point (null for tags). */
   def refsDf: DataFrame = {
     import spark.implicits._
     metadata.refMap.toSeq.sortBy(_._1).map { case (n, r) =>
-      (n, r.kind, r.snapshotId)
-    }.toDF("name", "kind", "snapshot_id")
+      (n, r.kind, r.snapshotId, r.baseSnapshotId)
+    }.toDF("name", "kind", "snapshot_id", "base_snapshot_id")
   }
 
   /**

@@ -145,6 +145,81 @@ class RefsSpec extends SparkSuite {
     assert(tbl.read().count() == 150)
   }
 
+  test("publish cherry-picks staged appends when main advanced mid-staging") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-cherry"), Synth.pageSchema)
+    tbl.append(batch("base", 100))
+    val base = tbl.currentSnapshot.get.id
+    tbl.createBranch("wap")
+    tbl.append(batch("s1", 30), toBranch = Some("wap"))
+    tbl.append(batch("s2", 20), toBranch = Some("wap"))
+
+    // main advances while the audit runs: an append AND a compaction
+    // rewrite — the exact histories a pure fast-forward must refuse
+    tbl.append(batch("m1", 40))
+    spark.sql(s"OPTIMIZE graft.`${tbl.root}`").collect()
+    val mainBefore = tbl.currentSnapshot.get.id
+    intercept[IllegalArgumentException](tbl.fastForward("wap"))
+
+    val isStaged = col("url").startsWith("s1/") || col("url").startsWith("s2/")
+    val stagedPre = tbl.readRef("wap").where(isStaged) // branch-side images
+    val md = tbl.publish("wap")
+    val pub = tbl.currentSnapshot.get
+    assert(pub.operation == "publish" && pub.parentId.contains(mainBefore))
+    assert(tbl.read().count() == 190, "main + staged rows after cherry-pick")
+    // every staged row lands byte-identical to its branch-side image
+    val stagedPost = tbl.read().where(isStaged)
+    assert(stagedPost.count() == 50)
+    assert(stagedPost.exceptAll(stagedPre).isEmpty && stagedPre.exceptAll(stagedPost).isEmpty)
+    // CDC: a tailing main consumer sees the publish as a plain 50-row insert
+    assert(tbl.incrementalRead(mainBefore).count() == 50)
+    val ch = tbl.changes(mainBefore)
+    assert(ch.where(col(Changelog.ChangeTypeCol) === "insert").count() == 50)
+    assert(ch.where(col(Changelog.ChangeTypeCol) =!= "insert").count() == 0)
+    // the branch moved to the publish commit with a fresh divergence point,
+    // so staging continues on the same branch and fast-forwards next time
+    assert(md.refMap("wap") == RefMeta(pub.id, "branch", Some(pub.id)))
+    tbl.append(batch("s3", 10), toBranch = Some("wap"))
+    spark.sql(s"ALTER TABLE graft.`${tbl.root}` PUBLISH BRANCH wap").collect()
+    assert(tbl.read().count() == 200)
+
+    // refusal: a restore past the base, followed by new main commits,
+    // abandons the history staging built on (a bare restore keeps main an
+    // ancestor of the branch head, so publish legitimately fast-forwards —
+    // the refusal is for genuinely forked histories)
+    tbl.createBranch("rb")
+    tbl.append(batch("r1", 5), toBranch = Some("rb"))
+    tbl.append(batch("m2", 5))
+    tbl.rollback(base)
+    tbl.append(batch("m3", 5)) // main forks off the abandoned history
+    intercept[IllegalArgumentException](tbl.publish("rb"))
+    tbl.dropBranch("rb")
+
+    // refusal: schema evolution after the base poisons staged stats keys
+    tbl.createBranch("ev")
+    tbl.append(batch("e1", 5), toBranch = Some("ev"))
+    tbl.append(batch("poison", 5)) // diverge main so publish needs the cherry-pick path
+    tbl.renameColumn("lang", "language")
+    intercept[IllegalArgumentException](tbl.publish("ev"))
+  }
+
+  test("tombstones added on main mid-staging suppress matching published keys") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-cherry-ts"), Synth.pageSchema)
+    tbl.append(batch("base", 50))
+    tbl.createBranch("wap")
+    val staged = batch("s1", 20)
+    tbl.append(staged, toBranch = Some("wap"))
+    // main diverges AND MoR-deletes 5 of the urls the branch staged —
+    // equality deletes have no sequence numbers: the published rows must be
+    // suppressed exactly as a plain append's would be
+    tbl.append(batch("m1", 10))
+    val victims = staged.select("url").limit(5).collect().map(_.getString(0)).toSeq
+    import spark.implicits._
+    tbl.deleteByKeysMoR(victims.toDF("url"))
+    tbl.publish("wap")
+    assert(tbl.read().count() == 50 + 10 + 20 - 5)
+    assert(tbl.read().where(col("url").isin(victims: _*)).count() == 0)
+  }
+
   test("branch head pins staged files through expiry; SQL branch DDL + publish") {
     val tbl = GraftTable.create(spark, tmpDir("refs-branch-sql"), Synth.pageSchema)
     tbl.append(batch("base", 80))
