@@ -628,6 +628,38 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q40: branch cherry-pick publish replayed relationally — stage two
+    // appends on a branch while main diverges (append + compaction rewrite
+    // + MoR tombstones on staged keys), then PUBLISH: the final state must
+    // equal main ∪ staged minus tombstoned keys, with the tombstones
+    // suppressing staged rows exactly as they would a plain append's
+    "q40_branch_publish" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+      def slice(k: Int) = ord.filter(pmod(col("o_orderkey"), lit(4)) === k)
+      val root = java.nio.file.Files.createTempDirectory("graft-q40").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, ord.schema)
+      tbl.append(slice(0).coalesce(8))
+      s.sql(s"ALTER TABLE graft.`$root` CREATE BRANCH wap").collect()
+      tbl.append(slice(1).coalesce(4), toBranch = Some("wap"))
+      tbl.append(slice(2).coalesce(4), toBranch = Some("wap"))
+      // main diverges: an append, a compaction rewrite, and equality-delete
+      // tombstones hitting keys the branch staged
+      tbl.append(slice(3).coalesce(8))
+      s.sql(s"OPTIMIZE graft.`$root`").collect()
+      tbl.deleteByKeysMoR(
+        slice(1).filter(pmod(col("o_orderkey"), lit(5)) === 0).select("o_orderkey"))
+      s.sql(s"ALTER TABLE graft.`$root` PUBLISH BRANCH wap").collect()
+      val out = s.sql(s"SELECT * FROM graft.`$root`")
+        .groupBy(pmod(col("o_orderkey"), lit(4)).as("slice"))
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("price"), 2).as("price_sum"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1021,5 +1053,15 @@ object SparkEntry {
         |       round(sum(price), 2) AS price_sum, 'base' AS src FROM a
         |UNION ALL
         |SELECT count(*), CAST(sum(o_orderkey) AS BIGINT), round(sum(price), 2), 'head'
-        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)""".stripMargin)
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM b)""".stripMargin,
+
+    // q40: final state after a cherry-pick publish = main slices (0,3) ∪
+    // staged slices (1,2) minus the keys main tombstoned during staging
+    "q40_branch_publish" ->
+      """SELECT o_orderkey % 4 AS slice, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS price_sum
+        |FROM orders
+        |WHERE NOT (o_orderkey % 4 = 1 AND o_orderkey % 5 = 0)
+        |GROUP BY 1""".stripMargin)
 }
