@@ -75,4 +75,31 @@ class ConcurrencySpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("not present"))
   }
+
+  test("branch and main appends race: both land, heads stay independent") {
+    val tbl = GraftTable.create(spark, tmpDir("conc-branch"), Synth.pageSchema)
+    tbl.append(Synth.pages(spark, 60, hosts = 3, partitions = 1))
+    tbl.createBranch("st")
+    val writers = 6 // even → branch, odd → main, all racing on one CAS chain
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val results = (0 until writers).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          val df = Synth.pages(spark, 20, hosts = 3, partitions = 1, seed = 200 + i)
+            .withColumn("url", concat(lit(s"w$i/"), col("url")))
+          start.await()
+          tbl.append(df, toBranch = if (i % 2 == 0) Some("st") else None).id
+        }
+      })
+    }
+    start.countDown()
+    val ids = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(ids.distinct.size === writers)
+    assert(tbl.read().count() === 60 + 3 * 20, "main sees only main appends")
+    assert(tbl.readRef("st").count() === 60 + 3 * 20, "branch sees base + staged only")
+    tbl.publish("st") // cherry-pick (main advanced): everything lands once
+    assert(tbl.read().count() === 60 + 6 * 20)
+  }
 }

@@ -220,6 +220,19 @@ class RefsSpec extends SparkSuite {
     assert(tbl.read().where(col("url").isin(victims: _*)).count() == 0)
   }
 
+  test("dropping an unpublished branch releases its staged files to GC") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-branch-gc"), Synth.pageSchema)
+    tbl.append(batch("base", 50))
+    tbl.createBranch("abandoned")
+    tbl.append(batch("s1", 30), toBranch = Some("abandoned"))
+    tbl.dropBranch("abandoned")
+    tbl.append(batch("m1", 10)) // newest id, so retainLast keeps main's head
+    val r = Expire.expire(tbl, retainLast = 1)
+    assert(r.deletedDataFiles.nonEmpty,
+      "files referenced only by the abandoned staged commit are GC'd")
+    assert(tbl.read().count() == 60, "main rows untouched by the reclamation")
+  }
+
   test("branch head pins staged files through expiry; SQL branch DDL + publish") {
     val tbl = GraftTable.create(spark, tmpDir("refs-branch-sql"), Synth.pageSchema)
     tbl.append(batch("base", 80))
