@@ -135,6 +135,24 @@ object Demo {
     check("expire removed snapshots")(ex.removedSnapshots.nonEmpty && ex.deletedDataFiles.nonEmpty)
     check("post-expire scan equality")(t.read().count() == afterAppends)
 
+    // 5b. write-audit-publish: stage on a branch, let main advance, publish
+    // via cherry-pick (fast-forward is impossible once main moved)
+    t.createBranch("wap")
+    t.append(Synth.pages(spark, 80, partitions = 1, seed = 103)
+      .withColumn("url", concat(lit("staged/"), col("url"))), toBranch = Some("wap"))
+    check("staged rows invisible on main")(t.read().count() == afterAppends)
+    t.append(Synth.pages(spark, 60, partitions = 1, seed = 104)
+      .withColumn("url", concat(lit("mainadv/"), col("url"))))
+    val pubBase = t.currentSnapshot.get.id
+    t.publish("wap")
+    val afterPublish = afterAppends + 80 + 60
+    println(s"[demo] published branch 'wap' onto advanced main → $afterPublish rows")
+    check("publish cherry-picks staged rows onto advanced main")(
+      t.currentSnapshot.get.operation == "publish" && t.read().count() == afterPublish)
+    check("publish is append-shaped for incremental readers")(
+      t.incrementalRead(pubBase).count() == 80)
+    t.dropBranch("wap")
+
     // 6. schema evolution: metadata-only rename must keep bytes, stats and
     // incremental readers intact (field-id resolution + manifest remap)
     val preEvoHash = t.read()
@@ -147,7 +165,7 @@ object Demo {
       t.files().forall(f => f.minValues.contains("content") && !f.minValues.contains("text")))
     check("SQL reads the renamed column")(
       spark.sql(s"SELECT count(*) FROM graft.`$root` WHERE content IS NOT NULL")
-        .first.getLong(0) == afterAppends)
+        .first.getLong(0) == afterPublish)
     check("vacated name is retired")(
       scala.util.Try(t.renameColumn("content", "text")).isFailure)
     check("rename is row-preserving for incremental readers")(
