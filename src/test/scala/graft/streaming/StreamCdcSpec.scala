@@ -76,6 +76,36 @@ class StreamCdcSpec extends SparkSuite {
       "compaction emits nothing; the post-compaction append arrives once")
   }
 
+  test("a branch cherry-pick publish streams as a plain append batch") {
+    val root = tmpDir("graft-cdc-pub")
+    val ckpt = tmpDir("graft-cdc-pub-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(50, 1, "base"))
+    val got = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    def urls: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq.flatMap(_._2)
+    }
+    drain(root, ckpt, got)
+    assert(urls.size == 50)
+
+    // staged rows never reach a main tail
+    t.createBranch("wap")
+    t.append(pagesTagged(30, 2, "staged"), toBranch = Some("wap"))
+    drain(root, ckpt, got)
+    assert(urls.size == 50, "staged rows are invisible on main")
+
+    // main advances, then the cherry-pick publish: the tail receives the
+    // main append and the published staged rows, each exactly once
+    t.append(pagesTagged(20, 3, "madv"))
+    t.publish("wap")
+    drain(root, ckpt, got)
+    assert(urls.size == 100 && urls.distinct.size == 100,
+      s"publish delivered as a plain append (got ${urls.size})")
+    assert(urls.count(_.endsWith("?b=staged")) == 30)
+    assert(urls.count(_.endsWith("?b=madv")) == 20)
+  }
+
   test("starting-snapshot-id tails from a snapshot instead of delivering the initial contents") {
     val root = tmpDir("graft-cdc-tail")
     val ckpt = tmpDir("graft-cdc-tail-ckpt")
