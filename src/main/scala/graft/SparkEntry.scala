@@ -660,6 +660,30 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q41: predicate-scoped atomic overwrite (replaceWhere) — backfill one
+    // priority class with re-priced rows in a single commit; files outside
+    // the predicate are untouched manifest entries (the one-day-backfill
+    // primitive at 100 TB)
+    "q41_replace_where" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q41").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, ord.schema)
+      tbl.append(ord.coalesce(8))
+      val backfill = ord.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("price", col("price") + 1000.0)
+      backfill.write.format("graft").mode("overwrite")
+        .option("replaceWhere", "o_orderpriority = '1-URGENT'").save(root)
+      val out = s.sql(s"SELECT * FROM graft.`$root`")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("price"), 2).as("price_sum"))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1063,5 +1087,14 @@ object SparkEntry {
         |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS price_sum
         |FROM orders
         |WHERE NOT (o_orderkey % 4 = 1 AND o_orderkey % 5 = 0)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    // q41: replaceWhere backfill = matching rows re-priced, others verbatim
+    "q41_replace_where" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                      THEN CAST(o_totalprice AS DOUBLE) + 1000.0
+        |                      ELSE CAST(o_totalprice AS DOUBLE) END), 2) AS price_sum
+        |FROM orders GROUP BY 1""".stripMargin)
 }

@@ -578,4 +578,61 @@ object Merge {
       added.map(o => o.path -> touched).toMap, (System.nanoTime() - t0) / 1000000)
     committed
   }
+
+  /**
+   * Predicate-scoped atomic overwrite (Delta's `replaceWhere`): one commit
+   * that deletes every row matching `predicate` and inserts `data` — the
+   * backfill primitive ("recompute one day of the corpus") the reference
+   * ran as a full DROP/RENAME table swap (`hive/HiveTableIR.java:296-299`).
+   *
+   * Scale shape: only files whose stats/partition bounds INTERSECT the
+   * predicate are touched (metadata prune, no scan to plan); their
+   * non-matching rows are rewritten alongside the new data in one pass; all
+   * other files are untouched manifest entries. On a day-partitioned 100 TB
+   * table a one-day backfill reads and writes one day, not the table.
+   *
+   * `validate=true` (default, as Delta) refuses `data` rows that do NOT
+   * match the predicate — a misplaced row would silently land outside the
+   * region the caller believes they replaced. The full validation scan is
+   * one parallel count over the incoming frame.
+   *
+   * Live tombstones carry forward: they apply to the new rows exactly as
+   * they would to a plain append's (equality deletes have no sequence
+   * numbers); replaced files simply stop mattering to them.
+   */
+  def replaceWhere(
+      table: GraftTable,
+      predicate: Column,
+      data: DataFrame,
+      runId: String = java.util.UUID.randomUUID.toString,
+      validate: Boolean = true): Snapshot = {
+    val spark = table.spark
+    val t0 = System.nanoTime()
+    val schema = table.schema
+    val snap = table.currentSnapshot
+    if (validate) {
+      // full parallel count, not take(1): proving absence must scan it all
+      // anyway, and CollectLimit's incremental partition batches would
+      // serialize the scan (see Cluster's key-sample lesson)
+      val bad = data.filter(!coalesce(predicate, lit(false))).count()
+      require(bad == 0,
+        s"replaceWhere: $bad incoming rows do not match the predicate " +
+          s"($predicate) — they would land outside the replaced region; " +
+          "fix the data or pass validate=false to keep them")
+    }
+    val touched = table.planFiles(Some(predicate))
+    val kept =
+      if (touched.isEmpty) data.limit(0)
+      else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+        .filter(!coalesce(predicate, lit(false)))
+    val commitUuid = s"overwrite-$runId"
+    val metas = table.writeDataFiles(kept.unionByName(data.select(schema.fieldNames.map(col): _*)), commitUuid)
+    val added = metas.filter(_.rows > 0)
+    val committed = table.replaceFiles(touched.map(_.path).toSet, added, "overwrite",
+      Map("run-id" -> runId, "predicate" -> predicate.toString),
+      expectedSnapshotId = snap.map(_.id))
+    Lineage.record(spark, table, runId, committed.id, "overwrite", added,
+      added.map(o => o.path -> touched).toMap, (System.nanoTime() - t0) / 1000000)
+    committed
+  }
 }

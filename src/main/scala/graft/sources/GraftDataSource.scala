@@ -109,6 +109,15 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         val tbl = if (exists) GraftTable.load(spark, root)
                   else GraftTable.create(spark, root, data.schema)
         tbl.append(data)
+      case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
+        // predicate-scoped overwrite (Delta's replaceWhere): only files
+        // intersecting the predicate are replaced; incoming rows must
+        // match it (replaceWhereValidate=false opts out)
+        require(exists, s"replaceWhere needs an existing graft table at $root")
+        val tbl = GraftTable.load(spark, root)
+        graft.ops.Merge.replaceWhere(tbl,
+          org.apache.spark.sql.functions.expr(parameters("replaceWhere")), data,
+          validate = parameters.get("replaceWhereValidate").forall(_.toBoolean))
       case SaveMode.Overwrite =>
         val tbl = if (exists) GraftTable.load(spark, root)
                   else GraftTable.create(spark, root, data.schema)

@@ -545,6 +545,53 @@ class MergeSpec extends SparkSuite {
     assertSameRows(t.read(), pre.filter(col("lang") =!= "de"), "deleteWhere")
     assert(t.readSnapshot(preSnapId).count() == n)
   }
+
+  test("replaceWhere: predicate-scoped atomic overwrite, untouched files intact") {
+    val root = tmpDir("graft-replw")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    val a = Synth.pages(spark, 800, partitions = 2).withColumn("lang", lit("aa"))
+    val b = Synth.pages(spark, 600, partitions = 2, seed = 7).withColumn("lang", lit("bb"))
+    t.append(a)
+    t.append(b)
+    val bFiles = t.files().filter(_.minValues.get("lang").contains("bb")).map(_.path).toSet
+    assert(bFiles.size == 2)
+    val preSnapId = t.currentSnapshot.get.id
+
+    val fresh = Synth.pages(spark, 300, partitions = 2, seed = 42)
+      .withColumn("lang", lit("aa"))
+      .withColumn("url", concat(lit("fresh/"), col("url")))
+    Merge.replaceWhere(t, col("lang") === "aa", fresh)
+
+    assert(t.read().count() == 600 + 300)
+    assert(t.read().filter(col("lang") === "aa" && !col("url").startsWith("fresh/")).count() == 0,
+      "every pre-existing matching row replaced")
+    assertSameRows(t.read().filter(col("lang") === "bb"), b, "non-matching region untouched")
+    assert(bFiles.subsetOf(t.files().map(_.path).toSet),
+      "files outside the predicate are untouched manifest entries, not rewrites")
+    assert(t.readSnapshot(preSnapId).count() == 1400, "snapshot isolation")
+
+    // validation refuses incoming rows outside the predicate
+    val stray = fresh.withColumn("lang", lit("bb"))
+    intercept[IllegalArgumentException](Merge.replaceWhere(t, col("lang") === "aa", stray))
+    Merge.replaceWhere(t, col("lang") === "aa", stray, validate = false)
+    assert(t.read().filter(col("lang") === "bb").count() == 600 + 300)
+  }
+
+  test("replaceWhere via the writer option") {
+    val root = tmpDir("graft-replw-opt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 500, partitions = 2).withColumn("lang",
+      when(pmod(xxhash64(col("url")), lit(2)) === 0, "aa").otherwise("bb")))
+    val nBb = t.read().filter(col("lang") === "bb").count()
+    val fresh = Synth.pages(spark, 100, partitions = 1, seed = 5)
+      .withColumn("lang", lit("aa"))
+    fresh.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "lang = 'aa'").save(root)
+    assert(t.read().count() == nBb + 100)
+    intercept[Exception](fresh.withColumn("lang", lit("zz"))
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "lang = 'aa'").save(root))
+  }
 }
 
 class ExpireSpec extends SparkSuite {
