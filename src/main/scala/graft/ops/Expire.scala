@@ -32,17 +32,35 @@ object Expire {
     val byId = md.snapshots.sortBy(_.id)
     // named refs pin their snapshot — and thereby every file it references —
     // regardless of age or retainLast, until the ref is dropped. A BRANCH
-    // additionally pins its staged chain head→base (exclusive): expiring an
-    // intermediate staged commit would break the fast-forward ancestry walk
-    // mid-staging. Main history below the base ages out normally.
-    val branchChains = md.refMap.values.filter(_.kind == "branch").flatMap { r =>
-      val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var cur = md.snapshot(r.snapshotId)
-      while (cur.nonEmpty && !r.baseSnapshotId.contains(cur.get.id)) {
-        chain += cur.get.id
+    // additionally pins everything the PUBLISH ancestry walks need: its
+    // staged chain head→base AND main's history current→base, both
+    // inclusive of the base (the divergence point). Expiring any of those
+    // would break fast-forward mid-staging or make a cherry-pick publish
+    // spuriously refuse ("base is not an ancestor of main") after a routine
+    // VACUUM. Main history BELOW the base ages out normally. A branch with
+    // no recorded base (pre-tracking metadata) pins its whole chain to the
+    // root — conservative, released when the branch is dropped. If main has
+    // genuinely forked off the base (RESTORE then new commits), the main
+    // walk never reaches the base and pins nothing extra: that branch can
+    // only be re-staged, so retaining main history for it buys nothing.
+    def chainDown(from: Long, stopAt: Option[Long]): Seq[Long] = {
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = md.snapshot(from)
+      var done = false
+      while (cur.nonEmpty && !done) {
+        ids += cur.get.id
+        done = stopAt.contains(cur.get.id)
         cur = cur.get.parentId.flatMap(md.snapshot)
       }
-      chain
+      ids.toSeq
+    }
+    val branchChains = md.refMap.values.filter(_.kind == "branch").flatMap { r =>
+      val staged = chainDown(r.snapshotId, r.baseSnapshotId)
+      val mainSide = r.baseSnapshotId.toSeq.flatMap { b =>
+        val walk = chainDown(current, Some(b))
+        if (walk.lastOption.contains(b)) walk else Seq.empty
+      }
+      staged ++ mainSide
     }
     val keepIds = (byId.takeRight(retainLast).map(_.id) :+ current).toSet ++
       byId.filter(_.timestampMs >= olderThanMs).map(_.id) ++
@@ -62,12 +80,29 @@ object Expire {
       .map(_.path).distinct
       .filterNot(keptFiles.contains)
 
-    table.commitMetadataUpdate(cur => cur.copy(snapshots = cur.snapshots.filter(s => keepIds.contains(s.id))))
+    // keepIds and the GC file sets were planned against `md`; if a writer
+    // commits between planning and the CAS (new snapshot, moved pointer,
+    // ref created on a snapshot we planned to drop), blindly re-applying
+    // the filter against the fresh metadata would silently delete the
+    // concurrent snapshot and dangle the pointer/ref — replan instead
+    val raced = try {
+      table.commitMetadataUpdate { cur =>
+        if (cur.lastSnapshotId != md.lastSnapshotId ||
+            cur.currentSnapshotId != md.currentSnapshotId ||
+            cur.refMap != md.refMap) throw ReplanSignal
+        cur.copy(snapshots = cur.snapshots.filter(s => keepIds.contains(s.id)))
+      }
+      false
+    } catch { case ReplanSignal => true }
+    if (raced) return expire(table, retainLast, olderThanMs)
 
     droppedFiles.foreach(p => FileIO.delete(s"${table.root}/$p"))
     droppedManifests.foreach(p => FileIO.delete(s"${table.root}/$p"))
     Result(dropped.map(_.id), droppedFiles, droppedManifests)
   }
+
+  /** Control signal: metadata moved between expiry planning and commit. */
+  private object ReplanSignal extends scala.util.control.ControlThrowable
 
   /**
    * Remove orphan data files: files on disk under `data/` referenced by NO

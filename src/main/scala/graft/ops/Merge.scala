@@ -621,12 +621,15 @@ object Merge {
           "fix the data or pass validate=false to keep them")
     }
     val touched = table.planFiles(Some(predicate))
+    // project the incoming frame to the table schema ONCE — the empty-
+    // touched branch must union the same shape as the read-back branch
+    val aligned = data.select(schema.fieldNames.map(col): _*)
     val kept =
-      if (touched.isEmpty) data.limit(0)
+      if (touched.isEmpty) aligned.limit(0)
       else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
         .filter(!coalesce(predicate, lit(false)))
     val commitUuid = s"overwrite-$runId"
-    val metas = table.writeDataFiles(kept.unionByName(data.select(schema.fieldNames.map(col): _*)), commitUuid)
+    val metas = table.writeDataFiles(kept.unionByName(aligned), commitUuid)
     val added = metas.filter(_.rows > 0)
     val committed = table.replaceFiles(touched.map(_.path).toSet, added, "overwrite",
       Map("run-id" -> runId, "predicate" -> predicate.toString),

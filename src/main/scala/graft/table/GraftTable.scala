@@ -685,9 +685,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         schemaJson = schemaUpdate.map(_.json).orElse(md.schemaJson),
         refs = toBranch.map { b =>
           val r = md.refMap(b) // validated above
-          // the branch base (divergence point) survives every staged commit
-          md.refMap.updated(b, RefMeta(snap.id, "branch",
-            r.baseSnapshotId.orElse(Some(r.snapshotId))))
+          // the branch base (divergence point, stamped at createBranch)
+          // survives every staged commit; a pre-tracking branch keeps None —
+          // inventing one from the current HEAD would record a staged commit
+          // as the divergence point and mis-pin expiry / mislead publish
+          md.refMap.updated(b, RefMeta(snap.id, "branch", r.baseSnapshotId))
         }.map(Some(_)).getOrElse(md.refs))
       if (FileIO.putIfAbsent(s"$metadataDir/v${v + 1}.json", MetaJson.write(next))) {
         FileIO.writeString(hintPath, (v + 1).toString)

@@ -220,6 +220,27 @@ class RefsSpec extends SparkSuite {
     assert(tbl.read().where(col("url").isin(victims: _*)).count() == 0)
   }
 
+  test("VACUUM mid-staging with an advanced main keeps cherry-pick publishable") {
+    val tbl = GraftTable.create(spark, tmpDir("refs-cherry-vac"), Synth.pageSchema)
+    val old = tbl.append(batch("old", 10)).id
+    tbl.append(batch("base", 90)) // the divergence point
+    tbl.createBranch("st")
+    tbl.append(batch("s1", 30), toBranch = Some("st"))
+    tbl.append(batch("s2", 20), toBranch = Some("st"))
+    tbl.append(batch("m1", 40)) // main advances while the audit runs
+    tbl.append(batch("m2", 15))
+
+    // the publish ancestry walks need the staged chain, the base, AND
+    // main's history back to the base — only pre-branch history may age out
+    val r = Expire.expire(tbl, retainLast = 1)
+    assert(r.removedSnapshots == Seq(old),
+      s"only pre-base history expires (got ${r.removedSnapshots})")
+
+    tbl.publish("st") // cherry-pick across the expired history
+    assert(tbl.currentSnapshot.get.operation == "publish")
+    assert(tbl.read().count() == 10 + 90 + 30 + 20 + 40 + 15)
+  }
+
   test("dropping an unpublished branch releases its staged files to GC") {
     val tbl = GraftTable.create(spark, tmpDir("refs-branch-gc"), Synth.pageSchema)
     tbl.append(batch("base", 50))
