@@ -108,7 +108,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
         val tbl = if (exists) GraftTable.load(spark, root)
                   else GraftTable.create(spark, root, data.schema)
-        tbl.append(data)
+        tbl.append(data,
+          mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
       case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
         // predicate-scoped overwrite (Delta's replaceWhere): only files
         // intersecting the predicate are replaced; incoming rows must

@@ -568,7 +568,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       df: DataFrame,
       summary: Map[String, String] = Map.empty,
       propertyUpdates: Map[String, String] = Map.empty,
-      toBranch: Option[String] = None): Snapshot = {
+      toBranch: Option[String] = None,
+      mergeSchema: Boolean = false): Snapshot = {
+    if (mergeSchema) mergeSchemaFor(df)
     val metas = writeDataFiles(df)
     commit("append", propertyUpdates = propertyUpdates, toBranch = toBranch) { parent =>
       val mf = writeManifest(metas)
@@ -964,6 +966,26 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * `next-field-id` counter: a column dropped and re-added under the same
    * name must NOT resurrect old files' values.
    */
+  /**
+   * Auto schema evolution (Delta's `mergeSchema`): add, as nullable columns,
+   * every TOP-LEVEL column the incoming frame carries that the table lacks
+   * (session-resolver name matching), so a producer can start shipping a new
+   * field without a coordinated DDL step. Additive only: existing columns
+   * keep their types (a mismatched type still fails the write loudly), new
+   * nested fields inside existing structs are NOT inferred (add those
+   * explicitly — an accidental struct reshape should not mutate the schema),
+   * and [[addColumn]]'s guards apply (retired names refuse; field ids are
+   * never reused). Each add is its own CAS'd metadata commit; old files read
+   * NULL and pruning treats absent bounds as unknown, so scans stay sound.
+   */
+  def mergeSchemaFor(df: DataFrame): Unit = {
+    val resolver = spark.sessionState.analyzer.resolver
+    val cur = schema
+    df.schema.fields
+      .filterNot(f => cur.fields.exists(t => resolver(t.name, f.name)))
+      .foreach(f => addColumn(f.copy(nullable = true)))
+  }
+
   def addColumn(field: org.apache.spark.sql.types.StructField): TableMetadata = {
     require(field.nullable, s"new column ${field.name} must be nullable (old files have no values)")
     require(!field.name.contains("."),

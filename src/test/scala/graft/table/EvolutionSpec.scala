@@ -63,6 +63,33 @@ class EvolutionSpec extends SparkSuite {
       .getMessage.contains("nullable"))
   }
 
+  test("mergeSchema append auto-adds new top-level columns") {
+    val tbl = GraftTable.create(spark, tmpDir("merge-schema"), Synth.pageSchema)
+    tbl.append(batch("a", 100))
+
+    // without the flag, unknown incoming columns are dropped (status quo)
+    tbl.append(batch("b", 50).withColumn("score", lit(0.5)))
+    assert(!tbl.schema.fieldNames.contains("score"))
+
+    // with the flag: the column joins the schema (nullable), old rows read
+    // NULL, new rows carry values — both via the API and the writer option
+    tbl.append(batch("c", 30).withColumn("score", lit(0.7)), mergeSchema = true)
+    assert(tbl.schema("score").nullable &&
+      tbl.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(tbl.read().filter(col("score").isNull).count() == 150)
+    assert(tbl.read().filter(col("score") === 0.7).count() == 30)
+    batch("d", 20).withColumn("score", lit(0.9)).withColumn("stars", lit(3L))
+      .write.format("graft").mode("append").option("mergeSchema", "true")
+      .save(tbl.root)
+    assert(tbl.schema.fieldNames.contains("stars"))
+    assert(tbl.read().filter(col("stars") === 3L).count() == 20)
+
+    // addColumn guards still apply through the auto path: retired names refuse
+    tbl.renameColumn("score", "quality")
+    intercept[IllegalArgumentException](
+      tbl.append(batch("e", 5).withColumn("score", lit(1.0)), mergeSchema = true))
+  }
+
   test("rename column: old files stay readable by field id, stats keep pruning") {
     val tbl = GraftTable.create(spark, tmpDir("rename"), Synth.pageSchema)
     tbl.append(batch("a", 150))
