@@ -165,7 +165,9 @@ object GraftTableProps {
       key == graft.table.PartitionSpec.HistoryProperty ||
       key == GraftTable.NextFieldIdProp ||
       key == GraftTable.RetiredColumnsProp ||
-      key.startsWith("stream-batch-")
+      key.startsWith("stream-batch-") ||
+      // constraints have dedicated validated statements (ADD/DROP CONSTRAINT)
+      key.startsWith(GraftTable.ConstraintPrefix)
 }
 
 /** `DESCRIBE [EXTENDED] graft.`path`` — columns + hidden partitioning

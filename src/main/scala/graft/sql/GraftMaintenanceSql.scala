@@ -61,6 +61,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // appends onto main's head (GraftTable.publish)
   private val PublishRe =
     """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+PUBLISH\s+BRANCH\s+([A-Za-z0-9._-]+)\s*;?\s*""".r
+  // CHECK constraints (Delta-style; Spark v1 has no grammar): the predicate
+  // text is validated and resolved by GraftTable.addConstraint
+  private val AddConstraintRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+ADD\s+CONSTRAINT\s+""" +
+      """([A-Za-z0-9._-]+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?([A-Za-z0-9._-]+)\s*;?\s*""".r
   // Delta-style RESTORE (no Spark grammar): snapshot id or 'tag' name
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([A-Za-z0-9._-]+)')\s*;?\s*""".r
@@ -93,6 +100,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftFastForwardCommand(path, name)
     case PublishRe(path, name) if isPath(path) =>
       GraftPublishCommand(path, name)
+    case AddConstraintRe(path, name, check) if isPath(path) =>
+      GraftConstraintCommand(path, name, Some(check.trim))
+    case DropConstraintRe(path, ifExists, name) if isPath(path) =>
+      GraftConstraintCommand(path, name, None, ifExists = ifExists != null)
     case RestoreRe(path, id, tag) if isPath(path) =>
       GraftRestoreCommand(path, Option(id).map(_.toLong), Option(tag))
     case _ => delegate.parsePlan(sqlText)
@@ -228,6 +239,22 @@ case class GraftFastForwardCommand(path: String, name: String) extends LeafRunna
     val t = GraftTable.load(session, path)
     val md = t.fastForward(name)
     Seq(Row(name, md.currentSnapshotId.getOrElse(-1L)))
+  }
+}
+
+/** `ALTER TABLE graft.`p` ADD CONSTRAINT name CHECK (pred)` /
+  * `… DROP CONSTRAINT [IF EXISTS] name` → [[GraftTable.addConstraint]]
+  * (validates existing rows) / dropConstraint. */
+case class GraftConstraintCommand(path: String, name: String,
+    check: Option[String], ifExists: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    check match {
+      case Some(c) => t.addConstraint(name, c)
+      case None    => t.dropConstraint(name, ifExists)
+    }
+    Seq.empty
   }
 }
 

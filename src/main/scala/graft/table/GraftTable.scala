@@ -524,7 +524,18 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
       c.as(f.name, f.metadata)
     }.toSeq
-    val base = df.select(cols: _*)
+    val selected = df.select(cols: _*)
+    // CHECK constraints ride the write pass itself: one codegen'd filter
+    // whose assert_true throws (with the constraint name) on the first
+    // violating row — zero extra scans at any scale. SQL semantics: a NULL
+    // check passes. Existing rows were validated when the constraint was
+    // added, so rewrites of old data can never trip here.
+    val base = GraftTable.constraintsOf(md).foldLeft(selected) {
+      case (d, (name, check)) =>
+        import org.apache.spark.sql.functions.{assert_true, coalesce, expr, lit}
+        d.filter(assert_true(coalesce(expr(check), lit(true)),
+          lit(s"CHECK constraint '$name' violated: $check")).isNull)
+    }
     // hidden partitioning: group rows by the transforms so each file covers
     // ONE partition tuple (the derived columns live only in dir names —
     // partitionBy removes them from file contents, keeping old and new files
@@ -978,6 +989,45 @@ class GraftTable private (val root: String, val spark: SparkSession) {
    * never reused). Each add is its own CAS'd metadata commit; old files read
    * NULL and pruning treats absent bounds as unknown, so scans stay sound.
    */
+  /** Live CHECK constraints: name → SQL predicate text. */
+  def constraints: Map[String, String] = GraftTable.constraintsOf(metadata)
+
+  /**
+   * Add a CHECK constraint (Delta-style data-quality gate): every
+   * subsequent write refuses rows for which `check` evaluates to FALSE
+   * (NULL passes, SQL semantics) — enforced INLINE in the write pass (one
+   * codegen'd filter inside [[writeDataFiles]]; no extra scan per write).
+   * EXISTING rows are validated here, once, so rewrites (compaction /
+   * clustering) can never trip a constraint on pre-existing data. A
+   * concurrent write landing during validation forces a loud retry rather
+   * than slipping unvalidated rows in.
+   */
+  def addConstraint(name: String, check: String): TableMetadata = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid constraint name '$name'")
+    val key = GraftTable.ConstraintPrefix + name
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val validatedAt = metadata.currentSnapshotId
+    val violations = read().filter(!coalesce(expr(check), lit(true))).count()
+    require(violations == 0,
+      s"cannot add CHECK constraint '$name': $violations existing rows violate ($check)")
+    commitMetadataUpdate { md =>
+      require(!md.properties.contains(key), s"constraint '$name' already exists")
+      require(md.currentSnapshotId == validatedAt,
+        s"table changed while validating constraint '$name' — retry")
+      md.copy(properties = md.properties + (key -> check))
+    }
+  }
+
+  def dropConstraint(name: String, ifExists: Boolean = false): TableMetadata =
+    commitMetadataUpdate { md =>
+      val key = GraftTable.ConstraintPrefix + name
+      if (!md.properties.contains(key) && !ifExists)
+        throw new IllegalArgumentException(s"unknown constraint '$name' — known: " +
+          (if (GraftTable.constraintsOf(md).isEmpty) "(none)"
+           else GraftTable.constraintsOf(md).keys.toSeq.sorted.mkString(", ")))
+      md.copy(properties = md.properties - key)
+    }
+
   def mergeSchemaFor(df: DataFrame): Unit = {
     val resolver = spark.sessionState.analyzer.resolver
     val cur = schema
@@ -1357,6 +1407,17 @@ object GraftTable {
 
   /** Table property holding the next never-used field id. */
   val NextFieldIdProp = "next-field-id"
+
+  /** Table-property prefix holding CHECK constraints: `constraint.<name>` →
+    * SQL predicate text. Managed via add/dropConstraint (which validate);
+    * raw SET/UNSET TBLPROPERTIES refuses the prefix. */
+  val ConstraintPrefix = "constraint."
+
+  private[graft] def constraintsOf(md: TableMetadata): Map[String, String] =
+    md.properties.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
 
   /** Table property: comma-separated columns to write parquet bloom
     * filters for (row-group skipping on point/IN lookups). */
