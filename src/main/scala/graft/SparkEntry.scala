@@ -684,6 +684,36 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q42: governance lifecycle — a CHECK constraint gates the corpus while
+    // a mergeSchema append ships a new column mid-stream; the final state
+    // (clean rows only, new column NULL for pre-evolution rows) is replayed
+    // relationally
+    "q42_governed_evolution" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+      val half1 = ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      val half2 = ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumn("margin", round(col("price") / 10.0, 4))
+      val root = java.nio.file.Files.createTempDirectory("graft-q42").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, half1.schema)
+      tbl.append(half1.coalesce(8))
+      s.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT priced CHECK (price >= 0)").collect()
+      // a violating producer is refused before anything commits...
+      val poison = half2.limit(50).withColumn("price", lit(-1.0))
+      val refused = scala.util.Try(tbl.append(poison, mergeSchema = true)).isFailure
+      // ...then the clean batch lands, shipping the new `margin` column
+      tbl.append(half2.coalesce(8), mergeSchema = true)
+      val out = s.sql(s"SELECT * FROM graft.`$root`")
+        .groupBy(pmod(col("o_orderkey"), lit(2)).as("half"))
+        .agg(count(lit(1)).as("n_rows"), round(sum("price"), 2).as("price_sum"),
+          round(sum(coalesce(col("margin"), lit(0.0))), 4).as("margin_sum"))
+        .withColumn("constraint_held", lit(refused))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1096,5 +1126,16 @@ object SparkEntry {
         |       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
         |                      THEN CAST(o_totalprice AS DOUBLE) + 1000.0
         |                      ELSE CAST(o_totalprice AS DOUBLE) END), 2) AS price_sum
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q42: constraint held (poison batch refused) + mergeSchema column is
+    // NULL→0 on pre-evolution rows, per-row margin on the evolved half
+    "q42_governed_evolution" ->
+      """SELECT o_orderkey % 2 AS half, count(*) AS n_rows,
+        |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS price_sum,
+        |       round(sum(CASE WHEN o_orderkey % 2 = 1
+        |                      THEN round(CAST(o_totalprice AS DOUBLE) / 10.0, 4)
+        |                      ELSE 0.0 END), 4) AS margin_sum,
+        |       true AS constraint_held
         |FROM orders GROUP BY 1""".stripMargin)
 }
