@@ -173,10 +173,11 @@ object Cluster {
         return graft.table.StatsCollector.collect(spark, schema, table.root,
           FileIO.listFilesRecursively(dir, ".parquet"), s"$commitUuid-p$gi")
       FileIO.deleteRecursively(dir)
-      // MoR tombstones are applied during the rewrite; a FULL rewrite
-      // (onlyFiles empty) then clears them at commit — materialization
-      val df = table.applyTombstones(
-        spark.read.schema(schema).parquet(gInputs.map(table.absPath): _*))
+      // MoR deletes are applied during the rewrite; a FULL rewrite
+      // (onlyFiles empty) then clears equality tombstones at commit, and
+      // position deletes clear per rewritten file in replaceFiles
+      val df = table.applyTombstones(table.withPositionDeletes(
+        spark.read.schema(schema).parquet(gInputs.map(table.absPath): _*), gInputs))
       val gBytes = gInputs.map(_.bytes).sum
       val rowsTotal = gInputs.map(_.rows).sum
       val nOut = math.max(1, math.ceil(gBytes.toDouble / targetFileBytes).toInt)

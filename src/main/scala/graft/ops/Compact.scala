@@ -126,10 +126,12 @@ object Compact {
           if (!done) {
             FileIO.deleteRecursively(dir) // partial attempt from a crashed run
             spark.sparkContext.setJobDescription(s"compact $runId group $i (${group.size} files)")
-            // apply live MoR tombstones to the rewritten rows (kept in the
-            // commit — other files may still hold tombstoned keys)
-            val df = table.applyTombstones(
-              spark.read.schema(schema).parquet(group.map(table.absPath): _*))
+            // apply live MoR deletes to the rewritten rows: equality
+            // tombstones stay live in the commit (other files may still
+            // hold tombstoned keys); POSITION deletes of exactly these
+            // files are applied here and cleared by replaceFiles
+            val df = table.applyTombstones(table.withPositionDeletes(
+              spark.read.schema(schema).parquet(group.map(table.absPath): _*), group))
             table.writeDataFiles(df.coalesce(1), commitUuid)
           }
           val metas = graft.table.StatsCollector.collect(

@@ -68,8 +68,9 @@ object Expire {
     val (kept, dropped) = byId.partition(s => keepIds.contains(s.id))
     if (dropped.isEmpty) return Result(Nil, Nil, Nil)
 
-    // data AND merge-on-read tombstone manifests both pin their files
-    def allManifests(s: Snapshot) = s.manifests ++ s.deleteManifestList
+    // data, merge-on-read tombstone, AND position-delete manifests all
+    // pin their files
+    def allManifests(s: Snapshot) = s.manifests ++ s.deleteManifestList ++ s.posDeleteList
     val keptManifests = kept.flatMap(allManifests(_).map(_.path)).toSet
     val keptFiles = kept.flatMap(s => allManifests(s).flatMap(m => table.readManifest(m.path)))
       .map(_.path).toSet
@@ -113,7 +114,8 @@ object Expire {
    */
   def removeOrphans(table: GraftTable, olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val referenced: Set[String] = table.metadata.snapshots
-      .flatMap(s => (s.manifests ++ s.deleteManifestList).flatMap(m => table.readManifest(m.path)))
+      .flatMap(s => (s.manifests ++ s.deleteManifestList ++ s.posDeleteList)
+        .flatMap(m => table.readManifest(m.path)))
       .map(f => s"${table.root}/${f.path}").toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = scala.collection.mutable.ArrayBuffer.empty[String]

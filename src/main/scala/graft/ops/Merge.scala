@@ -258,7 +258,10 @@ object Merge {
       }
     val base =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+      // position deletes applied: a DV-deleted target row is NOT MATCHED
+      // (the source row inserts); replaceFiles clears the touched files' DVs
+      else table.withPositionDeletes(
+        spark.read.schema(schema).parquet(touched.map(table.absPath): _*), touched)
 
     if (!latestWins) {
       // ANSI MERGE: an error only when a TARGET row would be modified by
@@ -531,7 +534,8 @@ object Merge {
     val touched = table.planFiles(Some(predicate))
     if (touched.isEmpty) return snap.getOrElse(throw new IllegalStateException("empty table"))
     val hit = coalesce(predicate, lit(false))
-    val df = spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+    val df = table.withPositionDeletes(
+        spark.read.schema(schema).parquet(touched.map(table.absPath): _*), touched)
       .select(schema.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
@@ -565,7 +569,8 @@ object Merge {
     val snap = table.currentSnapshot
     val touched = table.planFiles(Some(predicate))
     if (touched.isEmpty) return snap.getOrElse(throw new IllegalStateException("empty table"))
-    val df = spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+    val df = table.withPositionDeletes(
+        spark.read.schema(schema).parquet(touched.map(table.absPath): _*), touched)
       .filter(!coalesce(predicate, lit(false)))
     val commitUuid = s"delete-$runId"
     val metas = table.writeDataFiles(df, commitUuid)
@@ -626,7 +631,8 @@ object Merge {
     val aligned = data.select(schema.fieldNames.map(col): _*)
     val kept =
       if (touched.isEmpty) aligned.limit(0)
-      else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+      else table.withPositionDeletes(
+          spark.read.schema(schema).parquet(touched.map(table.absPath): _*), touched)
         .filter(!coalesce(predicate, lit(false)))
     val commitUuid = s"overwrite-$runId"
     val metas = table.writeDataFiles(kept.unionByName(aligned), commitUuid)

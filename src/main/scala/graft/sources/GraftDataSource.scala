@@ -162,6 +162,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     require(table.tombstones(snapshotId).isEmpty,
       "snapshot has live merge-on-read tombstones, which a raw file relation cannot apply; " +
         "read via GraftTable.read (applies them) or materialize with Cluster.zorderRewrite")
+    require(table.positionDeletes(snapshotId).isEmpty,
+      "snapshot has live position deletes (deletion vectors), which a raw file relation " +
+        "cannot apply; read via GraftTable.read / SQL (applies them) or compact the files")
     GraftRelation.relation(spark, table.schema, root, table.files(snapshotId), table.allPartitionSpecs)
   }
 }

@@ -216,8 +216,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val sch = schemaOf(md)
     val planned = planFilesOf(md, predicate, snapshotId)
     val df = applyTombstonesOf(md,
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-        spark, sch, root, planned, allSpecsOf(md, sch)),
+      scanWithPosDeletesOf(md, sch, planned, allSpecsOf(md, sch), snapshotId),
       snapshotId)
     predicate match {
       case Some(p) => df.filter(p)
@@ -362,9 +361,211 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       }
       (parent.map(_.manifests).getOrElse(Seq.empty),
         Some(parent.map(_.deleteManifestList).getOrElse(Seq.empty) :+ writeManifest(metas)),
+        parent.flatMap(_.posDeleteManifests),
         summary ++ Map("delete-key" -> keyCols.mkString(","),
           "tombstones-added" -> metas.map(_.rows).sum.toString))
     }
+  }
+
+  // ---- merge-on-read position deletes (deletion vectors) ---------------------
+
+  /** Schema of a position-delete (deletion-vector) file: `_file` is a data
+    * file's table-relative path (= [[DataFileMeta.path]]), `_pos` a 0-based
+    * deleted row position within it (parquet `_metadata.row_index`). */
+  val PosDeleteSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("_file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Position-delete (deletion-vector) file metas of a snapshot. */
+  def positionDeletes(snapshotId: Option[Long] = None): Seq[DataFileMeta] =
+    posDeletesOf(metadata, snapshotId)
+
+  private def posDeletesOf(md: TableMetadata, snapshotId: Option[Long]): Seq[DataFileMeta] = {
+    val snap = snapshotId match {
+      case Some(id) => md.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"unknown snapshot $id"))
+      case None => md.currentSnapshot.getOrElse(return Seq.empty)
+    }
+    snap.posDeleteList.flatMap(m => readManifest(m.path))
+  }
+
+  /** Table-relative path of the file a scanned row came from, derived from
+    * `_metadata.file_path`: `data/` plus everything after the LAST `/data/`
+    * — the table's data dir. Sound regardless of how the filesystem spells
+    * the root (file:/ vs file:///) and of hidden-partition dirs (those are
+    * `name=value` segments and can never equal `data`); matches
+    * [[DataFileMeta.path]] by construction of the write layout. */
+  private def relPathExpr: Column = {
+    import org.apache.spark.sql.functions.{col, concat, element_at, lit, split}
+    concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/data/"), -1))
+  }
+
+  /** Could any row of DV file `d` reference data file `path`? min/max
+    * prune on `_file` (missing bounds → conservatively yes). */
+  private def dvMayCover(d: DataFileMeta, path: String): Boolean =
+    d.minValues.get("_file").forall(_ <= path) &&
+      d.maxValues.get("_file").forall(path <= _)
+
+  /** Anti-join `df` — a parquet file-source scan over exactly `filesRead` —
+    * against the snapshot's position deletes that may reference those files
+    * (no-op when none can: the DV `_file` bounds vs the read file paths).
+    * Broadcasts the DV rows below [[TombstoneBroadcastRowCap]]. Every
+    * rewrite pass MUST read its input files through this (then commit via
+    * [[replaceFiles]], which drops exactly the rewritten files' DV rows). */
+  def withPositionDeletes(df: DataFrame, filesRead: Seq[DataFileMeta],
+      snapshotId: Option[Long] = None): DataFrame =
+    withPositionDeletesOf(metadata, df, filesRead, snapshotId)
+
+  private def withPositionDeletesOf(md: TableMetadata, df: DataFrame,
+      filesRead: Seq[DataFileMeta], snapshotId: Option[Long]): DataFrame = {
+    val dvs = posDeletesOf(md, snapshotId)
+    if (dvs.isEmpty || !filesRead.exists(f => dvs.exists(d => dvMayCover(d, f.path)))) df
+    else antiJoinPosDeletes(df, dvs)
+  }
+
+  /** `df` with its (file, row-position) columns materialized as
+    * `_gdv_rel`/`_gdv_idx` — must sit directly above a file-source scan
+    * (where `_metadata` resolves). */
+  private def withPosCols(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_gdv_rel", relPathExpr)
+      .withColumn("_gdv_idx", col("_metadata.row_index"))
+  }
+
+  private def antiJoinPosDeletes(df: DataFrame, dvs: Seq[DataFileMeta],
+      keepPosCols: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dvDf = spark.read.schema(PosDeleteSchema).parquet(dvs.map(absPath): _*)
+      .withColumnRenamed("_file", "_gdv_file").withColumnRenamed("_pos", "_gdv_pos")
+      .distinct()
+    val right = if (dvs.map(_.rows).sum <= TombstoneBroadcastRowCap) broadcast(dvDf) else dvDf
+    val joined = withPosCols(df)
+      .join(right, col("_gdv_rel") === col("_gdv_file") &&
+        col("_gdv_idx") === col("_gdv_pos"), "left_anti")
+    if (keepPosCols) joined else joined.drop("_gdv_rel", "_gdv_idx")
+  }
+
+  /** Snapshot scan with position deletes applied via a SPLIT plan: files no
+    * DV can reference scan untouched (at 100 TB the dominant branch — DVs
+    * cover the trickle-deleted tail); possibly-covered files scan with
+    * (file, row-position) metadata and anti-join the DV rows. Catalyst
+    * pushes the query's filters into both branches' file indexes. */
+  private def scanWithPosDeletesOf(md: TableMetadata, sch: StructType,
+      planned: Seq[DataFileMeta], specs: Seq[PartitionSpec],
+      snapshotId: Option[Long]): DataFrame = {
+    def rel(fs: Seq[DataFileMeta]) =
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, fs, specs)
+    val dvs = posDeletesOf(md, snapshotId)
+    if (dvs.isEmpty) return rel(planned)
+    val (covered, plain) = planned.partition(f => dvs.exists(d => dvMayCover(d, f.path)))
+    if (covered.isEmpty) rel(planned)
+    else {
+      val deleted = antiJoinPosDeletes(rel(covered), dvs)
+      if (plain.isEmpty) deleted else rel(plain).unionByName(deleted)
+    }
+  }
+
+  /**
+   * Merge-on-read POSITION delete (deletion vector): record the row
+   * positions matching `predicate` in a (file, pos) delete file and commit
+   * WITHOUT rewriting any data file — at 100 TB a trickle delete must not
+   * rewrite 1 GB files for a few rows each (the same niche as
+   * [[deleteByKeysMoR]], re-imagining the reference's incremental delete
+   * delivery, `adapter/HBaseSourceTableAdapter.java:592-604`).
+   *
+   * Unlike equality tombstones, position deletes are FILE-SCOPED: any
+   * predicate is allowed (not just keys), rows appended LATER are
+   * unaffected, MERGE keeps running, and a rewrite clears exactly the
+   * rewritten files' delete rows — they compose with every maintenance op
+   * instead of blocking it. Cost: one metadata-pruned scan of the candidate
+   * files to record positions. Returns None when no row matches.
+   */
+  def deleteWherePositional(predicate: Column,
+      summary: Map[String, String] = Map.empty): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.col
+    val md = metadata
+    val sch = schemaOf(md)
+    val planned = planFilesOf(md, Some(predicate), None)
+    if (planned.isEmpty) return None
+    val uuid = s"dv-${UUID.randomUUID}"
+    val dir = s"$dataDir/$uuid"
+    val raw = org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+      spark, sch, root, planned, allSpecsOf(md, sch))
+    // positions are computed on the LIVE view (existing DVs and equality
+    // tombstones applied), so re-running the same delete is a no-op commit
+    // and "rows deleted" counts are logical, as in Delta/Iceberg
+    val dvs = posDeletesOf(md, None)
+    val live = applyTombstonesOf(md,
+      if (dvs.isEmpty) withPosCols(raw)
+      else antiJoinPosDeletes(raw, dvs, keepPosCols = true),
+      None)
+    live.filter(predicate)
+      .select(col("_gdv_rel").as("_file"), col("_gdv_idx").as("_pos"))
+      .sortWithinPartitions("_file", "_pos") // tight per-DV-file _file bounds
+      .write.mode("errorifexists").parquet(dir)
+    val metas = StatsCollector.collect(
+      spark, PosDeleteSchema, root, FileIO.listFiles(dir, ".parquet"), uuid)
+      .filter(_.rows > 0)
+    if (metas.isEmpty) { FileIO.deleteRecursively(dir); return None }
+    // the files the positions actually reference (bounded by touched files):
+    // validated against the commit parent so a concurrent REWRITE of one
+    // (positions now meaningless) forces a replan, while appends / other
+    // deletes race through — file immutability keeps their positions valid
+    val referenced = spark.read.schema(PosDeleteSchema).parquet(dir)
+      .select("_file").distinct().collect().map(_.getString(0))
+    Some(commitFull("delete-pos") { parent =>
+      val live = parent.toSeq.flatMap(_.manifests).flatMap(m => readManifest(m.path))
+        .map(_.path).toSet
+      val gone = referenced.filterNot(live)
+      require(gone.isEmpty,
+        s"delete-pos planned against files a concurrent commit rewrote " +
+          s"(${gone.take(3).mkString(", ")}${if (gone.length > 3) ", …" else ""}); replan required")
+      (parent.map(_.manifests).getOrElse(Seq.empty),
+        parent.flatMap(_.deleteManifests),
+        Some(parent.map(_.posDeleteList).getOrElse(Seq.empty) :+ writeManifest(metas)),
+        summary ++ Map("predicate" -> predicate.toString,
+          "position-deletes-added" -> metas.map(_.rows).sum.toString,
+          "position-delete-files" -> referenced.length.toString))
+    })
+  }
+
+  /** Parent's position-delete manifests minus rows referencing
+    * `removedPaths` (whose rewrite APPLIED those deletes — see
+    * [[withPositionDeletes]]): DV files that cannot reference a removed
+    * path are kept verbatim (bounds check, no read); intersecting ones are
+    * rewritten without the dead rows and dropped entirely when empty —
+    * EXACT per-file clearing, the property equality tombstones can't have.
+    * Returns (new manifest list, DV rows cleared). */
+  private def rewritePosDeletes(parent: Option[Snapshot],
+      removedPaths: Set[String]): (Option[Seq[ManifestMeta]], Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val manifests = parent.map(_.posDeleteList).getOrElse(Seq.empty)
+    if (manifests.isEmpty || removedPaths.isEmpty)
+      return (parent.flatMap(_.posDeleteManifests), 0L)
+    val (hitM, keptM) = manifests.partition(m =>
+      readManifest(m.path).exists(d => removedPaths.exists(p => dvMayCover(d, p))))
+    if (hitM.isEmpty) return (parent.flatMap(_.posDeleteManifests), 0L)
+    val entries = hitM.flatMap(m => readManifest(m.path))
+    val (hit, miss) = entries.partition(d => removedPaths.exists(p => dvMayCover(d, p)))
+    val removedDf = {
+      import spark.implicits._
+      removedPaths.toSeq.toDF("_gdv_rm")
+    }
+    val uuid = s"dvrw-${UUID.randomUUID}"
+    val dir = s"$dataDir/$uuid"
+    spark.read.schema(PosDeleteSchema).parquet(hit.map(absPath): _*)
+      .join(broadcast(removedDf), col("_file") === col("_gdv_rm"), "left_anti")
+      .sortWithinPartitions("_file", "_pos")
+      .write.mode("errorifexists").parquet(dir)
+    val rewritten = StatsCollector.collect(
+      spark, PosDeleteSchema, root, FileIO.listFiles(dir, ".parquet"), uuid)
+      .filter(_.rows > 0)
+    val cleared = hit.map(_.rows).sum - rewritten.map(_.rows).sum
+    val survivors = miss ++ rewritten
+    val out = if (survivors.isEmpty) keptM else keptM :+ writeManifest(survivors)
+    (if (out.isEmpty) None else Some(out), cleared)
   }
 
   /**
@@ -478,8 +679,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val md = metadata
     val sch = schemaOf(md)
     applyTombstonesOf(md,
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-        spark, sch, root, added, allSpecsOf(md, sch)),
+      withPositionDeletesOf(md,
+        org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+          spark, sch, root, added, allSpecsOf(md, sch)),
+        added, Some(to)),
       Some(to))
   }
 
@@ -623,11 +826,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       // is not row-preserving even under a "cluster" op — flagged in the
       // summary so incrementalRead treats it as row-changing
       val materialized = clearDeletes && parent.exists(_.deleteManifestList.nonEmpty)
+      // position deletes clear EXACTLY per rewritten file (the rewrite read
+      // those files through withPositionDeletes, so their DV rows are
+      // applied); untouched files keep theirs — no full-coverage condition
+      val (posDeletes, dvCleared) = rewritePosDeletes(parent, removedPaths)
       // clearDeletes: ONLY sound when the rewrite read every current data
       // file with tombstones applied (full-table cluster rewrite)
       (manifests,
         if (clearDeletes) None else parent.flatMap(_.deleteManifests),
-        summary ++ (if (materialized) Map("materialized-tombstones" -> "true") else Map.empty) ++ Map(
+        posDeletes,
+        summary ++ (if (materialized) Map("materialized-tombstones" -> "true") else Map.empty) ++
+          (if (dvCleared > 0) Map("materialized-position-deletes" -> dvCleared.toString) else Map.empty) ++ Map(
           "removed-files" -> removedPaths.size.toString,
           "added-files" -> added.size.toString,
           "added-rows" -> added.map(_.rows).sum.toString,
@@ -648,7 +857,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       build: Option[Snapshot] => (Seq[ManifestMeta], Map[String, String])): Snapshot =
     commitFull(op, expectedSnapshotId, propertyUpdates, toBranch = toBranch) { parent =>
       val (manifests, summary) = build(parent)
-      (manifests, parent.flatMap(_.deleteManifests), summary)
+      (manifests, parent.flatMap(_.deleteManifests), parent.flatMap(_.posDeleteManifests), summary)
     }
 
   /** [[commit]] with explicit control of the delete-manifest (tombstone)
@@ -658,7 +867,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       propertyUpdates: Map[String, String] = Map.empty,
       schemaUpdate: Option[StructType] = None,
       toBranch: Option[String] = None)(
-      build: Option[Snapshot] => (Seq[ManifestMeta], Option[Seq[ManifestMeta]], Map[String, String])): Snapshot = {
+      build: Option[Snapshot] => (Seq[ManifestMeta], Option[Seq[ManifestMeta]], Option[Seq[ManifestMeta]], Map[String, String])): Snapshot = {
     require(toBranch.isEmpty || schemaUpdate.isEmpty,
       s"$op: schema evolution commits to main only, not a branch")
     var attempts = 0
@@ -680,7 +889,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       for (expected <- expectedSnapshotId)
         require(parent.map(_.id).contains(expected),
           s"$op planned against snapshot $expected but current is ${parent.map(_.id)}: concurrent commit, replan required")
-      val (manifests, deleteManifests, summary) = build(parent)
+      val (manifests, deleteManifests, posDeletes, summary) = build(parent)
       val snap = Snapshot(
         id = md.lastSnapshotId + 1,
         parentId = parent.map(_.id),
@@ -688,7 +897,8 @@ class GraftTable private (val root: String, val spark: SparkSession) {
         operation = op,
         manifests = manifests,
         summary = summary ++ toBranch.map("branch" -> _),
-        deleteManifests = deleteManifests.filter(_.nonEmpty))
+        deleteManifests = deleteManifests.filter(_.nonEmpty),
+        posDeleteManifests = posDeletes.filter(_.nonEmpty))
       val next = md.copy(
         currentSnapshotId = if (toBranch.isEmpty) Some(snap.id) else md.currentSnapshotId,
         snapshots = md.snapshots :+ snap,
@@ -948,7 +1158,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
             "added-files" -> addedManifests.map(_.fileCount).sum.toString,
             "added-rows" -> addedManifests.map(_.rows).sum.toString,
             "added-bytes" -> addedManifests.map(_.bytes).sum.toString),
-          deleteManifests = mainHead.deleteManifests)
+          deleteManifests = mainHead.deleteManifests,
+          // main's position deletes reference main's files, all of which
+          // remain; staged files are NEW files no DV can reference — so the
+          // carry-forward is exact (file-scoped semantics, unlike the
+          // equality tombstones above, which do suppress staged keys)
+          posDeleteManifests = mainHead.posDeleteManifests)
         md.copy(
           currentSnapshotId = Some(snap.id),
           snapshots = md.snapshots :+ snap,
@@ -1376,7 +1591,10 @@ class GraftTable private (val root: String, val spark: SparkSession) {
               nullCounts = remap(e.nullCounts))))
           }
       }
-      (manifests, parent.flatMap(_.deleteManifests), Map(op -> detail))
+      // DV files have their own fixed (_file, _pos) schema — column
+      // evolution never touches them; carry forward verbatim
+      (manifests, parent.flatMap(_.deleteManifests),
+        parent.flatMap(_.posDeleteManifests), Map(op -> detail))
     }
   }
 

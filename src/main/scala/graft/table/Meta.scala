@@ -53,8 +53,15 @@ final case class Snapshot(
     summary: Map[String, String],
     // merge-on-read equality-delete (tombstone) manifests; Option so
     // pre-MoR metadata JSON deserializes as None
-    deleteManifests: Option[Seq[ManifestMeta]] = None) {
+    deleteManifests: Option[Seq[ManifestMeta]] = None,
+    // merge-on-read POSITION-delete (deletion-vector) manifests: parquet
+    // files of (_file, _pos) rows naming deleted row positions of specific
+    // data files. File-scoped (later appends unaffected) and exactly
+    // clearable per rewritten file — unlike equality tombstones. Option so
+    // pre-DV metadata JSON deserializes as None
+    posDeleteManifests: Option[Seq[ManifestMeta]] = None) {
   def deleteManifestList: Seq[ManifestMeta] = deleteManifests.getOrElse(Seq.empty)
+  def posDeleteList: Seq[ManifestMeta] = posDeleteManifests.getOrElse(Seq.empty)
 }
 
 /** Named snapshot reference: pins `snapshotId` against expiry and names it

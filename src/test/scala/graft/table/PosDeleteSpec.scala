@@ -1,0 +1,190 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.{Cluster, Compact, Expire, Merge}
+import graft.run.Synth
+
+/**
+ * Merge-on-read POSITION deletes (deletion vectors): file-scoped row
+ * deletes committed without rewriting data files, applied on every read
+ * path, and cleared EXACTLY per rewritten file by every maintenance op.
+ */
+class PosDeleteSpec extends SparkSuite {
+
+  private def freshTable(n: Long, parts: Int = 8) = {
+    val t = GraftTable.create(spark, tmpDir("graft-dv"), Synth.pageSchema)
+    t.append(Synth.pages(spark, n, partitions = parts))
+    t
+  }
+
+  test("positional delete hides matching rows without touching data files") {
+    val t = freshTable(4000)
+    val pre = t.read()
+    val preFiles = t.files().map(_.path).toSet
+    val pred = col("lang") === "en"
+    val expectDeleted = pre.filter(pred).count()
+    assert(expectDeleted > 0)
+
+    val snap = t.deleteWherePositional(pred)
+    assert(snap.nonEmpty && snap.get.operation == "delete-pos")
+    // zero write amplification: the data file set is IDENTICAL
+    assert(t.files().map(_.path).toSet == preFiles)
+    assert(t.positionDeletes().nonEmpty)
+    // DV _file values name real data files (the rel-path expression matches
+    // DataFileMeta.path exactly — the invariant every join/prune rests on)
+    val dvFiles = spark.read.schema(t.PosDeleteSchema)
+      .parquet(t.positionDeletes().map(t.absPath): _*)
+      .select("_file").distinct().collect().map(_.getString(0)).toSet
+    assert(dvFiles.nonEmpty && dvFiles.subsetOf(preFiles), s"unmatched DV paths: ${dvFiles -- preFiles}")
+
+    // full scan = pre-delete scan minus matching rows
+    assertSameRows(t.read(), pre.filter(!pred), "dv full scan")
+    // predicate scans keep working (incl. one that prunes to DV-free files)
+    assertSameRows(t.read(Some(col("lang") === "de")),
+      pre.filter(col("lang") === "de"), "dv predicate scan")
+    // old snapshot still sees everything (snapshot isolation)
+    assert(t.readSnapshot(snap.get.parentId.get).count() == pre.count())
+    // deleting rows that are already gone is a no-op commit
+    assert(t.deleteWherePositional(col("lang") === "en").isEmpty)
+  }
+
+  test("position deletes are FILE-scoped: later appends are unaffected") {
+    val t = freshTable(2000)
+    val pred = col("lang") === "en"
+    val survivors = t.read().filter(!pred).count()
+    assert(t.deleteWherePositional(pred).nonEmpty)
+    // new rows matching the same predicate land AFTER the delete — they stay
+    // (equality tombstones would suppress them; DVs must not)
+    val more = Synth.pages(spark, 500, seed = 99L)
+    val moreEn = more.filter(pred).count()
+    assert(moreEn > 0)
+    t.append(more)
+    assert(t.read().filter(pred).count() == moreEn, "appended rows must survive the earlier DV")
+    assert(t.read().count() == survivors + more.count())
+  }
+
+  test("compaction applies DVs to rewritten files and clears exactly those") {
+    val t = freshTable(6000, parts = 12)
+    val pred = col("lang") === "en"
+    val expected = t.read().filter(!pred)
+    val expectedCount = expected.count()
+    assert(t.deleteWherePositional(pred).nonEmpty)
+    val dvRowsPre = t.positionDeletes().map(_.rows).sum
+
+    val snap = Compact.run(t, targetBytes = 256L * 1024 * 1024)
+    assert(snap.nonEmpty)
+    // full coverage here → every DV row cleared, not carried
+    assert(t.positionDeletes().isEmpty,
+      s"DV rows must clear with their files (was $dvRowsPre)")
+    assert(snap.get.summary.get("materialized-position-deletes").exists(_.toLong == dvRowsPre))
+    assertSameRows(t.read(), expected, "post-compact scan")
+    assert(t.read().count() == expectedCount)
+  }
+
+  test("PARTIAL rewrite clears only the rewritten files' DV rows") {
+    val t = freshTable(4000, parts = 8)
+    val pred = col("lang") === "en"
+    val expected = t.read().filter(!pred)
+    assert(t.deleteWherePositional(pred).nonEmpty)
+    val dvRowsPre = t.positionDeletes().map(_.rows).sum
+    assert(dvRowsPre > 0)
+
+    // rewrite a strict subset of the DV'd files via predicate-scoped cluster
+    val someFiles = t.files().sortBy(_.path).take(2)
+    val snap = Cluster.zorderRewrite(t, onlyFiles = Some(someFiles))
+    assert(snap.nonEmpty)
+    val dvRowsPost = t.positionDeletes().map(_.rows).sum
+    assert(dvRowsPost < dvRowsPre, "rewritten files' DV rows must clear")
+    assert(dvRowsPost > 0, "untouched files' DV rows must survive")
+    assertSameRows(t.read(), expected, "post-partial-rewrite scan")
+  }
+
+  test("MERGE runs with live DVs: deleted target rows are NOT MATCHED") {
+    val t = freshTable(1000)
+    // delete one specific url's row positionally
+    val victim = t.read().select("url").orderBy("url").limit(1).collect()(0).getString(0)
+    assert(t.deleteWherePositional(col("url") === victim).nonEmpty)
+    assert(t.read().filter(col("url") === victim).count() == 0)
+
+    // merge a new image of that url: must INSERT (not update a dead row)
+    val src = t.readSnapshot(t.currentSnapshot.get.parentId.get)
+      .filter(col("url") === victim)
+      .withColumn("lang", lit("merged"))
+    Merge.into(t, src, Seq("url"))
+    val after = t.read().filter(col("url") === victim).collect()
+    assert(after.length == 1 && after(0).getAs[String]("lang") == "merged")
+    // the touched file's DV rows cleared; scans stay consistent
+    assertSameRows(t.read().filter(col("url") =!= victim),
+      t.readSnapshot(1).filter(col("url") =!= victim), "untouched rows")
+  }
+
+  test("CoW delete/update/replaceWhere do not resurrect DV-deleted rows") {
+    val t = freshTable(2000)
+    val pred = col("lang") === "en"
+    val expected = t.read().filter(!pred)
+    assert(t.deleteWherePositional(pred).nonEmpty)
+
+    // CoW update touching files that hold DV'd rows
+    Merge.updateWhere(t, col("lang") === "de", Map("text" -> lit("updated")))
+    assert(t.read().filter(pred).count() == 0, "update must not resurrect DV-deleted rows")
+    assert(t.read().count() == expected.count())
+
+    // CoW delete on another predicate
+    Merge.deleteWhere(t, col("lang") === "fr")
+    assert(t.read().filter(pred).count() == 0)
+    assertSameRows(t.read(),
+      expected.filter(col("lang") =!= "fr")
+        .withColumn("text", when(col("lang") === "de", lit("updated")).otherwise(col("text"))),
+      "post CoW ops scan")
+  }
+
+  test("expire GC keeps live DV files, collects cleared ones") {
+    val t = freshTable(2000)
+    assert(t.deleteWherePositional(col("lang") === "en").nonEmpty)
+    val dvPaths = t.positionDeletes().map(t.absPath)
+    assert(dvPaths.forall(p => new java.io.File(p).exists))
+    val expected = t.read()
+    val expectedCount = expected.count()
+
+    // expire history: live snapshot still references the DV files
+    Expire.expire(t, retainLast = 1, olderThanMs = Long.MaxValue)
+    assert(dvPaths.forall(p => new java.io.File(p).exists), "live DV files must survive GC")
+    assert(t.read().count() == expectedCount)
+
+    // full compaction clears DVs; expiring the pre-compact snapshot GCs them
+    Compact.run(t, targetBytes = 256L * 1024 * 1024)
+    Expire.expire(t, retainLast = 1, olderThanMs = Long.MaxValue)
+    assert(dvPaths.forall(p => !new java.io.File(p).exists), "cleared DV files must GC")
+    assert(t.read().count() == expectedCount)
+  }
+
+  test("raw graft-format relation refuses a DV snapshot; SQL read applies it") {
+    val t = freshTable(1000)
+    assert(t.deleteWherePositional(col("lang") === "en").nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(t.root).count()
+    }
+    assert(e.getMessage.contains("position deletes"))
+    // the SQL front door goes through table.read() and is exact
+    val viaSql = spark.sql(s"SELECT count(*) AS c FROM graft.`${t.root}`").collect()(0).getLong(0)
+    assert(viaSql == t.read().count())
+  }
+
+  test("positional delete composes with equality tombstones and appends race through") {
+    val t = freshTable(2000)
+    // equality tombstone on one url + DV on a predicate: both apply
+    val u = t.read().select("url").orderBy(desc("url")).limit(1).collect()(0).getString(0)
+    import spark.implicits._
+    t.deleteByKeysMoR(Seq(u).toDF("url"))
+    val preDv = t.read()
+    val pred = col("lang") === "en"
+    assert(t.deleteWherePositional(pred).nonEmpty)
+    assertSameRows(t.read(), preDv.filter(!pred), "tombstone + DV scan")
+    // an append AFTER the DV commit races through (file immutability keeps
+    // recorded positions valid) and its rows are untouched by the DV
+    t.append(Synth.pages(spark, 300, seed = 7L))
+    assert(t.read().count() == preDv.filter(!pred).count() + 300)
+  }
+}

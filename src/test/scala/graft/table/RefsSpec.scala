@@ -122,7 +122,7 @@ class RefsSpec extends SparkSuite {
     // schema evolution never lands on a branch
     intercept[IllegalArgumentException](tbl.commitFull(
       "rename-column", toBranch = Some("late"),
-      schemaUpdate = Some(tbl.schema))(p => (p.get.manifests, None, Map.empty)))
+      schemaUpdate = Some(tbl.schema))(p => (p.get.manifests, None, None, Map.empty)))
   }
 
   test("VACUUM mid-staging keeps the whole staged chain publishable") {
