@@ -209,13 +209,20 @@ case class GraftDropColumnsCommand(
   }
 }
 
-/** `DELETE FROM graft.…` — plans into copy-on-write [[Merge.deleteWhere]]. */
+/** `DELETE FROM graft.…` — plans into copy-on-write [[Merge.deleteWhere]],
+  * or a merge-on-read position delete ([[GraftTable.deleteWherePositional]],
+  * no file rewrites) when the table sets `write.delete.mode=merge-on-read`
+  * (Iceberg's property; any other value = copy-on-write). */
 case class GraftDeleteCommand(path: String, cond: ExprHolder) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(AttributeReference("snapshot_id", LongType)())
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
     if (table.currentSnapshot.isEmpty) return Seq.empty // empty table: 0 rows affected
-    val snap = Merge.deleteWhere(table, Shims.column(cond.e))
+    val mor = table.metadata.properties.get("write.delete.mode").contains("merge-on-read")
+    val snap =
+      if (mor) table.deleteWherePositional(Shims.column(cond.e))
+        .getOrElse(table.currentSnapshot.get) // no match: current snapshot
+      else Merge.deleteWhere(table, Shims.column(cond.e))
     Seq(Row(snap.id))
   }
 }

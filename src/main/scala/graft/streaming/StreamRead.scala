@@ -285,12 +285,17 @@ class GraftStreamSource(
       graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true, pinned)
   }
 
-  /** Micro-batch DataFrame over `files` with snapshot `to`'s tombstones
-    * applied (broadcast anti-join below the row cap, shuffle above). */
+  /** Micro-batch DataFrame over `files` with snapshot `to`'s merge-on-read
+    * deletes applied — equality tombstones AND position deletes (both are
+    * stream-static anti-joins; broadcast below the row cap). A row deleted
+    * positionally before its file is delivered must not reach the consumer,
+    * exactly as `read()` at `to` would hide it. */
   private def streamingDf(files: Seq[DataFileMeta], to: Long): DataFrame =
     table.applyTombstones(
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-        spark, schema, root, files, specs, isStreaming = true),
+      table.withPositionDeletes(
+        org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+          spark, schema, root, files, specs, isStreaming = true),
+        files, Some(to)),
       Some(to))
 
   override def commit(end: OffsetV1): Unit = () // offset log is the state

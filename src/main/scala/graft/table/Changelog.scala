@@ -28,6 +28,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  *  - delete-mor   → the parent-visible rows matching the NEWLY added
  *                   tombstone keys, as deletes (file pruning via the key
  *                   set's min/max bounds — the tombstone niche is small);
+ *  - delete-pos   → the rows at the NEWLY recorded (file, position) delete
+ *                   tuples, as deletes (scan touches only the referenced
+ *                   files; positions were taken on the parent-visible view);
  *  - merge/update/delete (any copy-on-write file replacement) → the logical
  *    diff of the commit's removed vs added files: removed∖added as deletes,
  *    added∖removed as inserts. Rewritten-but-unchanged rows cancel in the
@@ -161,11 +164,12 @@ object Changelog {
       filesOverride: Option[Seq[DataFileMeta]] = None): DataFrame = {
     val spark = table.spark
     val (sch, specs) = pinned.getOrElse((table.schema, table.allPartitionSpecs))
+    val files = filesOverride.getOrElse(table.files(Some(snapshotId)))
     val df = table.applyTombstones(
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
-        spark, sch, table.root,
-        filesOverride.getOrElse(table.files(Some(snapshotId))), specs,
-        isStreaming = streamingTag),
+      table.withPositionDeletes(
+        org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+          spark, sch, table.root, files, specs, isStreaming = streamingTag),
+        files, Some(snapshotId)),
       Some(snapshotId))
     df.withColumn(ChangeTypeCol, lit("insert")).withColumn(CommitCol, lit(snapshotId))
   }
@@ -212,6 +216,19 @@ object Changelog {
         Seq(tag(vis.join(right, keyCols, "left_semi"), "delete", snap.id))
       }
 
+    case "delete-pos" =>
+      // position-delete commit: the removed row images are the rows at the
+      // NEWLY recorded (file, position) tuples. Positions were computed on
+      // the parent-visible view (deleteWherePositional applies live
+      // tombstones + DVs first), so the semi-join is exactly the logical
+      // delete set; the scan touches only the referenced files.
+      val parentPd = parent.map(_.posDeleteList.map(_.path).toSet).getOrElse(Set.empty)
+      val newPd = snap.posDeleteList.filterNot(m => parentPd.contains(m.path))
+        .flatMap(m => table.readManifest(m.path))
+      if (newPd.isEmpty || parent.isEmpty) Seq.empty
+      else Seq(tag(table.rowsAtPositions(sch,
+        table.files(Some(parent.get.id)), newPd), "delete", snap.id))
+
     case _ => // copy-on-write file replacement: merge / update / delete / overwrite
       val parentManifests = parent.map(_.manifests).getOrElse(Seq.empty)
       val pm = parentManifests.map(_.path).toSet
@@ -229,7 +246,14 @@ object Changelog {
       val added = childOnly.filterNot(e => parentPaths.contains(e.path))
       if (removed.isEmpty && added.isEmpty) Seq.empty
       else {
-        val remRows = table.applyTombstones(rel(removed), parent.map(_.id))
+        // the rewrite read the removed files with the parent's position
+        // deletes APPLIED, so the diff must too — otherwise rows whose
+        // delete events were already emitted at their delete-pos commit
+        // would re-surface here as spurious deletes. Added files are new
+        // and can never be DV-referenced.
+        val remRows = table.applyTombstones(
+          table.withPositionDeletes(rel(removed), removed, parent.map(_.id)),
+          parent.map(_.id))
         val addRows = table.applyTombstones(rel(added), Some(snap.id))
         Seq(
           tag(remRows.exceptAll(addRows), "delete", snap.id),

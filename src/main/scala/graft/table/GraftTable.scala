@@ -531,6 +531,27 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     })
   }
 
+  /** Rows of `files` whose (file, row-position) appears in the given
+    * position-delete entries — the row images a delete-pos commit removed
+    * (the changelog/CDC scan). Touches only the files the DV rows can
+    * reference (bounds prune on `_file`); semi-join broadcast below
+    * [[TombstoneBroadcastRowCap]]. */
+  def rowsAtPositions(sch: StructType, files: Seq[DataFileMeta],
+      dvEntries: Seq[DataFileMeta]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val covered = files.filter(f => dvEntries.exists(d => dvMayCover(d, f.path)))
+    val scan = org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+      spark, sch, root, covered, allPartitionSpecs)
+    val dvDf = spark.read.schema(PosDeleteSchema).parquet(dvEntries.map(absPath): _*)
+      .withColumnRenamed("_file", "_gdv_file").withColumnRenamed("_pos", "_gdv_pos")
+      .distinct()
+    val right = if (dvEntries.map(_.rows).sum <= TombstoneBroadcastRowCap) broadcast(dvDf) else dvDf
+    withPosCols(scan)
+      .join(right, col("_gdv_rel") === col("_gdv_file") &&
+        col("_gdv_idx") === col("_gdv_pos"), "left_semi")
+      .drop("_gdv_rel", "_gdv_idx")
+  }
+
   /** Parent's position-delete manifests minus rows referencing
     * `removedPaths` (whose rewrite APPLIED those deletes — see
     * [[withPositionDeletes]]): DV files that cannot reference a removed

@@ -306,6 +306,76 @@ class StreamCdcSpec extends SparkSuite {
     assert(got.size() == before, "idle restart must deliver no events")
   }
 
+  test("change-rows streams positional deletes; a tailing consumer matches read()") {
+    import graft.table.Changelog
+    val root = tmpDir("graft-cdc-dv")
+    val ckpt = tmpDir("graft-cdc-dv-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(120, 3, "a"))
+
+    type Ev = (Long, Long, String, String) // (batch, commit, changeType, url)
+    val got = new ConcurrentLinkedQueue[Ev]()
+    def drainChanges(): Unit = {
+      val q = spark.readStream.format("graft").option("change-rows", "true").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(col(Changelog.CommitCol), col(Changelog.ChangeTypeCol), col("url"))
+            .collect().foreach(r => got.add((batchId, r.getLong(0), r.getString(1), r.getString(2))))
+          ()
+        }
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+
+    drainChanges() // initial inserts
+    // while the stream is down: a positional delete, then an append
+    val delUrls = t.read().filter(col("lang") === "en")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(delUrls.nonEmpty)
+    assert(t.deleteWherePositional(col("lang") === "en").nonEmpty)
+    t.append(pagesTagged(30, 4, "b"))
+
+    drainChanges()
+    import scala.jdk.CollectionConverters._
+    val deletes = got.asScala.filter(_._3 == "delete").map(_._4).toSet
+    assert(deletes == delUrls, "streamed delete events must be exactly the DV-deleted rows")
+    // fold reconstructs read()
+    val state = scala.collection.mutable.Map.empty[String, Int]
+    for (e <- got.asScala.toSeq.sortBy(x => (x._1, x._2))) e._3 match {
+      case "insert" => state(e._4) = state.getOrElse(e._4, 0) + 1
+      case "delete" =>
+        val n = state.getOrElse(e._4, 0); assert(n > 0)
+        if (n == 1) state.remove(e._4) else state(e._4) = n - 1
+    }
+    val expect = t.read().select("url").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(state.toMap == expect, "folded stream state must equal read()")
+  }
+
+  test("appends-only stream: skip-change-commits drops a delete-pos commit; delivered rows respect DVs") {
+    val root = tmpDir("graft-cdc-dvskip")
+    val ckpt = tmpDir("graft-cdc-dvskip-ckpt")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(pagesTagged(80, 5, "a"))
+    val sink = new ConcurrentLinkedQueue[(Long, Seq[String])]()
+    drain(root, ckpt, sink, Map("skip-change-commits" -> "true"))
+    import scala.jdk.CollectionConverters._
+    assert(sink.asScala.flatMap(_._2).size == 80)
+
+    // append a batch, then positionally delete some of ITS rows before the
+    // stream catches up: the delivered rows must respect the DVs (read()
+    // parity at the batch snapshot), and the delete-pos commit is skipped
+    t.append(pagesTagged(40, 6, "b"))
+    val victims = t.read().filter(col("url").contains("b=b") && col("lang") === "en")
+    val nVictims = victims.count()
+    assert(nVictims > 0)
+    assert(t.deleteWherePositional(col("url").contains("b=b") && col("lang") === "en").nonEmpty)
+    drain(root, ckpt, sink, Map("skip-change-commits" -> "true"))
+    val delivered = sink.asScala.flatMap(_._2).toSeq
+    assert(delivered.size == 80 + 40 - nVictims,
+      "rows DV-deleted before delivery must not be delivered")
+  }
+
   test("update-images-on labels streamed merge commits as update pre/post images") {
     import graft.table.Changelog
     val root = tmpDir("graft-cdc-upd")

@@ -172,6 +172,62 @@ class PosDeleteSpec extends SparkSuite {
     assert(viaSql == t.read().count())
   }
 
+  test("changelog of a delete-pos commit emits exactly the deleted row images") {
+    import Changelog.{ChangeTypeCol, CommitCol}
+    val t = freshTable(1500)
+    val from = t.currentSnapshot.get.id
+    val pre = t.read()
+    val pred = col("lang") === "en"
+    assert(t.deleteWherePositional(pred).nonEmpty)
+    t.append(Synth.pages(spark, 300, seed = 5L))
+
+    val ch = t.changes(from)
+    assertSameRows(
+      ch.filter(col(ChangeTypeCol) === "delete").drop(ChangeTypeCol, CommitCol),
+      pre.filter(pred), "delete-pos changelog images")
+    // fold invariant: pre \ deletes ∪ inserts == read()
+    val folded = pre
+      .exceptAll(ch.filter(col(ChangeTypeCol) === "delete").drop(ChangeTypeCol, CommitCol))
+      .unionByName(ch.filter(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol, CommitCol))
+    assertSameRows(folded, t.read(), "changelog fold across delete-pos")
+  }
+
+  test("changelog of a merge AFTER a positional delete emits no spurious deletes") {
+    import Changelog.{ChangeTypeCol, CommitCol}
+    val t = freshTable(800)
+    val pred = col("lang") === "en"
+    assert(t.deleteWherePositional(pred).nonEmpty)
+    val from = t.currentSnapshot.get.id
+    val pre = t.read()
+    // CoW update rewrites files that still carry DV rows: the diff must not
+    // re-emit the DV-dead rows as deletes (their events belong to delete-pos)
+    Merge.updateWhere(t, col("lang") === "de", Map("text" -> lit("u")))
+    val ch = t.changes(from)
+    val deletes = ch.filter(col(ChangeTypeCol) === "delete").drop(ChangeTypeCol, CommitCol)
+    assert(deletes.filter(pred).count() == 0,
+      "DV-dead rows must not re-surface as CoW diff deletes")
+    val folded = pre.exceptAll(deletes)
+      .unionByName(ch.filter(col(ChangeTypeCol) === "insert").drop(ChangeTypeCol, CommitCol))
+    assertSameRows(folded, t.read(), "changelog fold across DV + CoW update")
+  }
+
+  test("SQL DELETE honors write.delete.mode=merge-on-read (no file rewrites)") {
+    val t = freshTable(1000)
+    spark.sql(s"ALTER TABLE graft.`${t.root}` SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val preFiles = t.files().map(_.path).toSet
+    val pre = t.read()
+    spark.sql(s"DELETE FROM graft.`${t.root}` WHERE lang = 'en'")
+    assert(t.files().map(_.path).toSet == preFiles, "MoR SQL DELETE must not rewrite data files")
+    assert(t.positionDeletes().nonEmpty)
+    assertSameRows(t.read(), pre.filter(col("lang") =!= "en"), "sql mor delete")
+    // flipping the property back routes DELETE through copy-on-write again
+    spark.sql(s"ALTER TABLE graft.`${t.root}` UNSET TBLPROPERTIES ('write.delete.mode')")
+    spark.sql(s"DELETE FROM graft.`${t.root}` WHERE lang = 'de'")
+    assert(t.files().map(_.path).toSet != preFiles)
+    assertSameRows(t.read(), pre.filter(col("lang") =!= "en").filter(col("lang") =!= "de"),
+      "sql cow delete after mode unset")
+  }
+
   test("positional delete composes with equality tombstones and appends race through") {
     val t = freshTable(2000)
     // equality tombstone on one url + DV on a predicate: both apply
