@@ -227,7 +227,11 @@ case class GraftDeleteCommand(path: String, cond: ExprHolder) extends LeafRunnab
   }
 }
 
-/** `UPDATE graft.… SET …` — plans into copy-on-write [[Merge.updateWhere]]. */
+/** `UPDATE graft.… SET …` — plans into copy-on-write [[Merge.updateWhere]],
+  * or a merge-on-read positional update
+  * ([[GraftTable.updateWherePositional]]: DV the old positions + append the
+  * new images, no file rewrites) when the table sets
+  * `write.update.mode=merge-on-read` (Iceberg's property). */
 case class GraftUpdateCommand(
     path: String,
     sets: Seq[(String, ExprHolder)],
@@ -236,8 +240,12 @@ case class GraftUpdateCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val table = GraftTable.load(session, path)
     if (table.currentSnapshot.isEmpty) return Seq.empty // empty table: 0 rows affected
-    val snap = Merge.updateWhere(table, Shims.column(cond.e),
-      sets.map { case (k, v) => k -> Shims.column(v.e) }.toMap)
+    val set = sets.map { case (k, v) => k -> Shims.column(v.e) }.toMap
+    val mor = table.metadata.properties.get("write.update.mode").contains("merge-on-read")
+    val snap =
+      if (mor) table.updateWherePositional(Shims.column(cond.e), set)
+        .getOrElse(table.currentSnapshot.get) // no match: current snapshot
+      else Merge.updateWhere(table, Shims.column(cond.e), set)
     Seq(Row(snap.id))
   }
 }

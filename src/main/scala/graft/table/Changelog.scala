@@ -31,6 +31,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  *  - delete-pos   → the rows at the NEWLY recorded (file, position) delete
  *                   tuples, as deletes (scan touches only the referenced
  *                   files; positions were taken on the parent-visible view);
+ *  - update-pos   → the same DV-delta deletes plus the appended updated
+ *                   images as inserts (pairing labels them pre/post);
  *  - merge/update/delete (any copy-on-write file replacement) → the logical
  *    diff of the commit's removed vs added files: removed∖added as deletes,
  *    added∖removed as inserts. Rewritten-but-unchanged rows cancel in the
@@ -216,18 +218,29 @@ object Changelog {
         Seq(tag(vis.join(right, keyCols, "left_semi"), "delete", snap.id))
       }
 
-    case "delete-pos" =>
-      // position-delete commit: the removed row images are the rows at the
-      // NEWLY recorded (file, position) tuples. Positions were computed on
-      // the parent-visible view (deleteWherePositional applies live
+    case "delete-pos" | "update-pos" =>
+      // position-delete / MoR-update commit: the removed row images are the
+      // rows at the NEWLY recorded (file, position) tuples. Positions were
+      // computed on the parent-visible view (the writers apply live
       // tombstones + DVs first), so the semi-join is exactly the logical
-      // delete set; the scan touches only the referenced files.
+      // delete set; the scan touches only the referenced files. An
+      // update-pos commit additionally appended the updated images — those
+      // files are pure additions and emit as inserts (update-image pairing
+      // then labels matching keys as pre/post images).
       val parentPd = parent.map(_.posDeleteList.map(_.path).toSet).getOrElse(Set.empty)
       val newPd = snap.posDeleteList.filterNot(m => parentPd.contains(m.path))
         .flatMap(m => table.readManifest(m.path))
-      if (newPd.isEmpty || parent.isEmpty) Seq.empty
-      else Seq(tag(table.rowsAtPositions(sch,
-        table.files(Some(parent.get.id)), newPd), "delete", snap.id))
+      val delFrames =
+        if (newPd.isEmpty || parent.isEmpty) Seq.empty
+        else Seq(tag(table.rowsAtPositions(sch,
+          table.files(Some(parent.get.id)), newPd), "delete", snap.id))
+      val parentM = parent.map(_.manifests.map(_.path).toSet).getOrElse(Set.empty)
+      val addedFiles = snap.manifests.filterNot(m => parentM.contains(m.path))
+        .flatMap(m => table.readManifest(m.path))
+      val insFrames =
+        if (addedFiles.isEmpty) Seq.empty
+        else Seq(tag(table.applyTombstones(rel(addedFiles), Some(snap.id)), "insert", snap.id))
+      delFrames ++ insFrames
 
     case _ => // copy-on-write file replacement: merge / update / delete / overwrite
       val parentManifests = parent.map(_.manifests).getOrElse(Seq.empty)

@@ -531,6 +531,73 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     })
   }
 
+  /**
+   * Merge-on-read UPDATE (Delta-DV-style): ONE commit that position-deletes
+   * the matching rows and appends their updated images — no data file is
+   * rewritten, so a trickle update on a 100 TB table costs the matching
+   * rows, not the touched files. Assignments evaluate against the
+   * PRE-update row (ANSI semantics), cast to the column type; CHECK
+   * constraints run inline on the appended images (writeDataFiles).
+   * Returns None when no row matches.
+   */
+  def updateWherePositional(predicate: Column, set: Map[String, Column],
+      summary: Map[String, String] = Map.empty): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val md = metadata
+    val sch = schemaOf(md)
+    for (c <- set.keys)
+      require(sch.fieldNames.contains(c), s"UPDATE of unknown column $c")
+    val planned = planFilesOf(md, Some(predicate), None)
+    if (planned.isEmpty) return None
+    val raw = org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+      spark, sch, root, planned, allSpecsOf(md, sch))
+    val dvs = posDeletesOf(md, None)
+    val live = applyTombstonesOf(md,
+      if (dvs.isEmpty) withPosCols(raw)
+      else antiJoinPosDeletes(raw, dvs, keepPosCols = true),
+      None)
+    val hit = live.filter(coalesce(predicate, lit(false)))
+    // ONE scan feeds both outputs: persist the matching rows (the MoR
+    // niche is a trickle — small), then project positions and new images
+    hit.persist()
+    try {
+      val uuid = s"dvu-${UUID.randomUUID}"
+      val dvDir = s"$dataDir/$uuid"
+      hit.select(col("_gdv_rel").as("_file"), col("_gdv_idx").as("_pos"))
+        .sortWithinPartitions("_file", "_pos")
+        .write.mode("errorifexists").parquet(dvDir)
+      val dvMetas = StatsCollector.collect(
+        spark, PosDeleteSchema, root, FileIO.listFiles(dvDir, ".parquet"), uuid)
+        .filter(_.rows > 0)
+      if (dvMetas.isEmpty) { FileIO.deleteRecursively(dvDir); return None }
+      val referenced = spark.read.schema(PosDeleteSchema).parquet(dvDir)
+        .select("_file").distinct().collect().map(_.getString(0))
+      val images = hit.select(sch.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(coalesce(predicate, lit(false)), v.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      val added = writeDataFiles(images, s"update-$uuid")
+      Some(commitFull("update-pos") { parent =>
+        val livePaths = parent.toSeq.flatMap(_.manifests).flatMap(m => readManifest(m.path))
+          .map(_.path).toSet
+        val gone = referenced.filterNot(livePaths)
+        require(gone.isEmpty,
+          s"update-pos planned against files a concurrent commit rewrote " +
+            s"(${gone.take(3).mkString(", ")}${if (gone.length > 3) ", …" else ""}); replan required")
+        (parent.map(_.manifests).getOrElse(Seq.empty) :+ writeManifest(added),
+          parent.flatMap(_.deleteManifests),
+          Some(parent.map(_.posDeleteList).getOrElse(Seq.empty) :+ writeManifest(dvMetas)),
+          summary ++ Map("predicate" -> predicate.toString,
+            "set-columns" -> set.keys.toSeq.sorted.mkString(","),
+            "position-deletes-added" -> dvMetas.map(_.rows).sum.toString,
+            "updated-rows" -> added.map(_.rows).sum.toString))
+      })
+    } finally hit.unpersist()
+  }
+
   /** Rows of `files` whose (file, row-position) appears in the given
     * position-delete entries — the row images a delete-pos commit removed
     * (the changelog/CDC scan). Touches only the files the DV rows can

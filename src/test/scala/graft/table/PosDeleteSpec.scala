@@ -228,6 +228,70 @@ class PosDeleteSpec extends SparkSuite {
       "sql cow delete after mode unset")
   }
 
+  test("MoR UPDATE: one commit, no file rewrites, ANSI pre-update semantics") {
+    val t = freshTable(2000)
+    val pre = t.read()
+    val preFiles = t.files().map(_.path).toSet
+    val pred = col("lang") === "en"
+    val nHit = pre.filter(pred).count()
+    assert(nHit > 0)
+
+    val snap = t.updateWherePositional(pred, Map("text" -> concat(col("text"), lit("!"))))
+    assert(snap.nonEmpty && snap.get.operation == "update-pos")
+    // old files untouched; exactly the new-image files were added
+    assert(preFiles.subsetOf(t.files().map(_.path).toSet))
+    assert(t.positionDeletes().map(_.rows).sum == nHit)
+    // scan equality vs the CoW-equivalent result (assignment on PRE row)
+    assertSameRows(t.read(),
+      pre.withColumn("text", when(pred, concat(col("text"), lit("!"))).otherwise(col("text"))),
+      "MoR update scan")
+    // snapshot isolation
+    assertSameRows(t.readSnapshot(snap.get.parentId.get), pre, "pre-update snapshot")
+    // no-match predicate → no commit
+    assert(t.updateWherePositional(col("lang") === "zz-never", Map("text" -> lit("x"))).isEmpty)
+    // compaction materializes: DVs clear, scans unchanged
+    val expected = t.read()
+    Compact.run(t, targetBytes = 256L * 1024 * 1024)
+    assert(t.positionDeletes().isEmpty)
+    assertSameRows(t.read(), expected, "post-compact MoR-update scan")
+  }
+
+  test("changelog of a MoR update pairs pre/post images; fold reconstructs read()") {
+    import Changelog.{ChangeTypeCol, CommitCol, UpdatePostimage, UpdatePreimage}
+    val t = freshTable(1200)
+    val from = t.currentSnapshot.get.id
+    val pre = t.read()
+    val pred = col("lang") === "en"
+    assert(t.updateWherePositional(pred, Map("text" -> lit("updated"))).nonEmpty)
+
+    val ch = t.changes(from, updateImagesOn = Seq("url"))
+    val pres = ch.filter(col(ChangeTypeCol) === UpdatePreimage)
+    val posts = ch.filter(col(ChangeTypeCol) === UpdatePostimage)
+    assertSameRows(pres.drop(ChangeTypeCol, CommitCol), pre.filter(pred), "preimages")
+    assertSameRows(posts.drop(ChangeTypeCol, CommitCol),
+      pre.filter(pred).withColumn("text", lit("updated")), "postimages")
+    // fold (preimage = delete, postimage = insert) reconstructs read()
+    val folded = pre
+      .exceptAll(ch.filter(col(ChangeTypeCol).isin("delete", UpdatePreimage))
+        .drop(ChangeTypeCol, CommitCol))
+      .unionByName(ch.filter(col(ChangeTypeCol).isin("insert", UpdatePostimage))
+        .drop(ChangeTypeCol, CommitCol))
+    assertSameRows(folded, t.read(), "changelog fold across update-pos")
+  }
+
+  test("SQL UPDATE honors write.update.mode=merge-on-read") {
+    val t = freshTable(1000)
+    spark.sql(s"ALTER TABLE graft.`${t.root}` SET TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    val pre = t.read()
+    val preFiles = t.files().map(_.path).toSet
+    spark.sql(s"UPDATE graft.`${t.root}` SET text = 'sql-updated' WHERE lang = 'en'")
+    assert(preFiles.subsetOf(t.files().map(_.path).toSet), "MoR SQL UPDATE must not rewrite data files")
+    assert(t.positionDeletes().nonEmpty)
+    assertSameRows(t.read(),
+      pre.withColumn("text", when(col("lang") === "en", lit("sql-updated")).otherwise(col("text"))),
+      "sql mor update")
+  }
+
   test("positional delete composes with equality tombstones and appends race through") {
     val t = freshTable(2000)
     // equality tombstone on one url + DV on a predicate: both apply
