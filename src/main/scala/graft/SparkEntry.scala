@@ -714,6 +714,38 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q43: merge-on-read positional lifecycle — a deletion-vector DELETE and
+    // a positional UPDATE land without rewriting any data file; a later
+    // append re-ships rows matching the deleted predicate (file-scoped DVs
+    // must not touch them — equality tombstones would); compaction then
+    // materializes and clears the DVs. The final state replays relationally.
+    "q43_positional_mor" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q43").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, ord.schema)
+      tbl.append(ord.coalesce(8))
+      val preFiles = tbl.files().map(_.path).toSet
+      tbl.deleteWherePositional(col("o_orderpriority") === "1-URGENT")
+      tbl.updateWherePositional(col("o_orderpriority") === "2-HIGH",
+        Map("price" -> (col("price") + 100.0)))
+      // both MoR ops keep every original data file in place
+      val noRewrites = preFiles.subsetOf(tbl.files().map(_.path).toSet)
+      tbl.append(ord.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L).coalesce(4))
+      graft.ops.Compact.run(tbl, targetBytes = 256L * 1024 * 1024)
+      val dvCleared = tbl.positionDeletes().isEmpty
+      val out = s.sql(s"SELECT * FROM graft.`$root`")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("price"), 2).as("price_sum"))
+        .withColumn("mor_held", lit(noRewrites && dvCleared))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1137,5 +1169,26 @@ object SparkEntry {
         |                      THEN round(CAST(o_totalprice AS DOUBLE) / 10.0, 4)
         |                      ELSE 0.0 END), 4) AS margin_sum,
         |       true AS constraint_held
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q43: positional-MoR lifecycle — DV delete of URGENT, positional
+    // update of 2-HIGH (+100), file-scoped re-append of URGENT under
+    // shifted keys, compaction materializes
+    "q43_positional_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(o_totalprice AS DOUBLE) AS price FROM orders
+        |), after AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderpriority = '2-HIGH' THEN price + 100.0
+        |              ELSE price END AS price
+        |  FROM base WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, price
+        |  FROM base WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(price), 2) AS price_sum, true AS mor_held
+        |FROM after GROUP BY 1""".stripMargin)
 }

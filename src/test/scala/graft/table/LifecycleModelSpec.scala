@@ -54,8 +54,32 @@ class LifecycleModelSpec extends SparkSuite {
       val steps = 10 + rnd.nextInt(4)
       val oplog = mutable.Buffer.empty[String]
       for (_ <- 0 until steps) {
-        val op = rnd.nextInt(8)
+        val op = rnd.nextInt(10)
         oplog += (op match {
+          case 8 => // positional (DV) delete of a visible-url sample
+            val candidates = visible.map(_.url).distinct
+            if (candidates.isEmpty) "noop" else {
+              val picked = rnd.shuffle(candidates).take(1 + rnd.nextInt(8)).toSet
+              tbl.deleteWherePositional(col("url").isin(picked.toSeq: _*))
+              // file-scoped physical delete of LIVE rows only (positions are
+              // taken on the tombstone-applied view)
+              val kept = rows.filterNot(r => picked.contains(r.url) && !tombstones.contains(r.url))
+              rows.clear(); rows ++= kept
+              s"dvDelete(${picked.size})"
+            }
+          case 9 => // positional (DV) update of a visible-url sample
+            val candidates = visible.map(_.url).distinct
+            if (candidates.isEmpty) "noop" else {
+              val picked = rnd.shuffle(candidates).take(1 + rnd.nextInt(6)).toSet
+              tbl.updateWherePositional(col("url").isin(picked.toSeq: _*),
+                Map(textName -> concat(lit("PUP:"), col(textName))))
+              val updated = rows.map { r =>
+                if (picked.contains(r.url) && !tombstones.contains(r.url))
+                  MRow(r.url, s"PUP:${r.text}") else r
+              }
+              rows.clear(); rows ++= updated
+              s"dvUpdate(${picked.size})"
+            }
           case 7 => // schema evolution mid-lifecycle: rename the text column
             if (tombstones.nonEmpty) "renameSkipped(tombstones)"
             else {
