@@ -38,7 +38,8 @@ object Compact {
       targetBytes: Long,
       orderBy: Option[String] = None,
       smallFileFraction: Double = 0.75,
-      predicate: Option[org.apache.spark.sql.Column] = None): Option[Plan] = {
+      predicate: Option[org.apache.spark.sql.Column] = None,
+      deleteRatioThreshold: Double = 0.1): Option[Plan] = {
     val snap = table.currentSnapshot.getOrElse(return None)
     // WHERE-scoped maintenance: only files whose stats range intersects the
     // predicate are candidates — at 100 TB you compact the hot partition,
@@ -47,13 +48,27 @@ object Compact {
     // tombstones — the full-coverage check below compares against ALL files)
     val all = table.planFiles(predicate)
     val threshold = (targetBytes * smallFileFraction).toLong
-    val small = all.filter(_.bytes < threshold)
+    // delete pressure: a file whose position-deleted row share reaches
+    // `deleteRatioThreshold` is a rewrite candidate REGARDLESS of size —
+    // every read pays the DV anti-join for a covered file until a rewrite
+    // clears it, so compaction is what keeps DV accumulation bounded at
+    // 100 TB (Iceberg's delete-file-threshold strategy). One tiny aggregate
+    // over the DV rows; empty map when the snapshot carries none.
+    val dvCounts = table.posDeleteRowCounts()
+    val pressured: Set[String] = all.filter { f =>
+      val d = dvCounts.getOrElse(f.path, 0L)
+      d > 0 && f.rows > 0 && d.toDouble / f.rows >= deleteRatioThreshold
+    }.map(_.path).toSet
+    val small = (all.filter(_.bytes < threshold) ++
+      all.filter(f => pressured.contains(f.path) && f.bytes >= threshold))
+      .groupBy(_.path).map(_._2.head).toSeq
     // with live MoR tombstones a rewrite has a second purpose — applying
     // them — so singleton groups stay in the plan and a full-coverage pass
     // can materialize-and-clear the tombstone set (see run()); without
-    // tombstones a one-file group has nothing to gain and is dropped
+    // tombstones a one-file group has nothing to gain and is dropped —
+    // unless it is delete-pressured (the rewrite clears its DV rows)
     val tombstonesLive = table.tombstones().nonEmpty
-    if (small.isEmpty || (small.size < 2 && !tombstonesLive)) return None
+    if (small.isEmpty || (small.size < 2 && !tombstonesLive && pressured.isEmpty)) return None
     val sortCol = orderBy.getOrElse(table.schema.fields.head.name)
     val dt = table.schema.fields.find(_.name == sortCol).map(_.dataType)
     val ordered = (dt match {
@@ -88,7 +103,8 @@ object Compact {
       }
       if (cur.nonEmpty) groups += cur
     }
-    val useful = (if (tombstonesLive) groups else groups.filter(_.size >= 2)).toSeq
+    val useful = (if (tombstonesLive) groups
+      else groups.filter(g => g.size >= 2 || g.exists(f => pressured.contains(f.path)))).toSeq
     if (useful.isEmpty) None else Some(Plan(snap.id, useful))
   }
 

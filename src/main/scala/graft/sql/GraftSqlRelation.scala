@@ -49,6 +49,7 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
         case "snapshots" => table.snapshotsDf
         case "files"     => table.filesDf()
         case "refs"      => table.refsDf
+        case "deletes"   => table.deletesDf()
       }).queryExecution.analyzed
     case u: UnresolvedRelation if graftPath(u).isDefined && !u.isStreaming =>
       readPlan(graftPath(u).get, None, None)
@@ -58,7 +59,7 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def metaTable(u: UnresolvedRelation): Option[(String, String)] =
     if (u.multipartIdentifier.length == 3 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-        Set("snapshots", "files", "refs").contains(u.multipartIdentifier(2).toLowerCase))
+        Set("snapshots", "files", "refs", "deletes").contains(u.multipartIdentifier(2).toLowerCase))
       Some((u.multipartIdentifier(1), u.multipartIdentifier(2).toLowerCase))
     else None
 

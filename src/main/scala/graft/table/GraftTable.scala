@@ -273,6 +273,18 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     }.toDF("path", "rows", "bytes", "commit_uuid", "min_values", "max_values", "null_counts")
   }
 
+  /** The current (or a pinned) snapshot's live merge-on-read delete files
+    * as a DataFrame (``graft.`/path`.deletes`` metadata table): equality
+    * tombstone files and position-delete (DV) files, with per-file row/byte
+    * counts — the observability a 100 TB operator needs to decide when
+    * delete pressure warrants a compaction pass. */
+  def deletesDf(snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    (tombstones(snapshotId).map(f => ("equality", f.path, f.rows, f.bytes, f.commitUuid)) ++
+      positionDeletes(snapshotId).map(f => ("position", f.path, f.rows, f.bytes, f.commitUuid)))
+      .toDF("kind", "path", "rows", "bytes", "commit_uuid")
+  }
+
   /** Typed read: the snapshot-isolated scan as a `Dataset[T]` (per the
     * engine contract: typed Dataset/DataFrame APIs end-to-end, no RDDs). */
   def readAs[T: org.apache.spark.sql.Encoder](
@@ -619,6 +631,19 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       .drop("_gdv_rel", "_gdv_idx")
   }
 
+  /** Deleted-row count per data-file path across a snapshot's DV files
+    * (duplicates across DV files count once) — one tiny aggregate over the
+    * DV rows; drives compaction's delete-pressure eligibility. Driver-side
+    * result is bounded by the number of COVERED files, not DV rows. */
+  def posDeleteRowCounts(snapshotId: Option[Long] = None): Map[String, Long] = {
+    val dvs = positionDeletes(snapshotId)
+    if (dvs.isEmpty) Map.empty
+    else spark.read.schema(PosDeleteSchema).parquet(dvs.map(absPath): _*)
+      .distinct()
+      .groupBy("_file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** Parent's position-delete manifests minus rows referencing
     * `removedPaths` (whose rewrite APPLIED those deletes — see
     * [[withPositionDeletes]]): DV files that cannot reference a removed
@@ -866,6 +891,22 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   /** Append-only commit: parent manifests + one new manifest.
     * `propertyUpdates` land atomically in the same metadata version (e.g.
     * the streaming batch-id watermark). */
+  /** Write-time clustering (table property `write.sort-order`, a
+    * comma-separated column list): appends sort each task's rows by the
+    * listed columns before writing, so every new file is a sorted run with
+    * TIGHT min/max bounds on the sort prefix — incremental clustering paid
+    * as one in-task sort (no shuffle, no extra pass), where a full
+    * `OPTIMIZE … ZORDER` rewrite stays the deep-clustering tool. Names not
+    * (or no longer) in the schema are skipped — like `bloom-columns`, an
+    * optimization, never a correctness dependency. */
+  private def applyWriteSortOrder(md: TableMetadata, df: DataFrame): DataFrame = {
+    val cols = md.properties.get(GraftTable.SortOrderProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .flatMap(c => schemaOf(md).fieldNames.find(_.equalsIgnoreCase(c)))
+    if (cols.isEmpty) df
+    else df.sortWithinPartitions(cols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   def append(
       df: DataFrame,
       summary: Map[String, String] = Map.empty,
@@ -873,7 +914,15 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       toBranch: Option[String] = None,
       mergeSchema: Boolean = false): Snapshot = {
     if (mergeSchema) mergeSchemaFor(df)
-    val metas = writeDataFiles(df)
+    val md = metadata
+    // `write.max-records-per-file` rolls each task's (sorted) run into
+    // bounded files — with `write.sort-order` that is what makes the
+    // per-file min/max TIGHT (a sorted task writing one giant file still
+    // spans the full range); also the generic file-size governor for
+    // producers that can't size their partitions
+    val maxRec = md.properties.get(GraftTable.MaxRecordsPerFileProp)
+      .map(_.toLong).filter(_ > 0).getOrElse(0L)
+    val metas = writeDataFiles(applyWriteSortOrder(md, df), maxRecordsPerFile = maxRec)
     commit("append", propertyUpdates = propertyUpdates, toBranch = toBranch) { parent =>
       val mf = writeManifest(metas)
       (parent.map(_.manifests).getOrElse(Seq.empty) :+ mf,
@@ -1728,6 +1777,8 @@ object GraftTable {
   /** Table property: comma-separated columns to write parquet bloom
     * filters for (row-group skipping on point/IN lookups). */
   val BloomColumnsProp = "bloom-columns"
+  val SortOrderProp = "write.sort-order"
+  val MaxRecordsPerFileProp = "write.max-records-per-file"
 
   /** Stats-space marker: present (stamped by [[create]]) on every table
     * whose manifests store decimal bounds as SCALED decimal strings.

@@ -292,6 +292,40 @@ class PosDeleteSpec extends SparkSuite {
       "sql mor update")
   }
 
+  test("delete-pressured big files become compaction candidates; low pressure does not") {
+    val t = GraftTable.create(spark, tmpDir("graft-dvp"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 3000, partitions = 1)) // one right-sized file
+    val target = t.files().head.bytes / 2 // file is NOT small at this target
+    assert(Compact.plan(t, target).isEmpty, "no small files, no DVs: nothing to compact")
+
+    val urls = t.read().select("url").distinct().orderBy("url").collect().map(_.getString(0))
+    // ~2% coverage: below the 10% delete-ratio threshold → still no plan
+    assert(t.deleteWherePositional(col("url").isin(urls.take(urls.length / 50).toSeq: _*)).nonEmpty)
+    assert(Compact.plan(t, target).isEmpty, "2% DV coverage must not trigger a rewrite")
+
+    // push coverage past the threshold → the big file becomes a candidate
+    assert(t.deleteWherePositional(col("url").isin(urls.take(urls.length / 6).toSeq: _*)).nonEmpty)
+    val p = Compact.plan(t, target)
+    assert(p.nonEmpty && p.get.groups.exists(_.size == 1),
+      "a delete-pressured file compacts even as a singleton group")
+    val expected = t.read()
+    assert(Compact.run(t, targetBytes = target).nonEmpty)
+    assert(t.positionDeletes().isEmpty, "the rewrite clears the pressured file's DVs")
+    assertSameRows(t.read(), expected, "post-pressure-compact scan")
+  }
+
+  test(".deletes metadata table inventories tombstone and DV files") {
+    val t = freshTable(1000)
+    import spark.implicits._
+    val u = t.read().select("url").orderBy("url").limit(1).collect()(0).getString(0)
+    t.deleteByKeysMoR(Seq(u).toDF("url"))
+    t.deleteWherePositional(col("lang") === "en")
+    val inv = spark.sql(s"SELECT kind, rows FROM graft.`${t.root}`.deletes").collect()
+    assert(inv.exists(_.getString(0) == "equality") && inv.exists(_.getString(0) == "position"))
+    assert(inv.filter(_.getString(0) == "position").map(_.getLong(1)).sum ==
+      t.positionDeletes().map(_.rows).sum)
+  }
+
   test("positional delete composes with equality tombstones and appends race through") {
     val t = freshTable(2000)
     // equality tombstone on one url + DV on a predicate: both apply
