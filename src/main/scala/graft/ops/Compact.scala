@@ -116,14 +116,16 @@ object Compact {
       runId: String = java.util.UUID.randomUUID.toString,
       orderBy: Option[String] = None,
       jobParallelism: Int = 8,
-      predicate: Option[org.apache.spark.sql.Column] = None): Option[Snapshot] = {
+      predicate: Option[org.apache.spark.sql.Column] = None,
+      deleteRatioThreshold: Double = 0.1): Option[Snapshot] = {
     val spark = table.spark
     val t0 = System.nanoTime()
     var log = Maintenance.start(table, runId, "compact")
     log.committedSnapshotId.foreach { id =>
       return table.metadata.snapshot(id) // already fully committed earlier
     }
-    val p = plan(table, targetBytes, orderBy, predicate = predicate).getOrElse(return None)
+    val p = plan(table, targetBytes, orderBy, predicate = predicate,
+      deleteRatioThreshold = deleteRatioThreshold).getOrElse(return None)
     val planStep = s"plan@${p.snapshotId}"
     require(log.doneSteps.isEmpty || log.doneSteps.contains(planStep),
       s"resume $runId: table advanced past planned snapshot; start a fresh run")

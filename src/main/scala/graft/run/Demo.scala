@@ -120,10 +120,33 @@ object Demo {
     println(s"[demo] SQL updated $nXx rows then deleted them → $afterSql rows")
     check("SQL DELETE removes exactly the updated rows")(afterSql == afterMorMat - nXx)
 
+    // 4d. position deletes (deletion vectors): MoR delete + MoR update with
+    // zero data-file rewrites, then a delete-pressure compaction clears them
+    val dvFilesBefore = t.files().map(_.path).toSet
+    val nFr = t.read().filter(col("lang") === "fr").count()
+    t.deleteWherePositional(col("lang") === "fr")
+    t.updateWherePositional(col("lang") === "it", Map("lang" -> lit("it-updated")))
+    val nIt = t.read().filter(col("lang") === "it-updated").count()
+    println(s"[demo] DV-deleted $nFr rows, DV-updated $nIt rows, " +
+      s"${t.positionDeletes().size} DV files")
+    check("DV delete+update rewrite no data file")(
+      dvFilesBefore.subsetOf(t.files().map(_.path).toSet))
+    check("DV delete hides rows; DV update keeps count")(
+      t.read().count() == afterSql - nFr &&
+        t.read().filter(col("lang") === "it").count() == 0)
+    val preDvCompact = t.read().count()
+    // any nonzero DV coverage qualifies here (threshold ~0) so the pass
+    // rewrites every covered file and clears the whole DV set
+    Compact.run(t, targetBytes = math.max(256L * 1024, tableBytes / 16),
+      runId = "dv-materialize", deleteRatioThreshold = 1e-9)
+    check("compaction materializes position deletes")(
+      t.positionDeletes().isEmpty && t.read().count() == preDvCompact)
+    val afterDv = t.read().count()
+
     // 5. manifest rewrite (after two more appends → several small manifests)
     t.append(Synth.pages(spark, 100, partitions = 1, seed = 101))
     t.append(Synth.pages(spark, 100, partitions = 1, seed = 102))
-    val afterAppends = afterSql + 200
+    val afterAppends = afterDv + 200
     val manifestsBefore = t.currentSnapshot.get.manifests.size
     val mr = ManifestRewrite.run(t)
     check("manifest rewrite")(mr.nonEmpty && manifestsBefore > 1 &&
