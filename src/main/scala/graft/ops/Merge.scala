@@ -180,8 +180,17 @@ object Merge {
       latestWins: Boolean = true,
       notMatchedBySourceDelete: Option[Column] = None,
       notMatchedBySourceSet: Option[(Column, Map[String, Column])] = None,
-      notMatchedBySourceDeleteFirst: Boolean = true): Snapshot = {
+      notMatchedBySourceDeleteFirst: Boolean = true,
+      mode: String = "copy-on-write"): Snapshot = {
     require(keyCols.nonEmpty, "at least one key column")
+    // merge-on-read: changed target rows become deletion-vector entries and
+    // updated/inserted images become a plain append — touched files are
+    // NEVER rewritten, so a trickle upsert's write cost is the changed
+    // rows, not the touched files (Iceberg's write.merge.mode). A later
+    // delete-pressure compaction (or any rewrite) materializes the DVs.
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"unknown merge mode '$mode' (copy-on-write | merge-on-read)")
+    val mor = mode == "merge-on-read"
     // NOT MATCHED BY SOURCE clauses act on TARGET rows without a source
     // match (ANSI); their condition/assignments evaluate on target columns.
     // They are ANSI-mode only — under latest-wins CDC semantics "absent
@@ -256,12 +265,20 @@ object Merge {
         val cond = (notMatchedBySourceDelete.toSeq ++ notMatchedBySourceSet.map(_._1)).reduce(_ || _)
         (keyTouched ++ table.planFiles(Some(cond))).groupBy(_.path).map(_._2.head).toSeq
       }
-    val base =
+    val baseRaw =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      // position deletes applied: a DV-deleted target row is NOT MATCHED
-      // (the source row inserts); replaceFiles clears the touched files' DVs
-      else table.withPositionDeletes(
-        spark.read.schema(schema).parquet(touched.map(table.absPath): _*), touched)
+      else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+    // position deletes applied: a DV-deleted target row is NOT MATCHED
+    // (the source row inserts); replaceFiles clears the touched files' DVs.
+    // MoR mode additionally carries each surviving row's (file, position)
+    // so changed rows can be recorded as new DV entries
+    val base =
+      if (!mor) {
+        if (touched.isEmpty) baseRaw else table.withPositionDeletes(baseRaw, touched)
+      } else if (touched.isEmpty)
+        baseRaw.withColumn("_gdv_rel", lit(null).cast(StringType))
+          .withColumn("_gdv_idx", lit(null).cast(LongType))
+      else table.withPositionDeletesKeepingPos(baseRaw, touched)
 
     if (!latestWins) {
       // ANSI MERGE: an error only when a TARGET row would be modified by
@@ -340,9 +357,7 @@ object Merge {
     val srcCols = src.columns.toSeq
     def sOr(c: String, dt: org.apache.spark.sql.types.DataType): Column =
       if (srcCols.exists(resolver(_, c))) s(c) else lit(null).cast(dt)
-    val merged = joined
-      .filter(keep)
-      .select(schema.fields.toSeq.map { f =>
+    val imageCols: Seq[Column] = schema.fields.toSeq.map { f =>
         val c = f.name
         val updImage = if (setCols.isEmpty) sOr(c, f.dataType)
           else if (setCols.contains(c)) {
@@ -366,7 +381,18 @@ object Merge {
           withMain.when(!sP && t("_nmbs_upd"), t(s"_tset_$c").cast(f.dataType))
         else withMain)
           .otherwise(t(c)).as(c)
-      }: _*)
+      }
+
+    if (mor)
+      return mergeOnRead(table, joined, imageCols, keyCols, runId, log, snap, touched,
+        sP, tP, del, noop, applies,
+        nmbsDel = if (notMatchedBySourceDelete.nonEmpty) coalesce(t("_nmbs_del"), lit(false)) else lit(false),
+        nmbsUpd = if (notMatchedBySourceSet.nonEmpty) coalesce(t("_nmbs_upd"), lit(false)) else lit(false),
+        posRel = t("_gdv_rel"), posIdx = t("_gdv_idx"), t0 = t0)
+
+    val merged = joined
+      .filter(keep)
+      .select(imageCols: _*)
 
     val totalBytes = math.max(touched.map(_.bytes).sum, 1L)
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -510,6 +536,83 @@ object Merge {
     Lineage.record(spark, table, runId, committed.id, "merge", added,
       added.map(o => o.path -> touched).toMap, (System.nanoTime() - t0) / 1000000)
     committed
+  }
+
+  /**
+   * Merge-on-read output assembly (Iceberg's `write.merge.mode =
+   * merge-on-read`): changed target rows' (file, position) tuples become a
+   * deletion-vector file and the updated/inserted images a plain append —
+   * ONE `merge-pos` commit, no touched file rewritten. The join and image
+   * projection are EXACTLY the copy-on-write path's (same clause matrix,
+   * same semantics); only the output shape differs, so a trickle upsert on
+   * a 100 TB table writes the changed rows, not the touched files. A later
+   * delete-pressure compaction (or any rewrite) materializes the DVs.
+   */
+  private def mergeOnRead(
+      table: GraftTable,
+      joined: DataFrame,
+      imageCols: Seq[Column],
+      keyCols: Seq[String],
+      runId: String,
+      log: graft.table.StepLog,
+      snap: Option[Snapshot],
+      touched: Seq[DataFileMeta],
+      sP: Column, tP: Column, del: Column, noop: Column, applies: Column,
+      nmbsDel: Column, nmbsUpd: Column,
+      posRel: Column, posIdx: Column, t0: Long): Snapshot = {
+    val spark = table.spark
+    val matchedFires = applies && !noop
+    // a target row leaves its file iff a matched clause fires for it (update
+    // OR delete) or a NOT MATCHED BY SOURCE action hits it; an image is
+    // appended for updates and inserts (deletes only produce the DV entry)
+    val dvRow = tP && (matchedFires || (!sP && (nmbsDel || nmbsUpd)))
+    val writeRow = (matchedFires && !del) || (!tP && sP && !del && !noop) || (!sP && nmbsUpd)
+    val changed = joined.filter(dvRow || writeRow)
+      .select(imageCols ++ Seq(posRel.as("_gdv_rel"), posIdx.as("_gdv_idx"),
+        dvRow.as("_dv"), writeRow.as("_wr")): _*)
+    // ONE join execution feeds both outputs: the changed set is the MoR
+    // niche (small relative to touched bytes), so persisting it is the
+    // cheap side of re-running the full-outer join twice
+    changed.persist()
+    try {
+      val dvUuid = s"dvm-$runId"
+      val dvDir = s"${table.dataDir}/$dvUuid"
+      graft.table.FileIO.deleteRecursively(dvDir) // crashed earlier attempt
+      changed.filter(col("_dv"))
+        .select(col("_gdv_rel").as("_file"), col("_gdv_idx").as("_pos"))
+        .sortWithinPartitions("_file", "_pos")
+        .write.mode("errorifexists").parquet(dvDir)
+      val dvMetas = graft.table.StatsCollector.collect(
+        spark, table.PosDeleteSchema, table.root,
+        graft.table.FileIO.listFiles(dvDir, ".parquet"), dvUuid)
+        .filter(_.rows > 0)
+      val outUuid = s"merge-$runId"
+      graft.table.FileIO.deleteRecursively(s"${table.dataDir}/$outUuid")
+      val outCols = table.schema.fieldNames.toSeq
+      // appended images sort by key within each task: new files carry tight
+      // key bounds for the NEXT merge's touchedFiles pruning
+      val added = table.writeDataFiles(
+        changed.filter(col("_wr")).select(outCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*),
+        outUuid).filter(_.rows > 0)
+      if (dvMetas.isEmpty && added.isEmpty)
+        return snap.getOrElse(throw new IllegalStateException("merge into an empty table wrote nothing"))
+      val committed = table.commitFull("merge-pos", expectedSnapshotId = snap.map(_.id)) { parent =>
+        (parent.map(_.manifests).getOrElse(Seq.empty) ++
+            (if (added.nonEmpty) Seq(table.writeManifest(added)) else Nil),
+          parent.flatMap(_.deleteManifests),
+          Some(parent.map(_.posDeleteList).getOrElse(Seq.empty) ++
+            (if (dvMetas.nonEmpty) Seq(table.writeManifest(dvMetas)) else Nil)),
+          Map("run-id" -> runId, "touched-files" -> touched.size.toString,
+            "position-deletes-added" -> dvMetas.map(_.rows).sum.toString,
+            "added-files" -> added.size.toString,
+            "added-rows" -> added.map(_.rows).sum.toString))
+      }
+      Maintenance.markCommitted(table, log, committed.id)
+      Lineage.record(spark, table, runId, committed.id, "merge-pos", added,
+        added.map(o => o.path -> touched).toMap, (System.nanoTime() - t0) / 1000000)
+      committed
+    } finally changed.unpersist()
   }
 
   /**

@@ -517,9 +517,14 @@ case class GraftMergeCommand(
       else Some((
         nmbsUpdateCond.map(h => Shims.column(h.e)).getOrElse(lit(true)),
         nmbsUpdate.map { case (c, h) => c -> Shims.column(h.e) }.toMap))
+    // write.merge.mode=merge-on-read (Iceberg's property): changed rows
+    // land as DV entries + appended images instead of file rewrites
+    val mode = table.metadata.properties
+      .getOrElse("write.merge.mode", "copy-on-write")
     val snap = Merge.into(table, src, keyCols, latestWins = false,
       notMatchedBySourceDelete = nmbsDel, notMatchedBySourceSet = nmbsSet,
-      notMatchedBySourceDeleteFirst = nmbsDeleteFirst)
+      notMatchedBySourceDeleteFirst = nmbsDeleteFirst,
+      mode = if (mode == "merge-on-read") mode else "copy-on-write")
     Seq(Row(snap.id))
   }
 }

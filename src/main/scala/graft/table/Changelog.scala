@@ -31,8 +31,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  *  - delete-pos   → the rows at the NEWLY recorded (file, position) delete
  *                   tuples, as deletes (scan touches only the referenced
  *                   files; positions were taken on the parent-visible view);
- *  - update-pos   → the same DV-delta deletes plus the appended updated
- *                   images as inserts (pairing labels them pre/post);
+ *  - update-pos / merge-pos → the same DV-delta deletes plus the appended
+ *                   updated/inserted images as inserts (pairing labels
+ *                   in-place changes pre/post);
  *  - merge/update/delete (any copy-on-write file replacement) → the logical
  *    diff of the commit's removed vs added files: removed∖added as deletes,
  *    added∖removed as inserts. Rewritten-but-unchanged rows cancel in the
@@ -218,7 +219,7 @@ object Changelog {
         Seq(tag(vis.join(right, keyCols, "left_semi"), "delete", snap.id))
       }
 
-    case "delete-pos" | "update-pos" =>
+    case "delete-pos" | "update-pos" | "merge-pos" =>
       // position-delete / MoR-update commit: the removed row images are the
       // rows at the NEWLY recorded (file, position) tuples. Positions were
       // computed on the parent-visible view (the writers apply live

@@ -459,6 +459,19 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     if (keepPosCols) joined else joined.drop("_gdv_rel", "_gdv_idx")
   }
 
+  /** Like [[withPositionDeletes]] but ALWAYS materializes the scanned rows'
+    * (file, row-position) as `_gdv_rel`/`_gdv_idx` on the result — for
+    * rewriters that need the surviving rows' positions (the MoR merge
+    * records changed target rows as deletion-vector entries). `df` must sit
+    * directly above a file-source scan. */
+  def withPositionDeletesKeepingPos(df: DataFrame, filesRead: Seq[DataFileMeta],
+      snapshotId: Option[Long] = None): DataFrame = {
+    val dvs = posDeletesOf(metadata, snapshotId)
+    if (dvs.isEmpty || !filesRead.exists(f => dvs.exists(d => dvMayCover(d, f.path))))
+      withPosCols(df)
+    else antiJoinPosDeletes(df, dvs, keepPosCols = true)
+  }
+
   /** Snapshot scan with position deletes applied via a SPLIT plan: files no
     * DV can reference scan untouched (at 100 TB the dominant branch — DVs
     * cover the trickle-deleted tail); possibly-covered files scan with
