@@ -79,11 +79,21 @@ object MorProbe {
       val r0 = System.nanoTime()
       t.read().agg(bit_xor(xxhash64(col("url")))).first()
       val readSec = (System.nanoTime() - r0) / 1e9
-      (mode, tableBytes, srcRows, mergeSec, newData + dvBytes, rows, readSec, snap.operation)
+      // the read tax is bounded in time: a delete-pressure compaction
+      // materializes the DVs and restores the plain-scan path
+      val postCompactSec =
+        if (t.positionDeletes().isEmpty) readSec
+        else {
+          Compact.run(t, targetBytes = 128L << 20, deleteRatioThreshold = 1e-9)
+          val c0 = System.nanoTime()
+          t.read().agg(bit_xor(xxhash64(col("url")))).first()
+          (System.nanoTime() - c0) / 1e9
+        }
+      (mode, tableBytes, srcRows, mergeSec, newData + dvBytes, rows, readSec, postCompactSec, snap.operation)
     }
-    val json = results.map { case (m, tb, sr, ms, wb, rows, rs, op) =>
+    val json = results.map { case (m, tb, sr, ms, wb, rows, rs, pc, op) =>
       s"""{"mode":"$m","op":"$op","table_bytes":$tb,"src_rows":$sr,""" +
-        f""""merge_sec":$ms%.2f,"written_bytes":$wb,"rows_after":$rows,"full_scan_sec":$rs%.2f}"""
+        f""""merge_sec":$ms%.2f,"written_bytes":$wb,"rows_after":$rows,"full_scan_sec":$rs%.2f,"post_compact_scan_sec":$pc%.2f}"""
     }.mkString("[", ",", "]")
     println(s"""{"probe":"mor-write-amplification","n_urls":$nUrls,"change_permille":$changePermille,"cpus":$cpus,"results":$json}""")
     graft.table.FileIO.deleteRecursively(base)

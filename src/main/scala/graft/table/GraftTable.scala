@@ -410,8 +410,11 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * `name=value` segments and can never equal `data`); matches
     * [[DataFileMeta.path]] by construction of the write layout. */
   private def relPathExpr: Column = {
-    import org.apache.spark.sql.functions.{col, concat, element_at, lit, split}
-    concat(lit("data/"), element_at(split(col("_metadata.file_path"), "/data/"), -1))
+    import org.apache.spark.sql.functions.{col, concat, lit, substring_index}
+    // substring_index(…, -1) = everything after the LAST occurrence — same
+    // value as element_at(split(…), -1) without the per-row array allocation
+    // (this expression runs once per scanned row on every DV-covered read)
+    concat(lit("data/"), substring_index(col("_metadata.file_path"), "/data/", -1))
   }
 
   /** Could any row of DV file `d` reference data file `path`? min/max

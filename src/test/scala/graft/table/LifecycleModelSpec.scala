@@ -103,7 +103,10 @@ class LifecycleModelSpec extends SparkSuite {
                 del.map(r => (r.url, ts, html, "DEL", "en", true)) ++
                 ins.map(r => (r.url, ts, html, r.text, "en", false)))
                 .toDF("url", "warc_ts", "html", textName, "lang", "_deleted")
-              graft.ops.Merge.into(tbl, src, Seq("url"), latestWins = false)
+              // mode is semantics-free (asserted here across random op mixes):
+              // MoR lands DV entries + appends, CoW rewrites touched files
+              graft.ops.Merge.into(tbl, src, Seq("url"), latestWins = false,
+                mode = if (rnd.nextBoolean()) "merge-on-read" else "copy-on-write")
               val updMap = upd.map(r => r.url -> s"UPD-${r.text}").toMap
               val delSet = del.map(_.url).toSet
               val newRows = rows.toSeq
