@@ -160,6 +160,31 @@ object Soak {
             .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(",")
         }
 
+        // merge-on-read pass at scale: a 0.5% change batch lands as DV
+        // entries + appended images — ZERO touched-file rewrites asserted —
+        // then a full scan pays the anti-join once and a pressure
+        // compaction materializes the DVs (the steady-state MoR cycle)
+        val preMorPaths = tbl.files().map(_.path).toSet
+        val (_, tMor) = time {
+          val changes2 = Synth.pages(spark, urls / 200, hosts = 2000,
+            partitions = 32, htmlRepeatMax = 96, seed = 99L)
+            .withColumn("warc_ts", col("warc_ts") + expr("interval 800 days"))
+          Merge.into(tbl, changes2, Seq("url"), mode = "merge-on-read")
+        }
+        val morRewrote = (preMorPaths -- tbl.files().map(_.path).toSet).size
+        val morDvRows = tbl.positionDeletes().map(_.rows).sum
+        val (_, tDvScan) = time {
+          tbl.read().agg(bit_xor(xxhash64(col("url")))).first()
+        }
+        val (_, tDvCompact) = time {
+          Compact.run(tbl, targetBytes = math.max(8L << 20, inputBytes / 48),
+            runId = s"soak-dv-$cpus", deleteRatioThreshold = 1e-9)
+        }
+        val dvCleared = tbl.positionDeletes().isEmpty
+        val (_, tPlainScan) = time {
+          tbl.read().agg(bit_xor(xxhash64(col("url")))).first()
+        }
+
         val (exp, tExpire) = time { Expire.expire(tbl, retainLast = 1) }
         val rows = tbl.read().count()
         val gb = (inputBytes + compactedBytes).toDouble / (1L << 30)
@@ -171,6 +196,7 @@ object Soak {
           f""""occ":{"compact":${occ(sumCompact, tCompact)}%.3f,"cluster":${occ(sumCluster, tCluster)}%.3f,"merge":${occ(sumMerge, tMerge)}%.3f},""" +
           f""""merge_detail":{"task_sum_s":${sumMerge / 1e3}%.1f,"spill_gb":${mergeSpill / (1L << 30).toDouble}%.2f,"shuffle_write_gb":${mergeShufWrite / (1L << 30).toDouble}%.2f},""" +
           f""""changelog":{"sec":$tChanges%.1f,"counts":"$nChanges"},""" +
+          f""""mor":{"merge_sec":$tMor%.1f,"rewrote_files":$morRewrote,"dv_rows":$morDvRows,"dv_scan_sec":$tDvScan%.1f,"compact_sec":$tDvCompact%.1f,"cleared":$dvCleared,"plain_scan_sec":$tPlainScan%.1f},""" +
           f""""gbps_compact_cluster":${gb / (tCompact + tCluster)}%.4f,""" +
           f""""expired":{"snapshots":${exp.removedSnapshots.size},"data_files":${exp.deletedDataFiles.size},"manifests":${exp.deletedManifests.size}},""" +
           f""""rows_final":$rows}""")

@@ -37,8 +37,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  *  - merge/update/delete (any copy-on-write file replacement) → the logical
  *    diff of the commit's removed vs added files: removed∖added as deletes,
  *    added∖removed as inserts. Rewritten-but-unchanged rows cancel in the
- *    EXCEPT ALL, so the emitted events are the semantic row changes; cost
- *    scales with the commit's touched files, never the table.
+ *    fingerprint diff ([[slimDiff]]), so the emitted events are the semantic
+ *    row changes; cost scales with the commit's touched files, never the
+ *    table — and only CHANGED rows' full images ever enter a shuffle.
  *  - compact / cluster / rewrite-manifests / schema evolution → nothing.
  *    This INCLUDES tombstone-materializing rewrites: physically applying
  *    already-delivered equality deletes changes no logical row (their
@@ -46,7 +47,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
  *    mode has no analog of incrementalRead's materialization refusal.
  *
  * Scale shape: each commit contributes one bounded subplan (its own added/
- * removed files); the EXCEPT ALL shuffles only those rows; tombstone key
+ * removed files); the CoW diff shuffles 16-byte row fingerprints, not row
+ * images ([[slimDiff]]); tombstone key
  * joins broadcast below [[GraftTable.TombstoneBroadcastRowCap]]. Nothing
  * scans the full table except a delete-mor whose keys span every file's
  * bounds — inherent to equality deletes.
@@ -269,10 +271,77 @@ object Changelog {
           table.withPositionDeletes(rel(removed), removed, parent.map(_.id)),
           parent.map(_.id))
         val addRows = table.applyTombstones(rel(added), Some(snap.id))
-        Seq(
-          tag(remRows.exceptAll(addRows), "delete", snap.id),
-          tag(addRows.exceptAll(remRows), "insert", snap.id))
+        val (delRows, insRows) = slimDiff(remRows, addRows, sch)
+        Seq(tag(delRows, "delete", snap.id), tag(insRows, "insert", snap.id))
       }
+  }
+
+  private val Fp1 = "__cl_fp1"
+  private val Fp2 = "__cl_fp2"
+
+  /** Two independent 64-bit row fingerprints (128 bits total — collision
+    * probability for a 10^9-distinct-row commit diff is ~3e-21). Null flags
+    * are interleaved with the values because Spark's hash functions SKIP
+    * null inputs (the running seed passes through unchanged), so without
+    * them `(x, null)` and `(null, x)` would collide. */
+  private[table] def rowFingerprints(cols: Seq[String]): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val parts = cols.flatMap(c => Seq(col(c), isnull(col(c))))
+    (xxhash64(parts: _*), xxhash64((lit(0x9E3779B97F4A7C15L) +: parts): _*))
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
+  }
+
+  /**
+   * Multiset diff of two row sets — semantically `(rem exceptAll add,
+   * add exceptAll rem)` — WITHOUT shuffling full row images. `exceptAll`
+   * plans as a hash aggregate keyed on ALL columns, so diffing a web-page
+   * commit shuffles the touched files' html/text payloads twice (multi-KB
+   * grouping keys); at a 10 GB merge commit that is ~30 GB of shuffle for
+   * a few thousand actual changes. Instead: aggregate per-side counts on a
+   * 128-bit row fingerprint (slim shuffle: 16 bytes + count per distinct
+   * row), keep fingerprints whose counts differ, and join the surviving
+   * fingerprints back to one exemplar image per side (rows sharing a
+   * fingerprint are identical images), replicated to the count delta —
+   * full rows cross the wire only if they actually changed. Each side is
+   * scanned twice (hash pass + image pass), same as the two `exceptAll`s.
+   * Map-typed columns refuse loudly: Spark can neither hash a map (entry
+   * order is not canonical) nor run set operations over one, so no row
+   * diff exists for them in either plan shape.
+   */
+  private[table] def slimDiff(rem: DataFrame, add: DataFrame,
+      sch: StructType): (DataFrame, DataFrame) = {
+    sch.fields.find(f => hasMapType(f.dataType)).foreach(f =>
+      throw new IllegalArgumentException(
+        s"changelog row diff is unsupported for map-typed column '${f.name}': " +
+          "Spark defines no canonical equality for MAP (no hash, no set ops) — " +
+          "store sorted entries as array<struct<key,value>> instead"))
+    if (sch.fieldNames.contains(Fp1) || sch.fieldNames.contains(Fp2))
+      return (rem.exceptAll(add), add.exceptAll(rem))
+    val cols = sch.fieldNames.toSeq
+    val (f1, f2) = rowFingerprints(cols)
+    def hashed(df: DataFrame): DataFrame = df.withColumn(Fp1, f1).withColumn(Fp2, f2)
+    val remCnt = hashed(rem).groupBy(Fp1, Fp2).agg(count(lit(1)).as("_cl_rem"))
+    val addCnt = hashed(add).groupBy(Fp1, Fp2).agg(count(lit(1)).as("_cl_add"))
+    // unique per (fp1, fp2) on both sides, so the image join below never
+    // multiplies; non-zero deltas only — unchanged rows cancel right here
+    val delta = remCnt.join(addCnt, Seq(Fp1, Fp2), "full_outer")
+      .select(col(Fp1), col(Fp2),
+        (coalesce(col("_cl_rem"), lit(0L)) - coalesce(col("_cl_add"), lit(0L))).as("_cl_n"))
+      .filter(col("_cl_n") =!= 0L)
+    // AQE broadcast-sizes the (small) delta side at runtime, so the image
+    // scan joins without shuffling its full rows; dropDuplicates shuffles
+    // only the matched (= changed) rows
+    def images(side: DataFrame, want: org.apache.spark.sql.Column): DataFrame =
+      hashed(side).join(delta.filter(want), Seq(Fp1, Fp2))
+        .dropDuplicates(Fp1, Fp2)
+        .withColumn("_cl_i", explode(sequence(lit(1L), abs(col("_cl_n")))))
+        .select(cols.map(col): _*)
+    (images(rem, col("_cl_n") > 0L), images(add, col("_cl_n") < 0L))
   }
 
   /** Conjunction of per-column [min,max] range predicates covering every
