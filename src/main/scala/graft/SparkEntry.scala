@@ -746,6 +746,36 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q44: DV-file compaction (the rewrite_position_delete_files niche) —
+    // three trickle MoR deletes each land their own DV file; `OPTIMIZE …
+    // REWRITE DELETES` merges them sorted without touching any data file;
+    // the scan applies the merged DV set identically to the originals.
+    "q44_rewrite_deletes" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q44").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, ord.schema)
+      tbl.append(ord.coalesce(8))
+      val preFiles = tbl.files().map(_.path).toSet
+      tbl.deleteWherePositional(col("o_orderpriority") === "1-URGENT")
+      tbl.deleteWherePositional(col("o_orderpriority") === "5-LOW")
+      tbl.deleteWherePositional(col("o_orderstatus") === "F" && col("price") < 50000.0)
+      val dvIn = tbl.positionDeletes().size
+      val r = s.sql(s"OPTIMIZE graft.`$root` REWRITE DELETES").head()
+      val held = preFiles == tbl.files().map(_.path).toSet &&
+        r.getLong(0) > 0L && tbl.positionDeletes().size < dvIn &&
+        tbl.currentSnapshot.get.operation == "rewrite-deletes"
+      val out = s.sql(s"SELECT * FROM graft.`$root`")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("price"), 2).as("price_sum"))
+        .withColumn("rewrite_held", lit(held))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1190,5 +1220,18 @@ object SparkEntry {
         |SELECT o_orderpriority, count(*) AS n_rows,
         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |       round(sum(price), 2) AS price_sum, true AS mor_held
-        |FROM after GROUP BY 1""".stripMargin)
+        |FROM after GROUP BY 1""".stripMargin,
+
+    // q44: three positional deletes then a DV-file rewrite — the surviving
+    // row set is the base minus all three predicates (deletes are monotone:
+    // re-matching an already-deleted row is a no-op)
+    "q44_rewrite_deletes" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS price_sum,
+        |       true AS rewrite_held
+        |FROM orders
+        |WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW')
+        |  AND NOT (o_orderstatus = 'F' AND CAST(o_totalprice AS DOUBLE) < 50000.0)
+        |GROUP BY 1""".stripMargin)
 }

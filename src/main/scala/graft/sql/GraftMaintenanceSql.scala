@@ -40,6 +40,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER)(?:\s+(HILBERT))?)?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
+  // DV-file compaction (Iceberg's rewrite_position_delete_files niche):
+  // merges the accumulated per-commit DV files, dedupes entries, restores
+  // tight per-file _file bounds — no data file touched
+  private val RewriteDeletesRe =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+REWRITE\s+DELETES\s*;?\s*""".r
   // partition-spec evolution (Spark has no such grammar): SET replaces the
   // active transform set, DROP unpartitions — outgoing generations keep
   // pruning via the spec history (GraftTable.setPartitionSpec)
@@ -81,6 +86,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def isPath(p: String): Boolean = p.contains("/")
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case RewriteDeletesRe(path) if isPath(path) =>
+      GraftRewriteDeletesCommand(path)
     case OptimizeRe(path, where, zorder, hilbert) if isPath(path) =>
       GraftOptimizeCommand(path, zorder != null, hilbert != null,
         Option(where).map(_.trim).filter(_.nonEmpty))
@@ -170,6 +177,25 @@ case class GraftVacuumCommand(path: String, retain: Int) extends LeafRunnableCom
     val r = Expire.expire(t, retainLast = retain)
     Seq(Row(r.removedSnapshots.size.toLong, r.deletedDataFiles.size.toLong,
       r.deletedManifests.size.toLong))
+  }
+}
+
+/** `OPTIMIZE graft.`path` REWRITE DELETES` — compact the accumulated
+  * position-delete (DV) files ([[graft.table.GraftTable.rewriteDeleteFiles]]):
+  * rows -1 when fewer than 2 live DV files (no-op). */
+case class GraftRewriteDeletesCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshot_id", LongType)(),
+    AttributeReference("dv_files_in", LongType)(),
+    AttributeReference("dv_files_out", LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val in = t.positionDeletes().size.toLong
+    t.rewriteDeleteFiles() match {
+      case Some(s) => Seq(Row(s.id, in, t.positionDeletes().size.toLong))
+      case None    => Seq(Row(-1L, in, in))
+    }
   }
 }
 

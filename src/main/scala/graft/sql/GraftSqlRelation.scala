@@ -46,10 +46,11 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
       val (path, kind) = metaTable(u).get
       val table = GraftTable.load(session, path)
       (kind match {
-        case "snapshots" => table.snapshotsDf
-        case "files"     => table.filesDf()
-        case "refs"      => table.refsDf
-        case "deletes"   => table.deletesDf()
+        case "snapshots"  => table.snapshotsDf
+        case "files"      => table.filesDf()
+        case "refs"       => table.refsDf
+        case "deletes"    => table.deletesDf()
+        case "partitions" => table.partitionsDf()
       }).queryExecution.analyzed
     case u: UnresolvedRelation if graftPath(u).isDefined && !u.isStreaming =>
       readPlan(graftPath(u).get, None, None)
@@ -59,7 +60,8 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def metaTable(u: UnresolvedRelation): Option[(String, String)] =
     if (u.multipartIdentifier.length == 3 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-        Set("snapshots", "files", "refs", "deletes").contains(u.multipartIdentifier(2).toLowerCase))
+        Set("snapshots", "files", "refs", "deletes", "partitions")
+          .contains(u.multipartIdentifier(2).toLowerCase))
       Some((u.multipartIdentifier(1), u.multipartIdentifier(2).toLowerCase))
     else None
 

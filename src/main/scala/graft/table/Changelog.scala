@@ -62,7 +62,7 @@ object Changelog {
 
   /** Row-preserving commit operations: no logical row changes to emit. */
   private val rowPreserving = Set("compact", "cluster", "rewrite-manifests",
-    "rename-column", "drop-column", "widen-column")
+    "rewrite-deletes", "rename-column", "drop-column", "widen-column")
 
   def schemaFor(tableSchema: StructType): StructType =
     StructType(tableSchema.fields :+

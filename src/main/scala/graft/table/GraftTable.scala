@@ -285,6 +285,33 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       .toDF("kind", "path", "rows", "bytes", "commit_uuid")
   }
 
+  /** Per-partition file aggregates (``graft.`/path`.partitions`` metadata
+    * table): files, rows, bytes, and the min/max file size of every hidden
+    * partition — the "which partition needs OPTIMIZE" view. Partition
+    * values are parsed from the data-file dir names, so files from
+    * DIFFERENT spec generations land in distinct rows (`gp_bucket_8_url=3`
+    * vs `gp_bucket_16_url=3` are different partitions — each file answers
+    * only for the generation it was written under); pre-spec files report
+    * as `<unpartitioned>`. Driver-side fold over the in-memory file metas —
+    * O(live files), like every planning op here (≈20 ms at 2,560 files,
+    * measured in the soak). */
+  def partitionsDf(snapshotId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val specs = allPartitionSpecs
+    files(snapshotId)
+      .map { f =>
+        val pvals = specs.flatMap(sp => sp.dirValue(f.path).map(v => s"${sp.name}=$v"))
+        (if (pvals.isEmpty) "<unpartitioned>" else pvals.mkString("/"), f)
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, g) =>
+        val fs = g.map(_._2)
+        (p, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum,
+          fs.map(_.bytes).min, fs.map(_.bytes).max)
+      }
+      .toDF("partition", "files", "rows", "bytes", "min_file_bytes", "max_file_bytes")
+  }
+
   /** Typed read: the snapshot-isolated scan as a `Dataset[T]` (per the
     * engine contract: typed Dataset/DataFrame APIs end-to-end, no RDDs). */
   def readAs[T: org.apache.spark.sql.Encoder](
@@ -660,6 +687,60 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /**
+   * Compact the live position-delete (DV) files — the niche of Iceberg's
+   * `rewrite_position_delete_files` — WITHOUT touching any data file.
+   * Every MoR delete/update/merge commit adds its own small DV file, and a
+   * covered read anti-joins their UNION, so between delete-pressure
+   * compactions the DV file count (and duplicate `(_file,_pos)` entries
+   * from overlapping deletes) grows with the commit rate. One pass reads
+   * the live DV rows, dedupes, and rewrites them globally sorted by
+   * `(_file, _pos)` into ~`targetBytes` files — so each output DV file
+   * carries a TIGHT contiguous `_file` bounds window and [[dvMayCover]]
+   * prunes whole DV files per scanned data file. Entries can never
+   * reference dead data files ([[rewritePosDeletes]] clears them exactly
+   * at each data-file rewrite), and a concurrent DV change between plan
+   * and commit aborts loudly (the covered manifests must all still be
+   * live). Commits as row-preserving `rewrite-deletes`: invisible to
+   * changelog and incremental readers, like compact/cluster. Returns None
+   * below 2 live DV files.
+   */
+  def rewriteDeleteFiles(targetBytes: Long = 8L << 20,
+      summary: Map[String, String] = Map.empty): Option[Snapshot] = {
+    val md = metadata
+    val dvs = posDeletesOf(md, None)
+    if (dvs.size < 2) return None
+    val covered = md.currentSnapshot.toSeq.flatMap(_.posDeleteList).map(_.path).toSet
+    val uuid = s"dvc-${UUID.randomUUID}"
+    val dir = s"$dataDir/$uuid"
+    val nOut = math.max(1L, dvs.map(_.bytes).sum / targetBytes)
+    val perFile = math.max(1L, dvs.map(_.rows).sum / nOut) // pre-dedup upper bound
+    spark.read.schema(PosDeleteSchema).parquet(dvs.map(absPath): _*)
+      .distinct()
+      .sort("_file", "_pos") // range exchange: contiguous per-file bounds
+      .write.option("maxRecordsPerFile", perFile.toString)
+      .mode("errorifexists").parquet(dir)
+    val metas = StatsCollector.collect(
+      spark, PosDeleteSchema, root, FileIO.listFiles(dir, ".parquet"), uuid)
+      .filter(_.rows > 0)
+    try {
+      Some(commitFull("rewrite-deletes") { parent =>
+        val parentList = parent.toSeq.flatMap(_.posDeleteList)
+        require(covered.subsetOf(parentList.map(_.path).toSet),
+          "rewrite-deletes planned against DV manifests a concurrent commit " +
+            "replaced (a data-file rewrite cleared some of their rows); re-run")
+        val kept = parentList.filterNot(m => covered.contains(m.path))
+        (parent.map(_.manifests).getOrElse(Seq.empty),
+          parent.flatMap(_.deleteManifests),
+          Some(kept ++ (if (metas.isEmpty) Seq.empty else Seq(writeManifest(metas)))),
+          summary ++ Map(
+            "dv-files-in" -> dvs.size.toString,
+            "dv-files-out" -> metas.size.toString,
+            "dv-rows-out" -> metas.map(_.rows).sum.toString))
+      })
+    } catch { case e: Throwable => FileIO.deleteRecursively(dir); throw e }
+  }
+
   /** Parent's position-delete manifests minus rows referencing
     * `removedPaths` (whose rewrite APPLIED those deletes — see
     * [[withPositionDeletes]]): DV files that cannot reference a removed
@@ -735,7 +816,7 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     // schema evolution commits reshape METADATA only (stats-key remap);
     // every row survives them, so incremental readers pass through
     val rowPreserving = Set("compact", "cluster", "rewrite-manifests",
-      "rename-column", "drop-column", "widen-column")
+      "rewrite-deletes", "rename-column", "drop-column", "widen-column")
     val to = toSnapshotId.orElse(md.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException("incremental read on an empty table"))
     require(md.snapshot(fromSnapshotId).nonEmpty || fromSnapshotId == 0,

@@ -48,7 +48,7 @@ final case class Snapshot(
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     parentId: Option[Long],
     timestampMs: Long,
-    operation: String, // append | compact | cluster | merge | delete-mor | expire | rewrite-manifests
+    operation: String, // append | compact | cluster | merge | delete-mor | expire | rewrite-manifests | rewrite-deletes | …
     manifests: Seq[ManifestMeta],
     summary: Map[String, String],
     // merge-on-read equality-delete (tombstone) manifests; Option so

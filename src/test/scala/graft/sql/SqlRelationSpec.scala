@@ -87,6 +87,26 @@ class SqlRelationSpec extends SparkSuite {
     assert(files.getLong(1) === 400L)
   }
 
+  test("metadata table: graft.`path`.partitions aggregates per hidden partition") {
+    val t = GraftTable.create(spark, tmpDir("sqlrel-parts"), Synth.pageSchema,
+      Map(graft.table.PartitionSpec.Property -> "days(warc_ts)"))
+    t.append(Synth.pages(spark, 3000, hosts = 8, partitions = 4))
+    val parts = spark.sql(
+      s"SELECT partition, files, rows, bytes FROM graft.`${t.root}`.partitions")
+      .collect()
+    assert(parts.forall(_.getString(0).startsWith("gp_days_warc_ts=")),
+      "every partition row names the spec dir value")
+    assert(parts.map(_.getLong(2)).sum === 3000L, "rows sum to the table")
+    assert(parts.map(_.getLong(1)).sum === t.files().size.toLong)
+    assert(parts.length === t.files().flatMap(f =>
+      t.partitionSpec.get.dirValue(f.path)).distinct.size, "one row per day")
+    // pre-spec files (no dir value) report as <unpartitioned>
+    val u = GraftTable.create(spark, tmpDir("sqlrel-unpart"), Synth.pageSchema)
+    u.append(Synth.pages(spark, 100, partitions = 2))
+    val urows = u.partitionsDf().collect()
+    assert(urows.length === 1 && urows.head.getString(0) === "<unpartitioned>")
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves the schema; old files read NULL") {
     val t = mk(100)
     spark.sql(s"ALTER TABLE graft.`${t.root}` ADD COLUMNS (quality DOUBLE, source STRING)")

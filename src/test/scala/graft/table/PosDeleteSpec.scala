@@ -172,6 +172,45 @@ class PosDeleteSpec extends SparkSuite {
     assert(viaSql == t.read().count())
   }
 
+  test("rewriteDeleteFiles merges DV files, dedupes, stays row-preserving") {
+    val t = freshTable(4000)
+    // several MoR commits, each its own DV file(s) — the per-commit DV
+    // accumulation this op exists to merge (hash buckets: deterministic,
+    // non-empty, and disjoint on the live view)
+    def bucket(k: Int) = pmod(xxhash64(col("url")), lit(7)) === k
+    assert(t.deleteWherePositional(bucket(0)).nonEmpty)
+    assert(t.deleteWherePositional(bucket(1)).nonEmpty)
+    assert(t.deleteWherePositional(bucket(2)).nonEmpty)
+    val dvsIn = t.positionDeletes()
+    assert(dvsIn.size >= 3, s"expected ≥3 DV files, got ${dvsIn.size}")
+    val preRead = t.read().localCheckpoint(true)
+    val preFiles = t.files().map(_.path).toSet
+    val distinctEntries = spark.read.schema(t.PosDeleteSchema)
+      .parquet(dvsIn.map(t.absPath): _*).distinct().count()
+    val from = t.currentSnapshot.get.id
+
+    val snap = t.rewriteDeleteFiles()
+    assert(snap.nonEmpty && snap.get.operation == "rewrite-deletes")
+    val dvsOut = t.positionDeletes()
+    assert(dvsOut.size < dvsIn.size, s"${dvsIn.size} -> ${dvsOut.size}")
+    // deduped: output rows = distinct (file, pos) entries
+    assert(dvsOut.map(_.rows).sum === distinctEntries)
+    // no data file touched; reads identical; old snapshot still consistent
+    assert(t.files().map(_.path).toSet === preFiles)
+    assertSameRows(t.read(), preRead, "post-rewrite read")
+    assertSameRows(t.readSnapshot(from), preRead, "time travel across rewrite")
+    // row-preserving: changelog emits nothing, incremental passes through
+    assert(t.changes(from).count() === 0L)
+    assert(t.incrementalFiles(from)._1.isEmpty)
+    // a second pass is a no-op (single DV file left — nothing to merge)
+    if (dvsOut.size < 2) assert(t.rewriteDeleteFiles().isEmpty)
+    // SQL spelling
+    assert(t.deleteWherePositional(bucket(3)).nonEmpty)
+    val row = spark.sql(s"OPTIMIZE graft.`${t.root}` REWRITE DELETES").head()
+    assert(row.getLong(0) > 0 && row.getLong(2) <= row.getLong(1))
+    assertSameRows(t.read(), preRead.filter(!bucket(3)), "post-SQL-rewrite read")
+  }
+
   test("changelog of a delete-pos commit emits exactly the deleted row images") {
     import Changelog.{ChangeTypeCol, CommitCol}
     val t = freshTable(1500)
