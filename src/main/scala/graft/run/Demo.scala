@@ -135,6 +135,15 @@ object Demo {
       t.read().count() == afterSql - nFr &&
         t.read().filter(col("lang") === "it").count() == 0)
     val preDvCompact = t.read().count()
+    // DV-file compaction first: merge the accumulated per-commit DV files
+    // (no data file touched, scan identical) — the steady-state maintenance
+    // between delete-pressure materializations
+    val dvFilesIn = t.positionDeletes().size
+    val rdRes = t.rewriteDeleteFiles()
+    check("DV-file rewrite merges delete files, scan unchanged")(
+      dvFilesIn < 2 || (rdRes.nonEmpty && t.positionDeletes().size < dvFilesIn &&
+        t.read().count() == preDvCompact &&
+        dvFilesBefore.subsetOf(t.files().map(_.path).toSet)))
     // any nonzero DV coverage qualifies here (threshold ~0) so the pass
     // rewrites every covered file and clears the whole DV set
     Compact.run(t, targetBytes = math.max(256L * 1024, tableBytes / 16),

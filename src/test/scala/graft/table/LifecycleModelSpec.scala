@@ -54,8 +54,13 @@ class LifecycleModelSpec extends SparkSuite {
       val steps = 10 + rnd.nextInt(4)
       val oplog = mutable.Buffer.empty[String]
       for (_ <- 0 until steps) {
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(11)
         oplog += (op match {
+          case 10 => // DV-file compaction: merges delete files, rows untouched
+            tbl.rewriteDeleteFiles() match {
+              case Some(_) => "rewriteDeletes"
+              case None    => "rewriteDeletesNoop"
+            }
           case 8 => // positional (DV) delete of a visible-url sample
             val candidates = visible.map(_.url).distinct
             if (candidates.isEmpty) "noop" else {
