@@ -172,6 +172,8 @@ object Soak {
           Merge.into(tbl, changes2, Seq("url"), mode = "merge-on-read")
         }
         val morRewrote = (preMorPaths -- tbl.files().map(_.path).toSet).size
+        require(morRewrote == 0,
+          s"merge-on-read rewrote $morRewrote data files (must be zero)")
         val morDvRows = tbl.positionDeletes().map(_.rows).sum
         val (_, tDvScan) = time {
           tbl.read().agg(bit_xor(xxhash64(col("url")))).first()
@@ -181,6 +183,7 @@ object Soak {
             runId = s"soak-dv-$cpus", deleteRatioThreshold = 1e-9)
         }
         val dvCleared = tbl.positionDeletes().isEmpty
+        require(dvCleared, "pressure compaction left live DVs behind")
         val (_, tPlainScan) = time {
           tbl.read().agg(bit_xor(xxhash64(col("url")))).first()
         }

@@ -60,9 +60,14 @@ object Changelog {
   val UpdatePreimage = "update_preimage"
   val UpdatePostimage = "update_postimage"
 
-  /** Row-preserving commit operations: no logical row changes to emit. */
-  private val rowPreserving = Set("compact", "cluster", "rewrite-manifests",
-    "rewrite-deletes", "rename-column", "drop-column", "widen-column")
+  /** Row-preserving commit operations: no logical row changes to emit.
+    * SHARED with [[GraftTable.incrementalFiles]] — one definition, so the
+    * changelog and the file-level incremental reader can never disagree on
+    * whether a commit kind preserves rows. */
+  private[table] val RowPreservingOps: Set[String] =
+    Set("compact", "cluster", "rewrite-manifests", "rewrite-deletes",
+      "rename-column", "drop-column", "widen-column")
+  private def rowPreserving = RowPreservingOps
 
   def schemaFor(tableSchema: StructType): StructType =
     StructType(tableSchema.fields :+
@@ -283,9 +288,22 @@ object Changelog {
     * probability for a 10^9-distinct-row commit diff is ~3e-21). Null flags
     * are interleaved with the values because Spark's hash functions SKIP
     * null inputs (the running seed passes through unchanged), so without
-    * them `(x, null)` and `(null, x)` would collide. */
-  private[table] def rowFingerprints(cols: Seq[String]): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val parts = cols.flatMap(c => Seq(col(c), isnull(col(c))))
+    * them `(x, null)` and `(null, x)` would collide — and the skip applies
+    * at EVERY nesting level (struct fields, array elements), where a flag
+    * can't reach. Nested null-capable columns therefore hash their JSON
+    * encoding instead (`ignoreNullFields=false`: null positions explicit,
+    * field order schema-fixed, binary as base64 — deterministic within the
+    * session, and fingerprints never outlive the one diff query). */
+  private[table] def rowFingerprints(sch: StructType): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val parts = sch.fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val canon = f.dataType match {
+        case _: StructType | _: org.apache.spark.sql.types.ArrayType =>
+          to_json(c, Map("ignoreNullFields" -> "false"))
+        case _ => c
+      }
+      Seq(canon, isnull(c))
+    }
     (xxhash64(parts: _*), xxhash64((lit(0x9E3779B97F4A7C15L) +: parts): _*))
   }
 
@@ -320,10 +338,13 @@ object Changelog {
         s"changelog row diff is unsupported for map-typed column '${f.name}': " +
           "Spark defines no canonical equality for MAP (no hash, no set ops) — " +
           "store sorted entries as array<struct<key,value>> instead"))
-    if (sch.fieldNames.contains(Fp1) || sch.fieldNames.contains(Fp2))
+    // EVERY helper column name must be free, or the join/explode would
+    // collide with a user column (silent corruption, not just an error)
+    if (Seq(Fp1, Fp2, "_cl_n", "_cl_i", "_cl_rem", "_cl_add")
+        .exists(sch.fieldNames.contains))
       return (rem.exceptAll(add), add.exceptAll(rem))
     val cols = sch.fieldNames.toSeq
-    val (f1, f2) = rowFingerprints(cols)
+    val (f1, f2) = rowFingerprints(sch)
     def hashed(df: DataFrame): DataFrame = df.withColumn(Fp1, f1).withColumn(Fp2, f2)
     val remCnt = hashed(rem).groupBy(Fp1, Fp2).agg(count(lit(1)).as("_cl_rem"))
     val addCnt = hashed(add).groupBy(Fp1, Fp2).agg(count(lit(1)).as("_cl_add"))

@@ -297,8 +297,12 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     * measured in the soak). */
   def partitionsDf(snapshotId: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val specs = allPartitionSpecs
-    files(snapshotId)
+    // ONE metadata load for both the spec set and the file list — two
+    // loads could pair one version's files with another's specs across a
+    // concurrent spec-evolution commit
+    val md = metadata
+    val specs = allSpecsOf(md, schemaOf(md))
+    filesOf(md, snapshotId)
       .map { f =>
         val pvals = specs.flatMap(sp => sp.dirValue(f.path).map(v => s"${sp.name}=$v"))
         (if (pvals.isEmpty) "<unpartitioned>" else pvals.mkString("/"), f)
@@ -715,15 +719,17 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     val dir = s"$dataDir/$uuid"
     val nOut = math.max(1L, dvs.map(_.bytes).sum / targetBytes)
     val perFile = math.max(1L, dvs.map(_.rows).sum / nOut) // pre-dedup upper bound
-    spark.read.schema(PosDeleteSchema).parquet(dvs.map(absPath): _*)
-      .distinct()
-      .sort("_file", "_pos") // range exchange: contiguous per-file bounds
-      .write.option("maxRecordsPerFile", perFile.toString)
-      .mode("errorifexists").parquet(dir)
-    val metas = StatsCollector.collect(
-      spark, PosDeleteSchema, root, FileIO.listFiles(dir, ".parquet"), uuid)
-      .filter(_.rows > 0)
+    // cleanup covers the WRITE failure window too (ENOSPC mid-write would
+    // otherwise leak a partial staging dir no maintenance pass reclaims)
     try {
+      spark.read.schema(PosDeleteSchema).parquet(dvs.map(absPath): _*)
+        .distinct()
+        .sort("_file", "_pos") // range exchange: contiguous per-file bounds
+        .write.option("maxRecordsPerFile", perFile.toString)
+        .mode("errorifexists").parquet(dir)
+      val metas = StatsCollector.collect(
+        spark, PosDeleteSchema, root, FileIO.listFiles(dir, ".parquet"), uuid)
+        .filter(_.rows > 0)
       Some(commitFull("rewrite-deletes") { parent =>
         val parentList = parent.toSeq.flatMap(_.posDeleteList)
         require(covered.subsetOf(parentList.map(_.path).toSet),
@@ -814,9 +820,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       skipChangeCommits: Boolean = false): (Seq[DataFileMeta], Long) = {
     val md = metadata
     // schema evolution commits reshape METADATA only (stats-key remap);
-    // every row survives them, so incremental readers pass through
-    val rowPreserving = Set("compact", "cluster", "rewrite-manifests",
-      "rewrite-deletes", "rename-column", "drop-column", "widen-column")
+    // every row survives them, so incremental readers pass through —
+    // ONE shared op set with the changelog (Changelog.RowPreservingOps)
+    val rowPreserving = Changelog.RowPreservingOps
     val to = toSnapshotId.orElse(md.currentSnapshotId).getOrElse(
       throw new IllegalArgumentException("incremental read on an empty table"))
     require(md.snapshot(fromSnapshotId).nonEmpty || fromSnapshotId == 0,

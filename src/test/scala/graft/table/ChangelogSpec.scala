@@ -207,6 +207,39 @@ class ChangelogSpec extends SparkSuite {
       java.lang.Long.valueOf(rnd.nextInt(3).toLong),
       if (rnd.nextBoolean()) B else null))
     for (round <- 0 until 5) check(randRows(40), randRows(40), s"random-$round")
+    // NESTED null shifts: Spark's hash skips nulls inside struct fields and
+    // array elements too (where no top-level flag can reach) — the JSON
+    // canonicalization must keep these distinct
+    val nsch = StructType(Seq(StructField("k", StringType),
+      StructField("s", StructType(Seq(StructField("a", StringType), StructField("b", StringType)))),
+      StructField("arr", ArrayType(StringType))))
+    def ndf(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), nsch)
+    import org.apache.spark.sql.Row
+    val nestedCases = Seq(
+      (Row("k1", Row("x", null), Seq("a")), Row("k1", Row(null, "x"), Seq("a"))),
+      (Row("k2", Row("y", "z"), Seq("a", null)), Row("k2", Row("y", "z"), Seq(null, "a"))),
+      (Row("k3", Row("w", "v"), Seq.empty[String]), Row("k3", Row("w", "v"), Seq(null.asInstanceOf[String]))))
+    for (((l, r), i) <- nestedCases.zipWithIndex) {
+      val (d, ins) = Changelog.slimDiff(ndf(Seq(l)), ndf(Seq(r)), nsch)
+      assert(d.count() === 1L && ins.count() === 1L,
+        s"nested null shift case $i must NOT cancel in the fingerprint diff")
+    }
+    // identical nested rows DO cancel
+    val same = Row("k4", Row("p", null), Seq(null, "q"))
+    val (d4, i4) = Changelog.slimDiff(ndf(Seq(same)), ndf(Seq(same)), nsch)
+    assert(d4.count() === 0L && i4.count() === 0L)
+    // a user column colliding with ANY helper name falls back to exceptAll
+    // (silent corruption otherwise: _cl_i would be overwritten by the
+    // replication index)
+    val csch = StructType(Seq(StructField("k", StringType), StructField("_cl_i", LongType)))
+    val c1 = Seq(("x", 1L), ("y", 2L)).toDF("k", "_cl_i")
+    val c2 = Seq(("x", 1L)).toDF("k", "_cl_i")
+    val (cd, ci) = Changelog.slimDiff(c1, c2, csch)
+    assertSameRows(cd.localCheckpoint(true),
+      c1.exceptAll(c2).localCheckpoint(true), "helper-name fallback")
+    assert(ci.count() === 0L)
+
     // map-typed column: no canonical equality exists in Spark (hash and set
     // ops are both forbidden) → the diff must refuse loudly, not mis-diff
     val msch = StructType(Seq(StructField("k", StringType),
