@@ -203,13 +203,22 @@ object Merge {
       "NOT MATCHED BY SOURCE requires ANSI semantics (latestWins = false)")
     val spark = table.spark
     val t0 = System.nanoTime()
-    val log = Maintenance.start(table, runId, "merge")
+    var log = Maintenance.start(table, runId, "merge")
     // resume short-circuit FIRST: an already-committed merge must stay
     // idempotently re-runnable even if a MoR delete landed afterwards
     log.committedSnapshotId.foreach(id => return table.metadata.snapshot(id).get)
     require(table.tombstones().isEmpty,
       "table has live merge-on-read tombstones; materialize them first (Cluster.zorderRewrite) — equality deletes apply to future rows and would silently suppress merged keys")
     val snap = table.currentSnapshot
+    // resume identity (same guard as Compact/Cluster): a crashed run's
+    // rewrite output is only reusable against the snapshot it was planned
+    // on — a concurrent commit in the crash window changes the touched set,
+    // and silently pairing the OLD output with a NEW touched plan would
+    // drop the concurrent rows at replaceFiles
+    val planStep = s"plan@${snap.map(_.id).getOrElse(0L)}"
+    require(log.doneSteps.isEmpty || log.doneSteps.contains(planStep),
+      s"resume merge $runId: table advanced past the planned snapshot; start a fresh run")
+    log = Maintenance.markDone(table, log, planStep)
     val schema = table.schema
     val cols = schema.fieldNames.toSeq
     keyCols.foreach(k => require(cols.contains(k), s"no key column $k in table schema"))
@@ -281,15 +290,23 @@ object Merge {
       else table.withPositionDeletesKeepingPos(baseRaw, touched)
 
     if (!latestWins) {
-      // ANSI MERGE: an error only when a TARGET row would be modified by
-      // more than one source row — multiple NOT MATCHED inserts of one key
-      // are legal (each inserts), and `_noop` presence-only rows never
-      // modify anything (a duplicate matched key that fires no clause must
-      // not error, matching Spark/Delta). The zero-dup fast path costs ONE
-      // source aggregate; the touched-file semi-join runs only when
-      // duplicate keys exist at all. (A .limit(1).collect() would run the
-      // groupBy through CollectLimit's sequential partition batches.)
-      val dups = planSrc.groupBy(keyC: _*).agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
+      // ANSI MERGE: an error when a TARGET row is matched by more than one
+      // source row AND at least one of them would modify it (Delta's rule) —
+      // multiple NOT MATCHED inserts of one key are legal (each inserts),
+      // and keys whose duplicate rows are ALL `_noop` (presence-only,
+      // nothing fires) must not error. A single firing row among noop
+      // duplicates STILL errors: the full-outer join is per source row, so
+      // letting it through would emit both the updated image and a kept
+      // copy of the target. The zero-dup fast path costs ONE source
+      // aggregate; the touched-file semi-join runs only when duplicate keys
+      // exist at all. (A .limit(1).collect() would run the groupBy through
+      // CollectLimit's sequential partition batches.)
+      val noopFlag =
+        if (src.columns.contains("_noop")) coalesce(col("_noop"), lit(false)) else lit(false)
+      val dups = src.groupBy(keyC: _*)
+        .agg(count(lit(1)).as("_cnt"),
+          sum(when(noopFlag, 0L).otherwise(1L)).as("_modifying"))
+        .filter(col("_cnt") > 1 && col("_modifying") >= 1L)
       if (dups.count() > 0) {
         val offending = dups.select(keyC: _*).join(
           base.select(keyC: _*), keyCols, "left_semi")
@@ -328,7 +345,17 @@ object Merge {
     // explicit presence markers: with composite keys (or nullable key
     // columns) "which side is absent" must not be inferred from key nullness
     val t = baseAug.withColumn("_t_present", lit(true)).alias("t")
-    val s = src.withColumn("_s_present", lit(true)).alias("s")
+    // duplicate ALL-noop keys collapse to one presence assertion: the
+    // full-outer join emits one row per (target, source-row) PAIR, so a key
+    // asserted present twice would otherwise duplicate its kept target row
+    // in the rewrite output (keys where any duplicate MODIFIES errored
+    // above; latestWins dedups by version window instead)
+    val srcJ =
+      if (!latestWins && src.columns.contains("_noop")) {
+        val noopC = coalesce(col("_noop"), lit(false))
+        src.filter(!noopC).unionByName(src.filter(noopC).dropDuplicates(keyCols))
+      } else src
+    val s = srcJ.withColumn("_s_present", lit(true)).alias("s")
     val joinCond = keyCols.map(k => t(k) === s(k)).reduce(_ && _)
     val joined = t.join(s, joinCond, "full_outer")
     val sP = coalesce(s("_s_present"), lit(false))
@@ -383,19 +410,7 @@ object Merge {
           .otherwise(t(c)).as(c)
       }
 
-    if (mor)
-      return mergeOnRead(table, joined, imageCols, keyCols, runId, log, snap, touched,
-        sP, tP, del, noop, applies,
-        nmbsDel = if (notMatchedBySourceDelete.nonEmpty) coalesce(t("_nmbs_del"), lit(false)) else lit(false),
-        nmbsUpd = if (notMatchedBySourceSet.nonEmpty) coalesce(t("_nmbs_upd"), lit(false)) else lit(false),
-        posRel = t("_gdv_rel"), posIdx = t("_gdv_idx"), t0 = t0)
-
-    val merged = joined
-      .filter(keep)
-      .select(imageCols: _*)
-
     val totalBytes = math.max(touched.map(_.bytes).sum, 1L)
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // Size the JOIN shuffle by DATA, not the session's partition default:
     // the full-outer SMJ sorts each shuffle partition, and with the default
     // partition count a 10 GB merge puts ~300 MB per sort task — at high
@@ -426,6 +441,24 @@ object Merge {
         }
       }
     }
+
+    // the MoR branch runs the SAME full-outer SMJ, so it needs the same
+    // data-sized shuffle (the CLAUDE.md sort-heavy-op rule): without it a
+    // 10 GB MoR merge sorts ~300 MB per task at session-default partitions
+    if (mor)
+      return withJoinShuffleSizedByData {
+        mergeOnRead(table, joined, imageCols, keyCols, runId, log, snap, touched,
+          sP, tP, del, noop, applies,
+          nmbsDel = if (notMatchedBySourceDelete.nonEmpty) coalesce(t("_nmbs_del"), lit(false)) else lit(false),
+          nmbsUpd = if (notMatchedBySourceSet.nonEmpty) coalesce(t("_nmbs_upd"), lit(false)) else lit(false),
+          posRel = t("_gdv_rel"), posIdx = t("_gdv_idx"), t0 = t0)
+      }
+
+    val merged = joined
+      .filter(keep)
+      .select(imageCols: _*)
+
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val commitUuid = s"merge-$runId"
     val dir = s"${table.dataDir}/$commitUuid"
     if (!(log.doneSteps.contains("rewrite") && graft.table.FileIO.exists(s"$dir/_SUCCESS"))) withJoinShuffleSizedByData {
@@ -595,8 +628,15 @@ object Merge {
         changed.filter(col("_wr")).select(outCols.map(col): _*)
           .sortWithinPartitions(keyCols.map(col): _*),
         outUuid).filter(_.rows > 0)
-      if (dvMetas.isEmpty && added.isEmpty)
-        return snap.getOrElse(throw new IllegalStateException("merge into an empty table wrote nothing"))
+      if (dvMetas.isEmpty && added.isEmpty) {
+        // no-op MoR merge (e.g. a delete-only batch over absent keys):
+        // clean the unreferenced staging dirs, then COMMIT an empty
+        // merge-pos snapshot — same externally-observable behavior as the
+        // CoW path's empty commit, and markCommitted keeps the runId
+        // idempotently re-runnable (a bare return would strand its StepLog)
+        graft.table.FileIO.deleteRecursively(dvDir)
+        graft.table.FileIO.deleteRecursively(s"${table.dataDir}/$outUuid")
+      }
       val committed = table.commitFull("merge-pos", expectedSnapshotId = snap.map(_.id)) { parent =>
         (parent.map(_.manifests).getOrElse(Seq.empty) ++
             (if (added.nonEmpty) Seq(table.writeManifest(added)) else Nil),

@@ -402,7 +402,12 @@ case class GraftMergeCommand(
           d.withColumn(s"_tgt_$c", lit(null).cast(schema(schema.fieldIndex(c)).dataType)))
         withTgt.withColumn("_matched", lit(false))
       } else {
-        val existingFull = session.read.schema(schema).parquet(touched.map(table.absPath): _*)
+        // position deletes applied: a DV-deleted target row must read as NOT
+        // MATCHED here exactly like Merge.into's own scan (ops/Merge.scala
+        // "position deletes applied" invariant) — a raw read would set
+        // _matched=true from a dead row and break the INSERT clause for it
+        val existingFull = table.withPositionDeletes(
+            session.read.schema(schema).parquet(touched.map(table.absPath): _*), touched)
           .select((keyCols ++ tgtCols).distinct.map(col): _*)
         if (tgtCols.nonEmpty) {
           val dups = existingFull.groupBy(keyCols.map(col): _*)

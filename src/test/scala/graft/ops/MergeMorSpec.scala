@@ -100,6 +100,35 @@ class MergeMorSpec extends SparkSuite {
     assertSameRows(folded, mor.read(), "merge-pos changelog fold")
   }
 
+  test("no-op MoR merge commits an empty snapshot like CoW; staging dirs cleaned") {
+    import spark.implicits._
+    val html = Array[Byte](1)
+    val ts = new java.sql.Timestamp(1735689600000L)
+    // delete-only source over absent keys = nothing to write in either mode
+    val noopSrc = Seq(("https://absent.example.com/x", ts, html, "T", "en", true))
+      .toDF("url", "warc_ts", "html", "text", "lang", "_deleted")
+    // empty table: must commit (CoW does), not throw
+    val e = GraftTable.create(spark, tmpDir("mor-noop-empty"), Synth.pageSchema)
+    val s1 = Merge.into(e, noopSrc, Seq("url"), mode = "merge-on-read")
+    assert(s1.operation === "merge-pos" && e.read().count() === 0)
+    // re-run with the same runId short-circuits idempotently (markCommitted)
+    val s1b = Merge.into(e, noopSrc, Seq("url"), mode = "merge-on-read",
+      runId = "noop-rerun")
+    assert(Merge.into(e, noopSrc, Seq("url"), mode = "merge-on-read",
+      runId = "noop-rerun").id === s1b.id)
+    // non-empty table: no-op commits, rows unchanged, no staging dirs leak
+    val t = GraftTable.create(spark, tmpDir("mor-noop"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 100, partitions = 2))
+    val pre = t.read().count()
+    val s2 = Merge.into(t, noopSrc, Seq("url"), mode = "merge-on-read",
+      runId = "noop-nonempty")
+    assert(s2.operation === "merge-pos" && t.read().count() === pre)
+    val leftovers = new java.io.File(s"${t.root}/data").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n.startsWith("dvm-noop-nonempty") || n.startsWith("merge-noop-nonempty"))
+    assert(leftovers.isEmpty, s"no-op MoR merge left staging dirs: ${leftovers.mkString(",")}")
+  }
+
   test("SQL MERGE honors write.merge.mode=merge-on-read") {
     val (cow, mor, _) = twin(300)
     spark.sql(s"ALTER TABLE graft.`${mor.root}` SET TBLPROPERTIES ('write.merge.mode'='merge-on-read')")

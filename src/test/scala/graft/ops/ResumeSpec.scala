@@ -47,6 +47,28 @@ class ResumeSpec extends SparkSuite {
     assert(t.read().count() == n, "no data corruption from the refused rerun")
   }
 
+  test("merge: resume refuses a rewrite staged against an older snapshot") {
+    val root = tmpDir("graft-mres-stale")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 1000, partitions = 2))
+    val runId = "merge-stale-1"
+    // simulate a crash-window interleaving: a run planned (and staged its
+    // rewrite) against snapshot S, then a concurrent append advanced the
+    // table before the resume — reusing the staged output would drop the
+    // appended rows at replaceFiles
+    val staleLog = graft.run.Maintenance.start(t, runId, "merge")
+    graft.run.Maintenance.markDone(t, staleLog,
+      s"plan@${t.currentSnapshot.get.id}")
+    t.append(Synth.pages(spark, 200, partitions = 1, seed = 9)) // concurrent
+    val src = Synth.pages(spark, 50, versions = 2, partitions = 1)
+      .withColumn("_deleted", lit(false))
+    val err = intercept[Exception] { Merge.into(t, src, runId = runId) }
+    assert(err.getMessage.contains("advanced past the planned snapshot"),
+      s"unexpected: ${err.getMessage}")
+    // a FRESH runId proceeds normally on the advanced table
+    assert(Merge.into(t, src, runId = "merge-stale-2").operation === "merge")
+  }
+
   test("merge: rerun with same runId after commit is a no-op") {
     val root = tmpDir("graft-mres")
     val t = GraftTable.create(spark, root, Synth.pageSchema)

@@ -371,6 +371,53 @@ class SqlMergeSpec extends SparkSuite {
     assert(t.read().count() === 398)
   }
 
+  test("DV-deleted target rows are NOT MATCHED: the INSERT clause re-ships them") {
+    val t = mk(200)
+    val victim = t.read().select("url").orderBy("url").head().getString(0)
+    t.deleteWherePositional(org.apache.spark.sql.functions.col("url") === victim)
+    assert(t.read().filter(org.apache.spark.sql.functions.col("url") === victim).count() === 0)
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING (
+         |  SELECT '$victim' AS url, TIMESTAMP '2026-01-01 00:00:00' AS warc_ts,
+         |         CAST('h' AS BINARY) AS html, 'REINSERTED' AS text, 'en' AS lang) s
+         |ON t.url = s.url
+         |WHEN MATCHED THEN UPDATE SET text = 'WRONG-MATCHED-A-DEAD-ROW'
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    import spark.implicits._
+    val got = t.read().filter(org.apache.spark.sql.functions.col("url") === victim)
+      .select("text").as[String].collect().toSeq
+    assert(got === Seq("REINSERTED"),
+      s"a DV-deleted row must read as NOT MATCHED, got $got")
+  }
+
+  test("duplicate matched keys: a firing+non-firing pair errors; all-non-firing keeps ONE copy") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false), StructField("v", StringType)))
+    val t = GraftTable.create(spark, tmpDir("sqlmerge-dup"), schema)
+    import spark.implicits._
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // sel=1 fires the conditional update, sel=2 fires nothing: the lowering
+    // drops the non-firing row for a key that also has a firing one, so the
+    // target row is modified by exactly ONE source row — which ANSI permits
+    // (no cardinality error), and the output carries the update exactly once
+    Seq((1L, 1L), (1L, 2L)).toDF("id", "sel").createOrReplaceTempView("dupsrc")
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING dupsrc s ON t.id = s.id
+         |WHEN MATCHED AND s.sel = 1 THEN UPDATE SET v = 'X'
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '!')""".stripMargin).collect()
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "X"), (2L, "b!")),
+      "firing duplicate applied once; non-firing duplicate dropped")
+    // ALL duplicates non-firing (presence-only _noop rows survive into the
+    // join because of the NMBS clause): no error, row kept exactly ONCE
+    spark.sql(
+      s"""MERGE INTO graft.`${t.root}` t USING dupsrc s ON t.id = s.id
+         |WHEN MATCHED AND s.sel = 99 THEN UPDATE SET v = 'Y'
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '?')""".stripMargin).collect()
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "X"), (2L, "b!?")),
+      "all-noop duplicate keys must not duplicate or modify the kept row")
+  }
+
   test("unsupported shapes fail analysis with a clear message") {
     val t = mk(50)
     t.read().limit(1).createOrReplaceTempView("c4")
