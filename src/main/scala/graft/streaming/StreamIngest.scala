@@ -79,10 +79,12 @@ object StreamIngest {
       // a property, the legacy summaries belong to OTHER streams — the
       // un-keyed fallback would wrongly skip this stream's batch ids.
       // Known upgrade corner (unkeyed legacy summaries make it
-      // unresolvable): a pre-upgrade stream retrying its crash-window
-      // batch AFTER another upgraded stream has already appended can
-      // re-append once — upgrade a table's streams together, or let
-      // each drain before upgrading the next.
+      // unresolvable, in BOTH directions): a pre-upgrade stream retrying
+      // its crash-window batch AFTER another upgraded stream appended can
+      // re-append once; and on a table fed by SEVERAL pre-upgrade streams,
+      // a crash-window retry can be wrongly SKIPPED when another stream's
+      // legacy summary carries the same bare batch id. Upgrade a table's
+      // streams together, or let each drain before upgrading the next.
       case None =>
         !md.properties.keys.exists(_.startsWith("stream-batch-")) &&
           md.snapshots.exists(_.summary.get("stream-batch-id").contains(batchId.toString))

@@ -51,13 +51,21 @@ object StreamOps {
       session_end: Timestamp, n_events: Long)
   /** keyed state — must be public for the state encoder's codegen */
   final case class SessState(start: Long, last: Long, n: Long)
+  /** keyed state: the user's OPEN sessions, gap-separated, sorted by start */
+  final case class SessList(sessions: Seq[SessState])
 
   /**
    * Gap-based sessionization with custom keyed state: events of a user
-   * more than `gapMinutes` apart start a new session; a session closes
-   * (and is emitted) either when a later event proves the gap or when the
-   * event-time watermark passes `last + gap` (timeout), so results are
-   * final and state is dropped.
+   * more than `gapMinutes` apart belong to different sessions. State holds
+   * the user's OPEN sessions as a gap-separated list; each arriving event
+   * merges into every session within `gap` of it (bridging two open
+   * sessions when it lands between them — possible whenever
+   * `watermarkDelay > gap`). A session is emitted ONLY once the event-time
+   * watermark passes `last + gap`: no in-watermark event can reach within
+   * `gap` of it anymore, so every emitted session is provably final —
+   * emitting on gap-proof alone would mis-emit whenever a late bridging
+   * event was still admissible. State per user is O(open sessions), which
+   * the watermark bounds (closed sessions leave state immediately).
    */
   def sessionize(
       spark: SparkSession,
@@ -73,45 +81,42 @@ object StreamOps {
       .withWatermark("t", watermarkDelay)
       .as[(Long, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[SessList, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessState]) =>
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessList]) =>
           def out(s: SessState) =
             SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
-          if (rows.isEmpty && state.hasTimedOut) {
-            // watermark passed last+gap: the open session is final
-            val closed = state.getOption.map(out)
-            state.remove()
-            closed.iterator
-          } else {
-            val ts = rows.map(_._2.getTime).toArray
-            java.util.Arrays.sort(ts)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var cur = state.getOption
-            for (t <- ts) cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                // a late cross-batch event inside the watermark can precede
-                // the stored session start — extend the session backwards
-                cur = Some(SessState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-              case Some(s) =>
-                closed += out(s)
-                cur = Some(SessState(t, t, 1))
-              case None =>
-                cur = Some(SessState(t, t, 1))
-            }
-            for (s <- cur) {
-              state.update(s)
-              // fire when the watermark proves no event can extend the
-              // session — clamped above the current watermark: a late
-              // in-watermark event with last + gap <= watermark (possible
-              // whenever gap < watermark delay) would otherwise make Spark
-              // throw and kill the query; the clamp emits such
-              // immediately-final sessions on the next trigger instead
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
-            }
-            closed.iterator
+          var sessions = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val ts = rows.map(_._2.getTime).toArray
+          java.util.Arrays.sort(ts)
+          for (t <- ts) {
+            // merge into every open session within gap of t — a late event
+            // can extend one backwards OR bridge two into one; an event
+            // farther than gap from all of them opens its own session
+            val (near, rest) = sessions.partition(s =>
+              t >= s.start - gapMs && t <= s.last + gapMs)
+            val merged =
+              if (near.isEmpty) SessState(t, t, 1)
+              else SessState(math.min(t, near.map(_.start).min),
+                math.max(t, near.map(_.last).max), near.map(_.n).sum + 1)
+            sessions = (rest :+ merged).sortBy(_.start)
           }
+          // ONLY the watermark proves a session final: every in-watermark
+          // event t satisfies t >= wm, so once last + gap < wm nothing can
+          // merge with (or bridge through) the session anymore. Gap-proof
+          // by a newer event is NOT enough while watermarkDelay > gap — a
+          // late bridging event may still be admissible.
+          val wm = state.getCurrentWatermarkMs
+          val (closed, open) = sessions.partition(s => s.last + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessList(open))
+            // clamped above the watermark: Spark rejects a timeout at or
+            // below it; such sessions emit on the next trigger instead
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last).min + gapMs, wm + 1))
+          }
+          closed.map(out).iterator
       }
   }
 }

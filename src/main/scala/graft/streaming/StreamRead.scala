@@ -275,7 +275,11 @@ class GraftStreamSource(
     * relation union'd in by the changelog builder. */
   private def changeBatch(startId: Option[Long], endId: Long): DataFrame = startId match {
     case Some(from) if from == endId =>
-      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true, pinned)
+      // defensive empty batch (recovery can hand equal start/end): build it
+      // over ZERO files — the full-table variant would pay manifest parsing
+      // plus tombstone/DV footer reads just to filter everything out
+      graft.table.Changelog.initialSnapshot(table, endId, streamingTag = true, pinned,
+        filesOverride = Some(Seq.empty))
         .filter(lit(false))
     case Some(from) =>
       graft.table.Changelog.changes(table, from, Some(endId), streamingTag = true, pinned,

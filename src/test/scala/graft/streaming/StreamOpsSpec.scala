@@ -97,4 +97,42 @@ class StreamOpsSpec extends SparkSuite {
         s"late in-watermark event must extend the session backwards: ${all.toSeq}")
     } finally q.stop()
   }
+
+  test("sessionize with watermarkDelay > gap: late events bridge, never split or over-merge") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    // gap 5 min, watermark 45 min: gap-proof alone must NOT emit — a late
+    // in-watermark event can still bridge two open sessions
+    val sessions = StreamOps.sessionize(
+      spark, in.toDF.toDF("user_id", "ts"), gapMinutes = 5, watermarkDelay = "45 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    try {
+      // user 21: 0, then 8 (> gap apart), then LATE 4 bridges them into ONE
+      in.addData((21L, ts(0)))
+      q.processAllAvailable()
+      in.addData((21L, ts(8)))
+      q.processAllAvailable()
+      in.addData((21L, ts(4)))
+      q.processAllAvailable()
+      // user 23: 60, then LATE 20 — 40 min BEFORE the open session, far
+      // outside the gap: must be its OWN session, not merged backwards
+      in.addData((23L, ts(60)))
+      q.processAllAvailable()
+      in.addData((23L, ts(20)))
+      q.processAllAvailable()
+      // push the watermark far past everything (wm = 180 - 45 = 135)
+      in.addData((99L, ts(180)))
+      q.processAllAvailable()
+      in.addData((99L, ts(181)))
+      q.processAllAvailable()
+      val got = spark.table("sess2").as[StreamOps.SessionOut].collect()
+      val u21 = got.filter(_.user_id == 21L).map(s => (s.session_start, s.session_end, s.n_events))
+      assert(u21.toSeq === Seq((ts(0), ts(8), 3L)),
+        s"late bridge must yield ONE final session, got ${u21.toSeq}")
+      val u23 = got.filter(_.user_id == 23L)
+        .map(s => (s.session_start, s.session_end, s.n_events)).sortBy(_._1.getTime)
+      assert(u23.toSeq === Seq((ts(20), ts(20), 1L), (ts(60), ts(60), 1L)),
+        s"an event outside the gap must not merge backwards, got ${u23.toSeq}")
+    } finally q.stop()
+  }
 }
