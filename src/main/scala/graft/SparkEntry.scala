@@ -776,6 +776,35 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q45: bucket-preserving scan — a `bucket(8, o_custkey)` table's files
+    // are bucket-stamped at write, so the scan reports HashPartitioning and
+    // the per-customer aggregation runs with ZERO shuffle (the plan is
+    // asserted exchange-free and the flag rides the output). The storage
+    // layout IS the exchange — at 100 TB the aggregation moves no data.
+    "q45_bucket_agg" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q45").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, ord.schema,
+        Map(graft.table.PartitionSpec.Property -> "bucket(8, o_custkey)"))
+      tbl.append(ord.coalesce(8))
+      val perCust = tbl.read().groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("price").as("ps"))
+      val held = !perCust.queryExecution.executedPlan.toString.contains("Exchange") &&
+        tbl.files().forall { f =>
+          val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+          org.apache.spark.sql.graftshim.GraftRelation.bucketIdOf(name).isDefined
+        }
+      val out = perCust
+        .agg(count(lit(1)).as("n_custs"), sum("n").as("n_rows"),
+          round(sum("ps"), 2).as("price_total"))
+        .withColumn("bucket_held", lit(held))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1233,5 +1262,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW')
         |  AND NOT (o_orderstatus = 'F' AND CAST(o_totalprice AS DOUBLE) < 50000.0)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    // q45: shuffle-free bucketed aggregation — relationally just a
+    // two-level per-customer rollup (the shuffle-free plan is asserted
+    // engine-side and carried in bucket_held)
+    "q45_bucket_agg" ->
+      """SELECT count(*) AS n_custs, CAST(sum(n) AS BIGINT) AS n_rows,
+        |       round(sum(ps), 2) AS price_total, true AS bucket_held
+        |FROM (SELECT o_custkey, count(*) AS n,
+        |             sum(CAST(o_totalprice AS DOUBLE)) AS ps
+        |      FROM orders GROUP BY 1)""".stripMargin)
 }

@@ -165,6 +165,7 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     require(table.positionDeletes(snapshotId).isEmpty,
       "snapshot has live position deletes (deletion vectors), which a raw file relation " +
         "cannot apply; read via GraftTable.read / SQL (applies them) or compact the files")
-    GraftRelation.relation(spark, table.schema, root, table.files(snapshotId), table.allPartitionSpecs)
+    GraftRelation.relation(spark, table.schema, root, table.files(snapshotId),
+      table.allPartitionSpecs, table.bucketSpec(snapshotId))
   }
 }

@@ -57,6 +57,14 @@ object FileIO {
 
   def delete(path: String): Unit = { tick(); Files.deleteIfExists(Paths.get(path)) }
 
+  /** Atomic same-directory rename (bucket-id stamping of freshly written,
+    * not-yet-committed files — never visible to a concurrent reader). */
+  def rename(from: String, to: String): Unit = {
+    tick()
+    Files.move(Paths.get(from), Paths.get(to),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def deleteRecursively(path: String): Unit = {
     tick()
     val p = Paths.get(path)

@@ -514,16 +514,53 @@ class GraftTable private (val root: String, val spark: SparkSession) {
   private def scanWithPosDeletesOf(md: TableMetadata, sch: StructType,
       planned: Seq[DataFileMeta], specs: Seq[PartitionSpec],
       snapshotId: Option[Long]): DataFrame = {
-    def rel(fs: Seq[DataFileMeta]) =
-      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(spark, sch, root, fs, specs)
+    // bucket-aware scan: when every planned file is provably bucket-pure and
+    // stamped, the relation reports HashPartitioning(col, n) — attached on
+    // the plain branch only (the DV anti-join branch reads `_metadata`
+    // columns and is union-destined, where the partitioning can't help)
+    val bs = bucketSpecOf(md, sch, planned)
+    def rel(fs: Seq[DataFileMeta], bucketed: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]) =
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+        spark, sch, root, fs, specs, bucketSpec = bucketed)
     val dvs = posDeletesOf(md, snapshotId)
-    if (dvs.isEmpty) return rel(planned)
+    if (dvs.isEmpty) return rel(planned, bs)
     val (covered, plain) = planned.partition(f => dvs.exists(d => dvMayCover(d, f.path)))
-    if (covered.isEmpty) rel(planned)
+    if (covered.isEmpty) rel(planned, bs)
     else {
-      val deleted = antiJoinPosDeletes(rel(covered), dvs)
-      if (plain.isEmpty) deleted else rel(plain).unionByName(deleted)
+      val deleted = antiJoinPosDeletes(rel(covered, None), dvs)
+      if (plain.isEmpty) deleted else rel(plain, None).unionByName(deleted)
     }
+  }
+
+  /** The `BucketSpec` a scan over exactly `files` may report, or None. Sound
+    * only when the ACTIVE spec carries exactly one bucket transform and EVERY
+    * file is bucket-stamped ([[stampBucketIds]]) consistently with its
+    * partition dir: Spark's bucketed read throws on an unstamped file name
+    * and would silently mis-group rows on a wrong stamp, so this is
+    * all-or-nothing by design. Files from an older spec generation (different
+    * dir name) or written before the spec fail the check and the scan simply
+    * stays unbucketed — a full rewrite (cluster/compact) migrates them.
+    * O(planned files) driver-side string parsing, like all planning here. */
+  /** Public form of [[bucketSpecOf]] over a whole snapshot's files — for
+    * front-door relations built outside [[read]] (the DSv1 provider). */
+  def bucketSpec(snapshotId: Option[Long] = None): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val md = metadata
+    bucketSpecOf(md, schemaOf(md), filesOf(md, snapshotId))
+  }
+
+  private def bucketSpecOf(md: TableMetadata, sch: StructType,
+      files: Seq[DataFileMeta]): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    import org.apache.spark.sql.graftshim.GraftRelation
+    val active = specsOf(md, sch).filter(_.transform == "bucket")
+    if (active.size != 1 || files.isEmpty) return None
+    val sp = active.head
+    val ok = files.forall { f =>
+      val dir = sp.dirValue(f.path).flatMap(v => scala.util.Try(v.toInt).toOption)
+      dir.isDefined && GraftRelation.bucketIdOf(f.path.substring(f.path.lastIndexOf('/') + 1)) == dir
+    }
+    if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+      sp.param.get, Seq(sp.sourceColumn), Nil))
+    else None
   }
 
   /**
@@ -987,8 +1024,43 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       else withBloom
     (if (specs.isEmpty) withRoll else withRoll.partitionBy(specs.map(_.name): _*))
       .mode("errorifexists").parquet(dir)
-    val written = FileIO.listFilesRecursively(dir, ".parquet")
+    val written = stampBucketIds(specs, FileIO.listFilesRecursively(dir, ".parquet"))
     StatsCollector.collect(spark, sch, root, written, commitUuid)
+  }
+
+  /** Stamp Spark's bucket-id file-name suffix (`part-…_00007.snappy.parquet`)
+    * onto freshly written files of a `bucket(n, col)`-partitioned table. The
+    * id is the file's OWN partition-dir value — `partitionBy` above grouped
+    * rows by the transform, so every file is bucket-pure by construction —
+    * and the suffix is spelled via Spark's own `BucketingUtils` formatter so
+    * write-side stamp and read-side parse can never drift. The stamp is what
+    * lets [[read]] attach a `BucketSpec` ([[bucketSpecOf]]): the scan then
+    * reports `HashPartitioning(col, n)` and joins/aggregations on the bucket
+    * column skip their shuffle entirely. Renames happen pre-commit inside the
+    * fresh commit dir — no reader can ever hold the unstamped name. */
+  private def stampBucketIds(specs: Seq[PartitionSpec], absPaths: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.graftshim.GraftRelation
+    val bucketSpecs = specs.filter(_.transform == "bucket")
+    if (bucketSpecs.size != 1) return absPaths
+    val sp = bucketSpecs.head
+    absPaths.map { p =>
+      val slash = p.lastIndexOf('/')
+      val name = p.substring(slash + 1)
+      sp.dirValue(p).flatMap(v => scala.util.Try(v.toInt).toOption) match {
+        case Some(b) if GraftRelation.bucketIdOf(name).isEmpty =>
+          val dot = name.indexOf('.')
+          val stamped =
+            if (dot < 0) name + GraftRelation.bucketIdSuffix(b)
+            else name.substring(0, dot) + GraftRelation.bucketIdSuffix(b) + name.substring(dot)
+          // paranoia: only keep a stamp Spark parses back to the same id
+          if (GraftRelation.bucketIdOf(stamped).contains(b)) {
+            val to = p.substring(0, slash + 1) + stamped
+            FileIO.rename(p, to)
+            to
+          } else p
+        case _ => p // pre-stamped or un-bucketed dir: leave as written
+      }
+    }
   }
 
   /** Append-only commit: parent manifests + one new manifest.

@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.catalyst.catalog.BucketSpec
+import org.apache.spark.sql.execution.datasources.{BucketingUtils, FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
@@ -77,24 +78,45 @@ class GraftFileIndex(
 
 object GraftRelation {
 
-  /** HadoopFsRelation over a snapshot's files with metadata file skipping. */
+  /** Spark's bucket-file naming convention (`..._00007.parquet`), parsed
+    * with Spark's OWN parser so the write-side stamp and the read-side scan
+    * can never drift. `BucketingUtils` is `private[sql]` — this shim package
+    * is the sanctioned access point. */
+  def bucketIdOf(fileName: String): Option[Int] = BucketingUtils.getBucketId(fileName)
+
+  /** The `_%05d` suffix [[bucketIdOf]] parses back. */
+  def bucketIdSuffix(id: Int): String = BucketingUtils.bucketIdToString(id)
+
+  /** HadoopFsRelation over a snapshot's files with metadata file skipping.
+    * `bucketSpec`: when the caller can PROVE every file is bucket-pure and
+    * bucket-stamped (see `GraftTable.bucketSpecOf`), the scan reports
+    * `HashPartitioning(col, n)` — joins/aggregations on the bucket column
+    * skip their shuffle entirely (storage-partitioned join). */
   def relation(
       spark: SparkSession,
       tableSchema: StructType,
       rootDir: String,
       metas: Seq[DataFileMeta],
-      specs: Seq[PartitionSpec] = Seq.empty): HadoopFsRelation =
-    relation(spark, new GraftFileIndex(tableSchema, rootDir, metas, specs), tableSchema)
+      specs: Seq[PartitionSpec] = Seq.empty,
+      bucketSpec: Option[BucketSpec] = None): HadoopFsRelation =
+    relation(spark, new GraftFileIndex(tableSchema, rootDir, metas, specs), tableSchema, bucketSpec)
 
   def relation(
       spark: SparkSession,
       index: GraftFileIndex,
       tableSchema: StructType): HadoopFsRelation =
+    relation(spark, index, tableSchema, None)
+
+  def relation(
+      spark: SparkSession,
+      index: GraftFileIndex,
+      tableSchema: StructType,
+      bucketSpec: Option[BucketSpec]): HadoopFsRelation =
     HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = tableSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
 
@@ -108,10 +130,12 @@ object GraftRelation {
       rootDir: String,
       metas: Seq[DataFileMeta],
       specs: Seq[PartitionSpec] = Seq.empty,
-      isStreaming: Boolean = false): DataFrame = {
+      isStreaming: Boolean = false,
+      bucketSpec: Option[BucketSpec] = None): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     org.apache.spark.sql.classic.Dataset.ofRows(
       classic,
-      LogicalRelation(relation(spark, tableSchema, rootDir, metas, specs), isStreaming = isStreaming))
+      LogicalRelation(relation(spark, tableSchema, rootDir, metas, specs, bucketSpec),
+        isStreaming = isStreaming))
   }
 }

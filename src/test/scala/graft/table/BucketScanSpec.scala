@@ -1,0 +1,92 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.Compact
+import graft.run.Synth
+
+/** Bucket-preserving scans: files of a `bucket(n, col)`-partitioned table
+  * are stamped with Spark's bucket-id file-name suffix at write time, and a
+  * fully-stamped snapshot scans as a bucketed relation — the plan reports
+  * `HashPartitioning(col, n)` and joins/aggregations on the bucket column
+  * run with ZERO shuffle (storage-partitioned execution). At 100 TB this is
+  * the difference between a join that moves the table and one that moves
+  * nothing. */
+class BucketScanSpec extends SparkSuite {
+
+  private val prop = Map(PartitionSpec.Property -> "bucket(8, url)")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("writes stamp bucket ids; bucketed groupBy and self-join are shuffle-free") {
+    val t = GraftTable.create(spark, tmpDir("graft-bucket"), Synth.pageSchema, prop)
+    t.append(Synth.pages(spark, 2000, partitions = 4))
+
+    // every file stamped, consistent with its partition dir
+    val files = t.files()
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val dir = f.path.split('/').find(_.startsWith("gp_bucket_8_url=")).map(_.split('=')(1).toInt)
+      val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+      val stamp = org.apache.spark.sql.graftshim.GraftRelation.bucketIdOf(name)
+      assert(dir.isDefined && stamp == dir, s"file ${f.path}: dir=$dir stamp=$stamp")
+    }
+
+    // aggregation on the bucket column: no exchange anywhere in the plan
+    val agg = t.read().groupBy("url").agg(count(lit(1)).as("n"), max("warc_ts").as("ts"))
+    val aggPlan = planOf(agg)
+    assert(!aggPlan.contains("Exchange"), s"bucketed groupBy must not shuffle:\n$aggPlan")
+    // and it computes the same answer as a plain (bucketing-off) read
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    val expected = try t.read().groupBy("url").agg(count(lit(1)).as("n"), max("warc_ts").as("ts"))
+      .collect().toSet
+    finally spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    assert(agg.collect().toSet === expected)
+
+    // co-bucketed join (same column, same n): zero shuffles on both sides
+    val t2 = GraftTable.create(spark, tmpDir("graft-bucket2"), Synth.pageSchema, prop)
+    t2.append(Synth.pages(spark, 1000, partitions = 2, seed = 7))
+    val joined = t.read().select("url", "lang")
+      .join(t2.read().select(col("url"), col("lang").as("lang2")), "url")
+    val joinPlan = planOf(joined)
+    assert(!joinPlan.contains("ShuffleExchange"),
+      s"co-bucketed join must not hash-shuffle:\n$joinPlan")
+    assert(joined.count() > 0)
+  }
+
+  test("gate is all-or-nothing: pre-spec files disable the bucketed scan") {
+    val t = GraftTable.create(spark, tmpDir("graft-bucket-mixed"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 500, partitions = 2))
+    t.setPartitionSpec(Some("bucket(8, url)"))
+    t.append(Synth.pages(spark, 500, partitions = 2, seed = 9))
+    // mixed layout: unstamped pre-spec files → scan must stay unbucketed
+    val aggPlan = planOf(t.read().groupBy("url").agg(count(lit(1)).as("n")))
+    assert(aggPlan.contains("Exchange"), "mixed layout must fall back to a shuffle")
+    assert(t.read().count() === 1000)
+
+    // a full compaction rewrite migrates everything under the spec → bucketed
+    Compact.run(t, targetBytes = 1L << 30)
+    assert(t.files().forall(_.path.contains("gp_bucket_8_url=")))
+    val after = t.read().groupBy("url").agg(count(lit(1)).as("n"))
+    assert(!planOf(after).contains("Exchange"),
+      s"post-rewrite scan must be bucketed:\n${planOf(after)}")
+    assert(after.collect().map(_.getLong(1)).sum === 1000)
+  }
+
+  test("bucketed read result matches unbucketed read exactly") {
+    val t = GraftTable.create(spark, tmpDir("graft-bucket-parity"), Synth.pageSchema, prop)
+    t.append(Synth.pages(spark, 1500, partitions = 3))
+    val bucketed = t.read()
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try assertSameRows(bucketed, t.read(), "bucketed vs plain scan")
+    finally spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // predicate scans keep their file pruning under the bucketed relation
+    val one = t.read().select("url").head().getString(0)
+    val planned = t.planFiles(Some(col("url") === one))
+    assert(planned.size < t.files().size, "bucket-value pruning still engages")
+    assertSameRows(t.read(Some(col("url") === one)),
+      t.read().filter(col("url") === one), "pruned bucketed scan")
+  }
+}
