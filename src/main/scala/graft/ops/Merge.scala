@@ -159,6 +159,31 @@ object Merge {
   def into(table: GraftTable, source: DataFrame, keyCol: String): Snapshot =
     into(table, source, Seq(keyCol))
 
+  /** Touched-file target scan for the merge join. When the table is bucketed
+    * on EXACTLY the merge key (single key column == the `bucket(n, col)`
+    * transform's source, every touched file bucket-stamped — the table's
+    * bucket gate), the relation reports `HashPartitioning(key, n)` and the
+    * full-outer join shuffles ONLY the source side: the touched target bytes
+    * — the dominant shuffle volume of a 100 TB merge — never move. The exact
+    * single-key match is deliberate: with composite merge keys Spark's
+    * co-partitioning rule (`requireAllClusterKeysForCoPartition`, default on)
+    * shuffles both sides anyway, and an unhelpful bucketed scan would cap
+    * scan parallelism at n for nothing. Everything else keeps the plain
+    * parquet scan over the touched paths (size-split parallelism). Join
+    * parallelism under the bucketed path is n — that is the user's declared
+    * layout; per-task sort input is touchedBytes/n, so pick bucket counts
+    * the way you'd pick shuffle partitions. */
+  private[graft] def targetScan(table: GraftTable, schema: StructType,
+      touched: Seq[graft.table.DataFileMeta], keyCols: Seq[String]): DataFrame = {
+    val bs = table.bucketSpecFor(touched).filter { b =>
+      keyCols.map(_.toLowerCase) == b.bucketColumnNames.map(_.toLowerCase)
+    }
+    if (bs.isDefined)
+      org.apache.spark.sql.graftshim.GraftRelation.dataFrame(
+        table.spark, schema, table.root, touched, table.allPartitionSpecs, bucketSpec = bs)
+    else table.spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+  }
+
   /**
    * Execute a merge of `source` (page-schema columns + optional reserved
    * columns, see class doc) into the table on `keyCols`. Returns the
@@ -276,7 +301,7 @@ object Merge {
       }
     val baseRaw =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(touched.map(table.absPath): _*)
+      else targetScan(table, schema, touched, keyCols)
     // position deletes applied: a DV-deleted target row is NOT MATCHED
     // (the source row inserts); replaceFiles clears the touched files' DVs.
     // MoR mode additionally carries each surviving row's (file, position)

@@ -548,6 +548,14 @@ class GraftTable private (val root: String, val spark: SparkSession) {
     bucketSpecOf(md, schemaOf(md), filesOf(md, snapshotId))
   }
 
+  /** [[bucketSpecOf]] over an explicit file subset — for operators that scan
+    * a planned slice of the table (MERGE's touched files): sound because a
+    * bucket-pure file stays bucket-pure in any subset. */
+  def bucketSpecFor(files: Seq[DataFileMeta]): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val md = metadata
+    bucketSpecOf(md, schemaOf(md), files)
+  }
+
   private def bucketSpecOf(md: TableMetadata, sch: StructType,
       files: Seq[DataFileMeta]): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
     import org.apache.spark.sql.graftshim.GraftRelation

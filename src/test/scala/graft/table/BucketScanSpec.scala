@@ -75,6 +75,39 @@ class BucketScanSpec extends SparkSuite {
     assert(after.collect().map(_.getLong(1)).sum === 1000)
   }
 
+  test("merge on the bucket key shuffles only the source side") {
+    val t = GraftTable.create(spark, tmpDir("graft-bucket-merge"), Synth.pageSchema, prop)
+    t.append(Synth.pages(spark, 2000, partitions = 4))
+
+    // plan shape: the bucketed target scan reports HashPartitioning(url, 8),
+    // so the full-outer merge join carries exactly ONE exchange (the source)
+    val src = Synth.pages(spark, 100, partitions = 2).withColumn("_deleted", lit(false))
+    val scan = graft.ops.Merge.targetScan(t, t.schema, t.files(), Seq("url"))
+    val joined = scan.alias("t").join(src.alias("s"), scan("url") === src("url"), "full_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size === 1,
+      s"bucketed merge join must shuffle only the source:\n$plan")
+    // composite keys would shuffle both sides — targetScan must not cap the
+    // scan at n partitions for a partitioning the join can't use
+    val comp = graft.ops.Merge.targetScan(t, t.schema, t.files(), Seq("url", "lang"))
+    val compBuckets = comp.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation
+    }.collect {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h.bucketSpec
+    }.flatten
+    assert(compBuckets.isEmpty, "composite-key target scan must stay unbucketed")
+
+    // end-to-end: the merge applies, and the rewrite keeps the bucket stamps
+    val updates = t.read().dropDuplicates("url").limit(50)
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 DAY"))
+      .withColumn("lang", lit("xx"))
+      .localCheckpoint(true)
+    val n = updates.count()
+    graft.ops.Merge.into(t, updates, Seq("url"))
+    assert(t.read().filter(col("lang") === "xx").count() === n)
+    assert(t.bucketSpec().isDefined, "post-merge files must keep their bucket stamps")
+  }
+
   test("bucketed read result matches unbucketed read exactly") {
     val t = GraftTable.create(spark, tmpDir("graft-bucket-parity"), Synth.pageSchema, prop)
     t.append(Synth.pages(spark, 1500, partitions = 3))
