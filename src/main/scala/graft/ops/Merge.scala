@@ -299,6 +299,12 @@ object Merge {
         val cond = (notMatchedBySourceDelete.toSeq ++ notMatchedBySourceSet.map(_._1)).reduce(_ || _)
         (keyTouched ++ table.planFiles(Some(cond))).groupBy(_.path).map(_._2.head).toSeq
       }
+    // bucket-on-key merge: the touched files scan bucketed (HashPartitioning
+    // on the key — only the source side of the join shuffles) AND the join
+    // output is physically bucket-co-partitioned, so the output rewrite
+    // skips its range exchange too (see the `out` construction below)
+    val bucketedOnKey = touched.nonEmpty && table.bucketSpecFor(touched)
+      .exists(b => keyCols.map(_.toLowerCase) == b.bucketColumnNames.map(_.toLowerCase))
     val baseRaw =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else targetScan(table, schema, touched, keyCols)
@@ -557,6 +563,19 @@ object Merge {
       }
       val out =
         if (nOut <= 1) merged
+        // bucket-on-key table: every output row's final key equals the side
+        // it joined from (image key = coalesce(t.key, s.key)), and both join
+        // inputs are HashPartitioning(key, n) — target via the bucketed scan,
+        // source shuffled to match — so each join partition IS one bucket.
+        // Catalyst reports UnknownPartitioning for a full-outer join (the
+        // per-side key attributes null-extend), but the PHYSICAL placement
+        // is exact, so the range exchange is pure waste here: writing the
+        // join output directly gives one partitionBy dir per task, and the
+        // in-partition sort + record rolling below still produce key-ordered
+        // files with tight per-file bounds WITHIN each bucket (what the next
+        // merge's interval index stabs). Net shuffle of a bucketed merge:
+        // the source rows, nothing else.
+        else if (bucketedOnKey) merged
         else (steer, bds) match {
           // missing/collapsed boundaries (no bounds, or a keyspace the
           // packed encoding cannot discriminate): range steering would

@@ -97,15 +97,38 @@ class BucketScanSpec extends SparkSuite {
     }.flatten
     assert(compBuckets.isEmpty, "composite-key target scan must stay unbucketed")
 
-    // end-to-end: the merge applies, and the rewrite keeps the bucket stamps
+    // end-to-end: the merge applies; the output rewrite SKIPS its range
+    // exchange (the join output is already bucket-co-partitioned) yet still
+    // writes bucket-stamped, key-ordered files — small targetFileBytes
+    // forces the multi-file roll so the skip path is the one exercised
     val updates = t.read().dropDuplicates("url").limit(50)
       .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 DAY"))
       .withColumn("lang", lit("xx"))
       .localCheckpoint(true)
     val n = updates.count()
-    graft.ops.Merge.into(t, updates, Seq("url"))
+    graft.ops.Merge.into(t, updates, Seq("url"), targetFileBytes = 64L * 1024)
     assert(t.read().filter(col("lang") === "xx").count() === n)
     assert(t.bucketSpec().isDefined, "post-merge files must keep their bucket stamps")
+    val files = t.files()
+    assert(files.size > 8, s"64 KB target must roll several files per bucket: ${files.size}")
+    // within each bucket the rolled files are non-overlapping sorted runs —
+    // the tight-bounds property the next merge's interval index prunes by.
+    // Checked on the ACTUAL per-file key ranges (stored string bounds are
+    // 32-char truncated prefix/incremented-prefix, so adjacent metadata
+    // bounds legitimately touch)
+    val perFile = t.read()
+      .select(col("url"), org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy("f").agg(min("url").as("lo"), max("url").as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    for ((bucket, fs) <- perFile.groupBy(
+        _._1.split('/').find(_.startsWith("gp_bucket_8_url=")).get) if fs.length > 1) {
+      val sorted = fs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, hi1), (f2, lo2, _)) => assert(hi1 <= lo2,
+          s"$bucket: $f2 overlaps its predecessor after the bucket-skip merge")
+        case _ => ()
+      }
+    }
   }
 
   test("bucketed read result matches unbucketed read exactly") {
