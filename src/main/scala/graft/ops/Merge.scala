@@ -125,13 +125,31 @@ object Merge {
     val resDts = dts.tail
     val resMin: Array[Array[String]] = resCols.map(c => bounded.map(_.minValues.get(c).orNull).toArray).toArray
     val resMax: Array[Array[String]] = resCols.map(c => bounded.map(_.maxValues.get(c).orNull).toArray).toArray
+    // bucket-dir pruning: a key tuple can only touch a file whose bucket dir
+    // (when the file has one — -1 otherwise) matches the key's own bucket
+    // under that spec. For a bucketed table this cuts the candidate set ~n×
+    // beyond interval stabbing: buckets hold hash-sampled keys, so every
+    // sorted run's [min,max] admits ~one candidate file PER BUCKET while the
+    // dir pins the single bucket that can actually hold the key. The key's
+    // bucket is computed by the same `pmod(hash(col), n)` expression writers
+    // lay files out by (cast to the table's column type first), so both
+    // sides share Spark's own murmur3 exactly. Applies across spec
+    // generations: each file answers only for dirs it physically has.
+    val bucketSpecs = table.allPartitionSpecs.filter(sp =>
+      sp.transform == "bucket" && keyCols.contains(sp.sourceColumn))
+    val fileBuckets: Array[Array[Int]] = bucketSpecs.map(sp =>
+      bounded.map(f => sp.dirValue(f.path)
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(-1)).toArray).toArray
     val spark = table.spark
     val bcIdx = spark.sparkContext.broadcast(index)
     val bcRes = spark.sparkContext.broadcast((resDts.toArray, resMin, resMax))
+    val bcBuckets = spark.sparkContext.broadcast(fileBuckets)
     val overlap = udf { (r: org.apache.spark.sql.Row) =>
       if (r.isNullAt(0)) Seq.empty[Int]
       else {
         val (rdts, rmin, rmax) = bcRes.value
+        val fb = bcBuckets.value
+        val bOff = 1 + rdts.length
         bcIdx.value.overlapping(r.getString(0)).filter { fid =>
           var ok = true
           var j = 0
@@ -144,11 +162,22 @@ object Merge {
             }
             j += 1
           }
+          var s = 0
+          while (ok && s < fb.length) {
+            val b = fb(s)(fid)
+            if (b >= 0 && !r.isNullAt(bOff + s) && r.getInt(bOff + s) != b) ok = false
+            s += 1
+          }
           ok
         }
       }
     }
-    val keyStruct = struct(keyCols.zip(dts).map { case (k, dt) => canonicalKey(col(k), dt) }: _*)
+    val keyStruct = struct(
+      keyCols.zip(dts).map { case (k, dt) => canonicalKey(col(k), dt) } ++
+        bucketSpecs.map { sp =>
+          val dt = schema.fields.find(_.name == sp.sourceColumn).get.dataType
+          pmod(hash(col(sp.sourceColumn).cast(dt)), lit(sp.param.get))
+        }: _*)
     val touchedIds = sourceKeys
       .select(explode(overlap(keyStruct)).as("fid"))
       .distinct().collect().map(_.getInt(0)).toSet

@@ -111,15 +111,18 @@ class BucketScanSpec extends SparkSuite {
     assert(t.bucketSpec().isDefined, "post-merge files must keep their bucket stamps")
     val files = t.files()
     assert(files.size > 8, s"64 KB target must roll several files per bucket: ${files.size}")
-    // within each bucket the rolled files are non-overlapping sorted runs —
-    // the tight-bounds property the next merge's interval index prunes by.
-    // Checked on the ACTUAL per-file key ranges (stored string bounds are
-    // 32-char truncated prefix/incremented-prefix, so adjacent metadata
-    // bounds legitimately touch)
+    // within each bucket the MERGE OUTPUT files are non-overlapping sorted
+    // runs — the tight-bounds property the next merge's interval index
+    // prunes by. Only the merge commit's own files: bucket-dir pruning
+    // legitimately leaves untouched older files in place, and those overlap
+    // the new runs by construction. Checked on the ACTUAL per-file key
+    // ranges (stored string bounds are 32-char truncated prefix/
+    // incremented-prefix, so adjacent metadata bounds legitimately touch)
     val perFile = t.read()
       .select(col("url"), org.apache.spark.sql.functions.input_file_name().as("f"))
       .groupBy("f").agg(min("url").as("lo"), max("url").as("hi"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .filter(_._1.contains("/merge-"))
     for ((bucket, fs) <- perFile.groupBy(
         _._1.split('/').find(_.startsWith("gp_bucket_8_url=")).get) if fs.length > 1) {
       val sorted = fs.sortBy(_._2)
@@ -129,6 +132,21 @@ class BucketScanSpec extends SparkSuite {
         case _ => ()
       }
     }
+  }
+
+  test("touchedFiles prunes to the key's bucket dir") {
+    val t = GraftTable.create(spark, tmpDir("graft-bucket-touch"), Synth.pageSchema, prop)
+    t.append(Synth.pages(spark, 2000, partitions = 4))
+    import spark.implicits._
+    val one = t.read().select("url").head().getString(0)
+    // the key's bucket through Spark's own hash — what the writer laid out by
+    val b = spark.range(1).select(pmod(hash(lit(one)), lit(8))).head().getInt(0)
+    val touched = graft.ops.Merge.touchedFiles(t, Seq(one).toDF("url"), Seq("url"))
+    assert(touched.nonEmpty)
+    assert(touched.forall(_.path.contains(s"gp_bucket_8_url=$b/")),
+      s"files outside bucket $b touched: ${touched.map(_.path).mkString(", ")}")
+    assert(touched.size < t.files().size / 2,
+      s"bucket pruning must beat interval stabbing alone: ${touched.size}/${t.files().size}")
   }
 
   test("bucketed read result matches unbucketed read exactly") {

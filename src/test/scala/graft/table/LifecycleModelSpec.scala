@@ -25,7 +25,14 @@ class LifecycleModelSpec extends SparkSuite {
     val rnd = new scala.util.Random(20260816L)
 
     for (round <- 0 until 2) {
-      val tbl = GraftTable.create(spark, tmpDir(s"model-$round"), Synth.pageSchema)
+      // round 1 runs the whole random op mix against a BUCKETED table (and
+      // an evolved schema): bucket stamping, the all-or-nothing scan gate,
+      // the shuffle-free merge paths and bucket-dir touched-file pruning all
+      // compose with every op while the visible state must stay model-equal
+      val props =
+        if (round == 1) Map(PartitionSpec.Property -> "bucket(4, url)")
+        else Map.empty[String, String]
+      val tbl = GraftTable.create(spark, tmpDir(s"model-$round"), Synth.pageSchema, props)
       val rows = mutable.Buffer.empty[MRow] // multiset of live-stored rows
       val tombstones = mutable.Set.empty[String]
       var nextBatch = 0
