@@ -332,8 +332,12 @@ object Merge {
     // on the key — only the source side of the join shuffles) AND the join
     // output is physically bucket-co-partitioned, so the output rewrite
     // skips its range exchange too (see the `out` construction below)
-    val bucketedOnKey = touched.nonEmpty && table.bucketSpecFor(touched)
-      .exists(b => keyCols.map(_.toLowerCase) == b.bucketColumnNames.map(_.toLowerCase))
+    val bucketedN: Option[Int] =
+      if (touched.isEmpty) None
+      else table.bucketSpecFor(touched)
+        .filter(b => keyCols.map(_.toLowerCase) == b.bucketColumnNames.map(_.toLowerCase))
+        .map(_.numBuckets)
+    val bucketedOnKey = bucketedN.isDefined
     val baseRaw =
       if (touched.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else targetScan(table, schema, touched, keyCols)
@@ -483,22 +487,43 @@ object Merge {
     // doesn't leave every later query on the session planning thousands of
     // initial partitions), a no-op when AQE is off.
     val aqeInitKey = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    def withScopedConf[T](key: String, value: String)(body: => T): T = {
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
     def withJoinShuffleSizedByData[T](body: => T): T = {
       val conf = spark.sessionState.conf
-      if (!(conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled)) body
-      else {
-        val want = math.ceil(totalBytes.toDouble / (64L << 20)).toInt
-        val prev = spark.conf.getOption(aqeInitKey)
-        val cur = prev.map(_.toInt).getOrElse(conf.numShufflePartitions)
-        if (want <= cur) body
-        else {
-          spark.conf.set(aqeInitKey, want.toString)
-          try body
-          finally prev match {
-            case Some(v) => spark.conf.set(aqeInitKey, v)
-            case None    => spark.conf.unset(aqeInitKey)
+      bucketedN match {
+        case Some(n) =>
+          // Bucket-on-key merge: the join's parallelism IS the bucket count.
+          // A default shuffle parallelism ABOVE n makes EnsureRequirements
+          // shuffle BOTH sides "for parallelism" instead of reusing the
+          // bucketed scan's partitioning — observed in the 10 GB soak (the
+          // data-sized initialPartitionNum bump below pushed the default to
+          // 150 > 64 buckets: 10 GB of shuffle where ~0.1 GB was expected).
+          // Pin the rewrite's default AT n so the planner reuses the layout;
+          // per-task sort input is touchedBytes/n by construction — pick
+          // bucket counts the way you'd pick shuffle partitions.
+          withScopedConf("spark.sql.shuffle.partitions",
+              math.min(conf.numShufflePartitions, n).toString) {
+            if (conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled)
+              withScopedConf(aqeInitKey, n.toString)(body)
+            else body
           }
-        }
+        case None =>
+          if (!(conf.adaptiveExecutionEnabled && conf.coalesceShufflePartitionsEnabled)) body
+          else {
+            val want = math.ceil(totalBytes.toDouble / (64L << 20)).toInt
+            val cur = spark.conf.getOption(aqeInitKey).map(_.toInt)
+              .getOrElse(conf.numShufflePartitions)
+            if (want <= cur) body
+            else withScopedConf(aqeInitKey, want.toString)(body)
+          }
       }
     }
 

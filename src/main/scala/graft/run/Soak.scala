@@ -55,6 +55,11 @@ object Soak {
     val urls = args.headOption.map(_.toLong).getOrElse(6000000L)
     val levels = sys.env.getOrElse("SPARK_GRAFT_SOAK_LEVELS", "8,32")
       .split(",").map(_.trim.toInt).toSeq
+    // SPARK_GRAFT_SOAK_BUCKETS=n: run the whole lifecycle on a
+    // bucket(n, url) layout — exercises bucket stamping through 2,560-file
+    // appends and every rewrite, the shuffle-free merge paths at 10 GB, and
+    // asserts the stamped gate survives the full op sequence
+    val buckets = sys.env.get("SPARK_GRAFT_SOAK_BUCKETS").map(_.toInt)
 
     // stage once (not timed): ~2,560 files of ~4 MB so the table starts
     // with 10× the bench's file count and compaction has real work
@@ -91,11 +96,26 @@ object Soak {
         if (wall <= 0) 0.0 else (sumMs / 1e3) / (cpus * wall)
       try {
         val root = java.nio.file.Files.createTempDirectory(s"graft-soak-$cpus").toString + "/t"
-        val tbl = GraftTable.create(spark, root, Synth.pageSchema)
+        val tbl = GraftTable.create(spark, root, Synth.pageSchema,
+          buckets.map(n => Map(graft.table.PartitionSpec.Property -> s"bucket($n, url)"))
+            .getOrElse(Map.empty))
         // keep every staged file a table file (no read-combining): the
-        // soak's point is metadata + maintenance at 10× the file count
+        // soak's point is metadata + maintenance at 10× the file count.
+        // Bucketed layout: repartition BY THE BUCKET COLUMN into a multiple
+        // of n — Spark's exchange and the bucket transform share one murmur3,
+        // and n | 2560 makes every exchange partition bucket-PURE (h mod 2560
+        // determines h mod n), so each task writes exactly one dir: still
+        // 2,560 right-sized files, not 2,560 × n shards. This is the general
+        // producer recipe for appending wide to a bucket(n) table.
         val staged = spark.read.schema(Synth.pageSchema).parquet(stagedDir)
-        val (_, tAppend) = time { tbl.append(staged.repartition(2560)) }
+        val (_, tAppend) = time {
+          tbl.append(buckets match {
+            case Some(n) =>
+              require(2560 % n == 0, s"soak bucket count must divide 2560, got $n")
+              staged.repartition(2560, col("url"))
+            case None => staged.repartition(2560)
+          })
+        }
         val inputBytes = tbl.files().map(_.bytes).sum
         val nFiles0 = tbl.files().size
 
@@ -189,10 +209,16 @@ object Soak {
         }
 
         val (exp, tExpire) = time { Expire.expire(tbl, retainLast = 1) }
+        // bucketed runs: the stamped-scan gate must survive the whole
+        // lifecycle (DVs from the MoR pass were materialized by the
+        // pressure compaction above, so the full-stamp invariant is checkable)
+        for (n <- buckets)
+          require(tbl.bucketSpec().exists(_.numBuckets == n),
+            s"bucket($n, url) gate lost after the lifecycle — a rewrite dropped stamps")
         val rows = tbl.read().count()
         val gb = (inputBytes + compactedBytes).toDouble / (1L << 30)
         println(
-          f"""{"soak":"local[$cpus]","urls":$urls,"input_gb":${inputBytes / (1L << 30).toDouble}%.2f,""" +
+          f"""{"soak":"local[$cpus]"${buckets.map(n => s""","buckets":$n""").getOrElse("")},"urls":$urls,"input_gb":${inputBytes / (1L << 30).toDouble}%.2f,""" +
           f""""files":{"appended":$nFiles0,"compacted":$nFilesCompacted,"clustered":$nFilesClustered,"merged":$nFilesMerged},""" +
           f""""meta_ms":{"files_parse":${tMeta * 1000}%.0f,"plan_files_prune":${tPlan * 1000}%.0f},""" +
           f""""sec":{"append":$tAppend%.1f,"compact":$tCompact%.1f,"cluster":$tCluster%.1f,"merge":$tMerge%.1f,"expire":$tExpire%.1f},""" +

@@ -101,13 +101,32 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException("graft sink requires a path: df.write.format(\"graft\").save(<table root>)"))
     val spark = sqlContext.sparkSession
     val exists = FileIO.exists(s"$root/metadata/v1.json")
+    // table properties honored when THIS write creates the table (e.g.
+    // .option("partition-spec", "bucket(64, url), days(warc_ts)")); on an
+    // existing table a DIFFERENT requested spec is an error, not a silent
+    // ignore — evolution goes through setPartitionSpec / ALTER TABLE
+    def createProps: Map[String, String] =
+      parameters.get(graft.table.PartitionSpec.Property)
+        .map(s => Map(graft.table.PartitionSpec.Property -> s)).getOrElse(Map.empty)
+    def checkSpecUnchanged(tbl: GraftTable): GraftTable = {
+      for (want <- parameters.get(graft.table.PartitionSpec.Property)) {
+        // compare parsed forms, not spellings ("bucket(8,url)" == "bucket(8, url)")
+        def norm(s: String): String = scala.util.Try(
+          graft.table.PartitionSpec.parseMulti(s).map(_.toString).mkString(", ")).getOrElse(s)
+        val have = tbl.metadata.properties.get(graft.table.PartitionSpec.Property)
+        require(have.map(norm).contains(norm(want)),
+          s"table at $root has partition-spec ${have.getOrElse("<none>")}, write requested " +
+            s"'$want' — evolve via ALTER TABLE ... SET PARTITION SPEC, not a write option")
+      }
+      tbl
+    }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table already exists at $root")
       case SaveMode.Ignore if exists => ()
       case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
-        val tbl = if (exists) GraftTable.load(spark, root)
-                  else GraftTable.create(spark, root, data.schema)
+        val tbl = if (exists) checkSpecUnchanged(GraftTable.load(spark, root))
+                  else GraftTable.create(spark, root, data.schema, createProps)
         tbl.append(data,
           mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
       case SaveMode.Overwrite if parameters.contains("replaceWhere") =>
@@ -120,8 +139,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
           org.apache.spark.sql.functions.expr(parameters("replaceWhere")), data,
           validate = parameters.get("replaceWhereValidate").forall(_.toBoolean))
       case SaveMode.Overwrite =>
-        val tbl = if (exists) GraftTable.load(spark, root)
-                  else GraftTable.create(spark, root, data.schema)
+        val tbl = if (exists) checkSpecUnchanged(GraftTable.load(spark, root))
+                  else GraftTable.create(spark, root, data.schema, createProps)
         val expected = tbl.currentSnapshot.map(_.id)
         val old = tbl.files().map(_.path).toSet
         if (old.isEmpty) {

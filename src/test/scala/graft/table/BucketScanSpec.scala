@@ -134,6 +134,45 @@ class BucketScanSpec extends SparkSuite {
     }
   }
 
+  test("writer option partition-spec creates a bucketed table; mismatch errors") {
+    val root = tmpDir("graft-bucket-writer")
+    val df = graft.run.Synth.pages(spark, 300, partitions = 2)
+    df.write.format("graft").option("partition-spec", "bucket(8, url)")
+      .mode("append").save(root)
+    val t = GraftTable.load(spark, root)
+    assert(t.partitionSpecs.map(_.toString) === Seq("bucket(8, url)"))
+    assert(t.bucketSpec().isDefined, "writer-created table must scan bucketed")
+    // same spec re-requested on the existing table: fine
+    df.write.format("graft").option("partition-spec", "bucket(8, url)")
+      .mode("append").save(root)
+    assert(GraftTable.load(spark, root).read().count() === 600)
+    // a DIFFERENT spec must fail loudly, not silently ignore
+    val ex = intercept[Exception] {
+      df.write.format("graft").option("partition-spec", "bucket(16, url)")
+        .mode("append").save(root)
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(t => t.getMessage +: msgs(t.getCause).toList)
+    assert(msgs(ex).exists(m => m != null && m.contains("SET PARTITION SPEC")), msgs(ex).mkString("; "))
+  }
+
+  test("bucket composed with a time transform keeps the bucketed scan") {
+    val t = GraftTable.create(spark, tmpDir("graft-bucket-multi"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(8, url), days(warc_ts)"))
+    t.append(Synth.pages(spark, 1000, partitions = 2))
+    assert(t.files().forall(f =>
+      f.path.contains("gp_bucket_8_url=") && f.path.contains("gp_days_warc_ts=")))
+    assert(t.bucketSpec().isDefined, "one bucket transform among several specs must gate on")
+    val agg = t.read().groupBy("url").agg(count(lit(1)).as("n"))
+    assert(!planOf(agg).contains("Exchange"), "nested-dir bucketed groupBy must not shuffle")
+    assert(agg.collect().map(_.getLong(1)).sum === 1000)
+    // time-transform pruning still works under the composed layout
+    val someDay = t.read().select(to_date(col("warc_ts")).as("d")).head().getDate(0)
+    val pred = to_date(col("warc_ts")) === lit(someDay)
+    assert(t.planFiles(Some(pred)).size < t.files().size)
+    assertSameRows(t.read(Some(pred)), t.read().filter(pred), "day-pruned bucketed scan")
+  }
+
   test("touchedFiles prunes to the key's bucket dir") {
     val t = GraftTable.create(spark, tmpDir("graft-bucket-touch"), Synth.pageSchema, prop)
     t.append(Synth.pages(spark, 2000, partitions = 4))
