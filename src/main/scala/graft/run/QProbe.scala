@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object QProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.GraftExtensions) // SQL MERGE/DDL contract queries
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
