@@ -805,6 +805,42 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q46: SQL MERGE into a bucket(8, c_custkey) table — the ANSI clause
+    // lowering composes with the bucket-on-key merge plan (bucketed touched
+    // scan, source-only join shuffle, output-exchange skip) and the stamped
+    // scan gate survives the rewrite; the final state replays relationally.
+    "q46_merge_bucketed" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val root = java.nio.file.Files.createTempDirectory("graft-q46").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, cust.schema,
+        Map(graft.table.PartitionSpec.Property -> "bucket(8, c_custkey)"))
+      tbl.append(cust.coalesce(8))
+      val m = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 0.5)
+      val i = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 30000000L)
+      m.unionByName(i).createOrReplaceTempView("q46src")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING q46src s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.c_acctbal < 0.0 THEN DELETE
+           |WHEN MATCHED THEN
+           |  UPDATE SET c_acctbal = t.c_acctbal + s.c_acctbal, c_mktsegment = 'BUCKETED'
+           |WHEN NOT MATCHED THEN
+           |  INSERT (c_custkey, c_name, c_acctbal) VALUES (s.c_custkey, s.c_name, s.c_acctbal)""".stripMargin)
+        .collect()
+      val held = tbl.bucketSpec().isDefined
+      val out = tbl.read().agg(
+        count(lit(1)).as("n_rows"),
+        sum("c_custkey").as("key_sum"),
+        round(sum("c_acctbal"), 3).as("bal_sum"),
+        count(when(col("c_mktsegment") === "BUCKETED", 1)).as("n_bucketed"))
+        .withColumn("gate_held", lit(held))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1272,5 +1308,27 @@ object SparkEntry {
         |       round(sum(ps), 2) AS price_total, true AS bucket_held
         |FROM (SELECT o_custkey, count(*) AS n,
         |             sum(CAST(o_totalprice AS DOUBLE)) AS ps
-        |      FROM orders GROUP BY 1)""".stripMargin)
+        |      FROM orders GROUP BY 1)""".stripMargin,
+
+    // q46: the bucketed SQL MERGE replayed — matched %3 keys delete when
+    // the (halved) source balance is negative, else 1.5x the balance and
+    // retag; shifted %7 keys insert with NULL segment
+    "q46_merge_bucketed" ->
+      """WITH after AS (
+        |  SELECT c_custkey, c_name,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal * 1.5
+        |              ELSE c_acctbal END AS bal,
+        |         CASE WHEN c_custkey % 3 = 0 THEN 'BUCKETED'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 3 = 0 AND c_acctbal * 0.5 < 0.0)
+        |  UNION ALL
+        |  SELECT c_custkey + 30000000, c_name, c_acctbal, NULL
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |)
+        |SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       round(sum(bal), 3) AS bal_sum,
+        |       count(CASE WHEN seg = 'BUCKETED' THEN 1 END) AS n_bucketed,
+        |       true AS gate_held
+        |FROM after""".stripMargin)
 }
