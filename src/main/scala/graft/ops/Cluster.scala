@@ -130,7 +130,7 @@ object Cluster {
       saltThresholdRows: Long = 2000000L,
       nSalts: Int = 16,
       onlyFiles: Option[Seq[DataFileMeta]] = None,
-      jobParallelism: Int = 4): Option[Snapshot] = {
+      jobParallelism: Int = 0): Option[Snapshot] = {
     val spark = table.spark
     val t0 = System.nanoTime()
     var log = Maintenance.start(table, runId, "cluster")
@@ -247,10 +247,31 @@ object Cluster {
     val perGroup: Seq[(Seq[DataFileMeta], Seq[DataFileMeta])] =
       if (groups.size == 1) Seq((rewriteGroup(groups.head._1, groups.head._2), groups.head._2))
       else {
-        // groups are independent pipelines; run a few concurrently so small
-        // partition values do not serialize the pass (same pattern as Compact)
+        // groups are independent pipelines; run enough concurrently that
+        // their combined shuffle width covers the cluster. The default
+        // (jobParallelism=0) sizes the pool from the groups themselves:
+        // each group's rewrite fans out to ~bytes/targetFileBytes tasks, so
+        // a bucketed layout (one group per bucket dir — MANY small groups)
+        // needs cores/width concurrent groups, where a fixed pool of 4 was
+        // measured to cap cluster occupancy at 0.32 on 32 cores in the
+        // bucketed 10 GB soak. In-flight tasks stay ≈ defaultParallelism,
+        // so write-memory pressure matches a single cluster-wide job.
+        val poolSize = {
+          val wanted =
+            if (jobParallelism > 0) jobParallelism
+            else {
+              val cap = maxShufflePartitions(spark)
+              val widths = groups.map { case (_, g) =>
+                math.max(1L, math.min(
+                  math.ceil(g.map(_.bytes).sum.toDouble / targetFileBytes).toLong, cap.toLong))
+              }
+              val avgWidth = widths.sum.toDouble / widths.size
+              math.max(4, math.ceil(spark.sparkContext.defaultParallelism / avgWidth).toInt)
+            }
+          math.min(wanted, groups.size)
+        }
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(jobParallelism, groups.size),
+          poolSize,
           r => { val t = new Thread(r, "graft-cluster"); t.setDaemon(true); t })
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)

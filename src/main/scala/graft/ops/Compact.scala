@@ -115,7 +115,7 @@ object Compact {
       targetBytes: Long = 128L * 1024 * 1024,
       runId: String = java.util.UUID.randomUUID.toString,
       orderBy: Option[String] = None,
-      jobParallelism: Int = 8,
+      jobParallelism: Int = 0,
       predicate: Option[org.apache.spark.sql.Column] = None,
       deleteRatioThreshold: Double = 0.1): Option[Snapshot] = {
     val spark = table.spark
@@ -132,7 +132,15 @@ object Compact {
     log = Maintenance.markDone(table, log, planStep)
 
     val schema = table.schema
-    val pool = Executors.newFixedThreadPool(math.min(jobParallelism, math.max(1, p.groups.size)),
+    // each group rewrite is ONE task (coalesce(1)); the default pool
+    // (jobParallelism=0) therefore sizes to the cluster's task slots so a
+    // many-small-groups plan (e.g. one group per bucket dir) keeps every
+    // core busy — concurrent writers stay ≤ defaultParallelism, the same
+    // pressure as any cluster-wide write job
+    val wanted =
+      if (jobParallelism > 0) jobParallelism
+      else math.max(8, spark.sparkContext.defaultParallelism)
+    val pool = Executors.newFixedThreadPool(math.min(wanted, math.max(1, p.groups.size)),
       r => { val t = new Thread(r, "graft-compact"); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val results: Seq[Future[(Seq[DataFileMeta], Seq[DataFileMeta])]] =
