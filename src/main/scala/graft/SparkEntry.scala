@@ -841,6 +841,51 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q47: distributed CDC apply (streaming/CdcApply) — the source table's
+    // change-rows batches (initial snapshot as inserts, then a merge's
+    // update/delete/insert events) fold to net row images per key and land
+    // on a DOWNSTREAM bucket(8, c_custkey) replica as bucket-aware merges;
+    // the replica's final state replays relationally as the source's
+    // post-merge state (the q35 mutation, read back from the APPLIED copy)
+    "q47_cdc_apply" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val srcRoot = java.nio.file.Files.createTempDirectory("graft-q47s").toString + "/t"
+      val tgtRoot = java.nio.file.Files.createTempDirectory("graft-q47t").toString + "/t"
+      val a = graft.table.GraftTable.create(s, srcRoot, cust.schema)
+      a.append(cust.coalesce(8))
+      val b = graft.table.GraftTable.create(s, tgtRoot, cust.schema,
+        Map(graft.table.PartitionSpec.Property -> "bucket(8, c_custkey)"))
+      val prop = graft.streaming.StreamIngest.batchProperty(s"$tgtRoot-ckpt")
+      graft.streaming.CdcApply.applyBatch(
+        b, a.changes(0).localCheckpoint(true), 0L, prop, Seq("c_custkey"))
+      val from = a.currentSnapshot.get.id
+      val m = cust.filter(pmod(col("c_custkey"), lit(6)) === 0)
+        .withColumn("op", when(pmod(col("c_custkey"), lit(4)) === 0, "D").otherwise("U"))
+      val i = cust.filter(pmod(col("c_custkey"), lit(11)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 30000000L)
+        .withColumn("op", lit("I"))
+      m.unionByName(i).createOrReplaceTempView("q47src")
+      s.sql(
+        s"""MERGE INTO graft.`$srcRoot` t USING q47src s ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 25.0
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      graft.streaming.CdcApply.applyBatch(
+        b, a.changes(from).localCheckpoint(true), 1L, prop, Seq("c_custkey"))
+      val held = b.bucketSpec().isDefined
+      val out = b.read().agg(
+        count(lit(1)).as("n_rows"),
+        sum("c_custkey").as("key_sum"),
+        round(sum("c_acctbal"), 2).as("bal_sum"),
+        countDistinct(col("c_mktsegment")).as("n_seg"))
+        .withColumn("gate_held", lit(held))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(srcRoot)
+      graft.table.FileIO.deleteRecursively(tgtRoot)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1330,5 +1375,29 @@ object SparkEntry {
         |       round(sum(bal), 3) AS bal_sum,
         |       count(CASE WHEN seg = 'BUCKETED' THEN 1 END) AS n_bucketed,
         |       true AS gate_held
-        |FROM after""".stripMargin)
+        |FROM after""".stripMargin,
+
+    // q47: the CDC-applied replica equals the source's post-merge state —
+    // the q35 mutation's final table (deletes %6∧%4, updates +25 on the
+    // other %6 keys, inserts the shifted %11 keys), aggregated from the
+    // downstream copy the changelog batches were merged into
+    "q47_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |m AS (SELECT c_custkey, c_acctbal,
+        |             CASE WHEN c_custkey % 4 = 0 THEN 'D' ELSE 'U' END AS op
+        |      FROM customer WHERE c_custkey % 6 = 0),
+        |i AS (SELECT c_custkey + 30000000 AS c_custkey, c_name, c_acctbal, c_mktsegment
+        |      FROM customer WHERE c_custkey % 11 = 0),
+        |merged AS (
+        |  SELECT b.c_custkey, b.c_name,
+        |         CASE WHEN s.op = 'U' THEN s.c_acctbal + 25.0 ELSE b.c_acctbal END AS c_acctbal,
+        |         b.c_mktsegment
+        |  FROM base b LEFT JOIN m s ON b.c_custkey = s.c_custkey
+        |  WHERE s.op IS NULL OR s.op <> 'D'
+        |  UNION ALL SELECT * FROM i)
+        |SELECT count(*) AS n_rows, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |       round(sum(c_acctbal), 2) AS bal_sum,
+        |       count(DISTINCT c_mktsegment) AS n_seg,
+        |       true AS gate_held
+        |FROM merged""".stripMargin)
 }

@@ -235,7 +235,8 @@ object Merge {
       notMatchedBySourceDelete: Option[Column] = None,
       notMatchedBySourceSet: Option[(Column, Map[String, Column])] = None,
       notMatchedBySourceDeleteFirst: Boolean = true,
-      mode: String = "copy-on-write"): Snapshot = {
+      mode: String = "copy-on-write",
+      propertyUpdates: Map[String, String] = Map.empty): Snapshot = {
     require(keyCols.nonEmpty, "at least one key column")
     // merge-on-read: changed target rows become deletion-vector entries and
     // updated/inserted images become a plain append — touched files are
@@ -536,7 +537,8 @@ object Merge {
           sP, tP, del, noop, applies,
           nmbsDel = if (notMatchedBySourceDelete.nonEmpty) coalesce(t("_nmbs_del"), lit(false)) else lit(false),
           nmbsUpd = if (notMatchedBySourceSet.nonEmpty) coalesce(t("_nmbs_upd"), lit(false)) else lit(false),
-          posRel = t("_gdv_rel"), posIdx = t("_gdv_idx"), t0 = t0)
+          posRel = t("_gdv_rel"), posIdx = t("_gdv_idx"), t0 = t0,
+          propertyUpdates = propertyUpdates)
       }
 
     val merged = joined
@@ -662,7 +664,8 @@ object Merge {
       .filter(_.rows > 0)
     val committed = table.replaceFiles(touched.map(_.path).toSet, added, "merge",
       Map("run-id" -> runId, "touched-files" -> touched.size.toString),
-      expectedSnapshotId = snap.map(_.id))
+      expectedSnapshotId = snap.map(_.id),
+      propertyUpdates = propertyUpdates)
     Maintenance.markCommitted(table, log, committed.id)
     Lineage.record(spark, table, runId, committed.id, "merge", added,
       added.map(o => o.path -> touched).toMap, (System.nanoTime() - t0) / 1000000)
@@ -690,7 +693,8 @@ object Merge {
       touched: Seq[DataFileMeta],
       sP: Column, tP: Column, del: Column, noop: Column, applies: Column,
       nmbsDel: Column, nmbsUpd: Column,
-      posRel: Column, posIdx: Column, t0: Long): Snapshot = {
+      posRel: Column, posIdx: Column, t0: Long,
+      propertyUpdates: Map[String, String] = Map.empty): Snapshot = {
     val spark = table.spark
     val matchedFires = applies && !noop
     // a target row leaves its file iff a matched clause fires for it (update
@@ -735,7 +739,8 @@ object Merge {
         graft.table.FileIO.deleteRecursively(dvDir)
         graft.table.FileIO.deleteRecursively(s"${table.dataDir}/$outUuid")
       }
-      val committed = table.commitFull("merge-pos", expectedSnapshotId = snap.map(_.id)) { parent =>
+      val committed = table.commitFull("merge-pos", expectedSnapshotId = snap.map(_.id),
+          propertyUpdates = propertyUpdates) { parent =>
         (parent.map(_.manifests).getOrElse(Seq.empty) ++
             (if (added.nonEmpty) Seq(table.writeManifest(added)) else Nil),
           parent.flatMap(_.deleteManifests),

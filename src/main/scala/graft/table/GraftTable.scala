@@ -1127,8 +1127,9 @@ class GraftTable private (val root: String, val spark: SparkSession) {
       op: String,
       summary: Map[String, String] = Map.empty,
       expectedSnapshotId: Option[Long] = None,
-      clearDeletes: Boolean = false): Snapshot =
-    commitFull(op, expectedSnapshotId) { parent =>
+      clearDeletes: Boolean = false,
+      propertyUpdates: Map[String, String] = Map.empty): Snapshot =
+    commitFull(op, expectedSnapshotId, propertyUpdates) { parent =>
       val parentManifests = parent.map(_.manifests).getOrElse(Seq.empty)
       val kept = scala.collection.mutable.ArrayBuffer.empty[ManifestMeta]
       var removedCount = 0

@@ -188,6 +188,37 @@ class BucketScanSpec extends SparkSuite {
       s"bucket pruning must beat interval stabbing alone: ${touched.size}/${t.files().size}")
   }
 
+  test("coalesceBucketsInJoin joins bucket(16) against bucket(8) shuffle-free") {
+    val t16 = GraftTable.create(spark, tmpDir("graft-bucket-c16"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(16, url)"))
+    t16.append(Synth.pages(spark, 1200, partitions = 2))
+    val t8 = GraftTable.create(spark, tmpDir("graft-bucket-c8"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(8, url)"))
+    t8.append(Synth.pages(spark, 800, partitions = 2, seed = 5))
+
+    def joined() = t16.read().select("url", "lang")
+      .join(t8.read().select(col("url"), col("lang").as("lang2")), "url")
+    // mismatched bucket counts + Spark's coalescing rule: the 16-bucket scan
+    // reads two buckets per task to match HashPartitioning(url, 8) — no
+    // exchange on either side (divisible counts only; ratio ≤ maxBucketRatio)
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle-family join
+    val (plan, rows) =
+      try (planOf(joined()), joined().count())
+      finally {
+        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    assert(!plan.contains("ShuffleExchange"),
+      s"coalesced mixed-bucket join must not shuffle:\n$plan")
+    assert(plan.contains("Coalesced"), s"16-bucket side must report coalescing:\n$plan")
+    // parity: same join with bucketing off entirely
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    val expected = try joined().count()
+      finally spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    assert(rows === expected && rows > 0)
+  }
+
   test("bucketed read result matches unbucketed read exactly") {
     val t = GraftTable.create(spark, tmpDir("graft-bucket-parity"), Synth.pageSchema, prop)
     t.append(Synth.pages(spark, 1500, partitions = 3))
