@@ -45,6 +45,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // tight per-file _file bounds — no data file touched
   private val RewriteDeletesRe =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+REWRITE\s+DELETES\s*;?\s*""".r
+  // bucket-layout migration after partition-spec evolution: rewrites only
+  // the files not conforming to the active bucket(n, col) spec so the
+  // shuffle-free bucketed-scan gate flips back on (graft.ops.Rebucket)
+  private val RebucketRe =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+REBUCKET\s*;?\s*""".r
   // partition-spec evolution (Spark has no such grammar): SET replaces the
   // active transform set, DROP unpartitions — outgoing generations keep
   // pruning via the spec history (GraftTable.setPartitionSpec)
@@ -88,6 +93,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RewriteDeletesRe(path) if isPath(path) =>
       GraftRewriteDeletesCommand(path)
+    case RebucketRe(path) if isPath(path) =>
+      GraftRebucketCommand(path)
     case OptimizeRe(path, where, zorder, hilbert) if isPath(path) =>
       GraftOptimizeCommand(path, zorder != null, hilbert != null,
         Option(where).map(_.trim).filter(_.nonEmpty))
@@ -195,6 +202,25 @@ case class GraftRewriteDeletesCommand(path: String) extends LeafRunnableCommand 
     t.rewriteDeleteFiles() match {
       case Some(s) => Seq(Row(s.id, in, t.positionDeletes().size.toLong))
       case None    => Seq(Row(-1L, in, in))
+    }
+  }
+}
+
+/** `OPTIMIZE graft.`path` REBUCKET` — migrate files not conforming to the
+  * active `bucket(n, col)` spec ([[graft.ops.Rebucket.migrate]]) so the
+  * shuffle-free bucketed-scan gate flips back on after spec evolution.
+  * snapshot_id -1 when every file already conforms. */
+case class GraftRebucketCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshot_id", LongType)(),
+    AttributeReference("migrated_files", LongType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val moved = t.nonconformingFiles().size.toLong
+    graft.ops.Rebucket.migrate(t) match {
+      case Some(s) => Seq(Row(s.id, moved))
+      case None    => Seq(Row(-1L, 0L))
     }
   }
 }

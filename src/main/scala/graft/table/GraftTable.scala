@@ -558,17 +558,43 @@ class GraftTable private (val root: String, val spark: SparkSession) {
 
   private def bucketSpecOf(md: TableMetadata, sch: StructType,
       files: Seq[DataFileMeta]): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
-    import org.apache.spark.sql.graftshim.GraftRelation
-    val active = specsOf(md, sch).filter(_.transform == "bucket")
-    if (active.size != 1 || files.isEmpty) return None
-    val sp = active.head
-    val ok = files.forall { f =>
-      val dir = sp.dirValue(f.path).flatMap(v => scala.util.Try(v.toInt).toOption)
-      dir.isDefined && GraftRelation.bucketIdOf(f.path.substring(f.path.lastIndexOf('/') + 1)) == dir
-    }
-    if (ok) Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
-      sp.param.get, Seq(sp.sourceColumn), Nil))
+    val sp = activeBucketSpec(md, sch).getOrElse(return None)
+    if (files.nonEmpty && files.forall(f => bucketFileConforms(sp, f)))
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        sp.param.get, Seq(sp.sourceColumn), Nil))
     else None
+  }
+
+  /** The ACTIVE bucket transform, when the active spec carries exactly one
+    * (the only shape the bucketed-scan gate and [[graft.ops.Rebucket]]
+    * understand). */
+  private def activeBucketSpec(md: TableMetadata, sch: StructType): Option[PartitionSpec] = {
+    val bs = specsOf(md, sch).filter(_.transform == "bucket")
+    if (bs.size == 1) Some(bs.head) else None
+  }
+
+  /** A data file conforms to the active bucket spec iff its path carries the
+    * spec's partition dir with an integral value AND its file name is
+    * bucket-stamped to the same id ([[stampBucketIds]]) — the exact per-file
+    * test the all-or-nothing scan gate ([[bucketSpec]]) applies. */
+  private def bucketFileConforms(sp: PartitionSpec, f: DataFileMeta): Boolean = {
+    val dir = sp.dirValue(f.path).flatMap(v => scala.util.Try(v.toInt).toOption)
+    dir.isDefined && org.apache.spark.sql.graftshim.GraftRelation
+      .bucketIdOf(f.path.substring(f.path.lastIndexOf('/') + 1)) == dir
+  }
+
+  /** Files of the current snapshot that do NOT conform to the active bucket
+    * spec — an older spec generation's dir layout, pre-spec (no dirs), or
+    * unstamped names. Any one of them keeps the bucketed-scan gate off for
+    * every scan that selects it; [[graft.ops.Rebucket.migrate]] rewrites
+    * exactly this set. Empty when the active spec carries no (single) bucket
+    * transform — there is nothing to conform to. */
+  def nonconformingFiles(): Seq[DataFileMeta] = {
+    val md = metadata
+    activeBucketSpec(md, schemaOf(md)) match {
+      case Some(sp) => filesOf(md, None).filterNot(f => bucketFileConforms(sp, f))
+      case None     => Seq.empty
+    }
   }
 
   /**
