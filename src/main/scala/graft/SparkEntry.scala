@@ -886,6 +886,34 @@ object SparkEntry {
       graft.table.FileIO.deleteRecursively(srcRoot)
       graft.table.FileIO.deleteRecursively(tgtRoot)
       out
+    }),
+
+    // q48: GENERIC multi-column Z-order (ops/Cluster ZDims.columns) — an
+    // arbitrary non-page schema clusters on (l_partkey, l_shipdate) through
+    // the order-preserving Long embeddings (functions/OrderedEncoding), so
+    // BOTH dims' predicates prune planned files afterwards (asserted,
+    // carried in pruned_held) and the rows replay relationally
+    "q48_zorder_by" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      val root = java.nio.file.Files.createTempDirectory("graft-q48").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, li.schema)
+      tbl.append(li.repartition(8))
+      graft.ops.Cluster.zorderRewrite(tbl,
+        graft.ops.Cluster.ZDims(columns = Seq("l_partkey", "l_shipdate")),
+        targetFileBytes = 128L * 1024)
+      val pred = col("l_partkey") < 400L &&
+        col("l_shipdate") < lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))
+      val all = tbl.files().size
+      val held = all > 2 && tbl.planFiles(Some(pred)).size < all
+      val out = tbl.read().filter(pred).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("qty_sum"),
+          round(sum("l_extendedprice"), 2).as("price_sum"))
+        .withColumn("pruned_held", lit(held))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1399,5 +1427,17 @@ object SparkEntry {
         |       round(sum(c_acctbal), 2) AS bal_sum,
         |       count(DISTINCT c_mktsegment) AS n_seg,
         |       true AS gate_held
-        |FROM merged""".stripMargin)
+        |FROM merged""".stripMargin,
+
+    // q48: generic Z-order is row-preserving — relationally the filtered
+    // rollup over the raw table (the pruning itself is asserted engine-side
+    // and carried in pruned_held)
+    "q48_zorder_by" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       round(sum(l_quantity), 2) AS qty_sum,
+        |       round(sum(l_extendedprice), 2) AS price_sum,
+        |       true AS pruned_held
+        |FROM lineitem
+        |WHERE l_partkey < 400 AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin)
 }

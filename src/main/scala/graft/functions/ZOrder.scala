@@ -50,12 +50,27 @@ object ZOrder {
     pmod(xxhash64(c), lit(1L << bits))
 
   /** Order-preserving scale of a numeric/timestamp column with known bounds
-    * into an n-bit dimension (range locality). */
+    * into an n-bit dimension (range locality). Overflow-safe for the FULL
+    * Long domain (ANSI mode errors on overflow, it doesn't wrap): the naive
+    * `(c-min)*buckets/span` overflows once span·buckets exceeds 2^63 — e.g.
+    * sortable-bits double embeddings span ~2^62 — so scale by a quotient
+    * instead: `c/q - min/q` with q ≈ ceil(span/buckets). Truncating division
+    * is monotonic non-decreasing, both sides use the same q, and the result
+    * is within ±1 of the exact scale — absorbed by the clamp. */
   def rangeDim(c: Column, min: Long, max: Long, bits: Int): Column = {
-    val span = math.max(1L, max - min)
     val buckets = (1L << bits) - 1
-    least(lit(buckets), greatest(lit(0L),
-      ((c.cast(LongType) - lit(min)) * lit(buckets) / lit(span)).cast(LongType)))
+    val span = BigInt(max) - BigInt(min) // Long subtraction itself can overflow
+    if (span <= 0) return lit(0L)
+    // wide span: divide down by q ≈ ceil(span/buckets); narrow span: the
+    // quotient alone would leave the dim's TOP bits constant (and the dim
+    // would never split files), so multiply the clamped base back up by
+    // m = buckets/span — the product is ≤ buckets by construction, so the
+    // scale-up cannot overflow either
+    val q = ((span + buckets - 1) / buckets).max(1).toLong
+    val m = if (span < buckets) buckets / span.toLong else 1L
+    val base = least(lit((span min BigInt(buckets)).toLong), greatest(lit(0L),
+      c.cast(LongType)./(lit(q)).-(lit(min / q))))
+    if (m == 1L) base else base * lit(m)
   }
 
   /** Dictionary dim: position in a small known domain. The dictionary is

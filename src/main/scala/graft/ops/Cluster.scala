@@ -32,11 +32,21 @@ import graft.table.{DataFileMeta, FileIO, GraftTable, Snapshot}
  */
 object Cluster {
 
-  /** Z-dimension spec for the page table: (lang, url-host, warc_ts).
-    * `curve`: "zorder" (Morton) or "hilbert" (better locality, ~2x the
-    * key-compute cost — both codegen'd). */
-  final case class ZDims(bitsPerDim: Int = 20, curve: String = "zorder") {
+  /** Z-dimension spec. `columns` empty = the page-table default dims
+    * (lang, url-host, warc_ts) with their domain-tuned encodings; non-empty
+    * = GENERIC clustering over exactly those table columns (any supported
+    * type — each maps through its order-preserving Long embedding,
+    * [[graft.functions.OrderedEncoding]], range-scaled to the group's
+    * observed metadata bounds). `bitsPerDim` auto-lowers so
+    * k·bits ≤ 63 for k columns. `curve`: "zorder" (Morton) or "hilbert"
+    * (better locality, ~2x the key-compute cost — both codegen'd). */
+  final case class ZDims(bitsPerDim: Int = 20, curve: String = "zorder",
+      columns: Seq[String] = Nil) {
     require(curve == "zorder" || curve == "hilbert", s"unknown curve $curve")
+    require(columns.size <= 8, s"at most 8 clustering columns (${columns.size} given)")
+    /** bits per dim after fitting k dims into the 63-bit key */
+    def effectiveBits: Int =
+      if (columns.isEmpty) bitsPerDim else math.min(bitsPerDim, 63 / columns.size)
   }
 
   /** Hard ceiling on the boundary/heavy-host sample size, independent of
@@ -146,6 +156,21 @@ object Cluster {
     val schema = table.schema
     val commitUuid = s"cluster-$runId"
 
+    // generic clustering columns: canonicalize against the schema with the
+    // session resolver (case-insensitive by default, like every SQL-facing
+    // column lookup) and demand an order-preserving encoding UP FRONT — a
+    // bad column must fail loudly before any bytes move
+    val clusterCols: Seq[String] = dims.columns.map { c =>
+      val resolver = spark.sessionState.analyzer.resolver
+      val f = schema.fields.find(f => resolver(f.name, c)).getOrElse(throw
+        new IllegalArgumentException(s"ZORDER BY column '$c' not in schema " +
+          schema.fieldNames.mkString("(", ", ", ")")))
+      require(graft.functions.OrderedEncoding.forType(f.dataType, col(f.name)).isDefined,
+        s"ZORDER BY column '${f.name}': ${f.dataType.simpleString} has no " +
+          "order-preserving encoding (wide decimals, binary and nested types don't)")
+      f.name
+    }
+
     // hidden partitioning: cluster WITHIN each partition tuple — the global
     // range exchange interleaves partition values across every task, and
     // partitionBy at write would then split each sorted run into one file
@@ -181,7 +206,30 @@ object Cluster {
       val gBytes = gInputs.map(_.bytes).sum
       val rowsTotal = gInputs.map(_.rows).sum
       val nOut = math.max(1, math.ceil(gBytes.toDouble / targetFileBytes).toInt)
-      val bounds = boundsFromMeta(df, gInputs) // no scan in the common case
+
+      // key plan: page-default dims or generic user columns — either way ONE
+      // codegen'd Long key, a salt-grouping column for heavy-tie detection,
+      // and a per-row salt source that splits those ties. Bounds come from
+      // file metadata in the common case (no scan).
+      val (zC: Column, saltGroupC: Column, saltRowC: Column) =
+        if (clusterCols.nonEmpty) {
+          val dcols = genericDimCols(schema, clusterCols, dims.effectiveBits, df, gInputs)
+          val z =
+            if (dims.curve == "hilbert") graft.functions.Hilbert.key(dims.effectiveBits, dcols: _*)
+            else ZOrder.zkey(dims.effectiveBits, dcols: _*)
+          // rows tying on EVERY clustering column are the generic skew case
+          // (the page path's heavy host, generalized): detect heavy ties by
+          // the key itself; salt by a hash over the row's other stat-bearing
+          // columns, so identical keys spread while staying deterministic
+          val hashable = schema.fields
+            .filter(f => graft.table.Bounds.supported(f.dataType)).map(f => col(f.name))
+          val saltSrc =
+            if (hashable.isEmpty) spark_partition_id().cast("long") else xxhash64(hashable: _*)
+          (z, z, saltSrc)
+        } else {
+          val bounds = boundsFromMeta(df, gInputs)
+          (zkeyCol(dims, bounds), hostCol(col("url")), xxhash64(col("url")))
+        }
 
       // the shuffle fans out to nPart range partitions (cluster-sized, NOT
       // file-count-sized); each sorted partition run is split into
@@ -204,14 +252,14 @@ object Cluster {
       // O(nPart + heavy hosts) values — the previous collect() held up to
       // 2M Row[] (~200 MB of z+host arrays) on the driver.
       val sampled = df
-        .select(zkeyCol(dims, bounds).as("z"), hostCol(col("url")).as("host"))
+        .select(zC.as("z"), saltGroupC.as("g"))
         .sample(withReplacement = false, fraction, seed = 42)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (heavyHosts: Seq[String], bds: Array[Long]) =
+      val (heavy: Seq[Any], bds: Array[Long]) =
         try {
-          val hh = sampled.groupBy("host").count()
+          val hh = sampled.groupBy("g").count()
             .filter(col("count").cast("double") / lit(fraction) > saltThresholdRows)
-            .select("host").collect().map(_.getString(0)).toSeq.sorted
+            .select("g").orderBy("g").collect().map(_.get(0)).toSeq
           val b: Array[Long] =
             if (nPart <= 1) Array.empty
             else {
@@ -228,9 +276,13 @@ object Cluster {
         } finally sampled.unpersist() // also on failure: 8M cached rows must not leak
 
       // salt-perturbed key: XOR flips only the low bits (noise bits of the
-      // ts dimension), so heavy-host ties get up to nSalts distinct keys
+      // last dimension), so heavy ties get up to nSalts distinct keys
       // that equi-depth boundaries can split, without hurting clustering
-      val salted = withZKey(df, dims, bounds, heavyHosts, nSalts)
+      val saltC =
+        if (heavy.isEmpty) lit(0)
+        else when(saltGroupC.isInCollection(heavy),
+          pmod(saltRowC, lit(nSalts.toLong)).cast("int")).otherwise(lit(0))
+      val salted = df.withColumn("_zkey", zC).withColumn("_salt", saltC)
         .withColumn("_zs", col("_zkey").bitwiseXOR(col("_salt").cast("long")))
 
       spark.sparkContext.setJobDescription(
@@ -296,8 +348,10 @@ object Cluster {
     val added = perGroup.flatMap(_._1).filter(_.rows > 0)
     val removed = inputs.map(_.path).toSet
     val committed = table.replaceFiles(removed, added, "cluster",
-      Map("run-id" -> runId, "zdims" -> "lang,host,warc_ts",
-        "bits" -> dims.bitsPerDim.toString, "curve" -> dims.curve),
+      Map("run-id" -> runId,
+        "zdims" -> (if (clusterCols.nonEmpty) clusterCols.mkString(",")
+                    else "lang,host,warc_ts"),
+        "bits" -> dims.effectiveBits.toString, "curve" -> dims.curve),
       expectedSnapshotId = Some(snap.id),
       // a full rewrite read every file with tombstones applied → clear them
       clearDeletes = onlyFiles.isEmpty)
@@ -326,6 +380,46 @@ object Cluster {
     val unclustered = table.files().filterNot(_.commitUuid.startsWith("cluster-"))
     if (unclustered.size < minFiles) None
     else zorderRewrite(table, dims, targetFileBytes, runId, onlyFiles = Some(unclustered))
+  }
+
+  /** Generic Z dims: each clustering column maps through its
+    * order-preserving Long embedding ([[graft.functions.OrderedEncoding]] —
+    * the exact space MERGE range-steers in), range-scaled to this group's
+    * observed bounds so every dim uses its full bit range (shared prefixes /
+    * narrow domains would otherwise pin the top bits and never split files).
+    * Bounds come from file metadata; a column missing stats in any input
+    * file falls back to ONE column-pruned min/max aggregate over the group.
+    */
+  private def genericDimCols(schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String], bits: Int, df: DataFrame,
+      inputs: Seq[DataFileMeta]): Seq[Column] = {
+    import graft.functions.OrderedEncoding
+    cols.map { name =>
+      val f = schema(name)
+      // strings: strip the group's common bound prefix before packing (the
+      // merge-soak fix) — capped so ≥8 packed chars stay inside the bound
+      // truncation window; the cap only loosens scaling, never correctness
+      val lcpLen = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val bs = inputs.flatMap(fm => fm.minValues.get(name) ++ fm.maxValues.get(name))
+          if (bs.isEmpty) 0
+          else math.min(bs.reduce(OrderedEncoding.lcp(_, _)).length,
+            graft.table.Bounds.StatsTruncateLen - 8)
+        case _ => 0
+      }
+      val (enc, dec) = OrderedEncoding.forType(f.dataType, col(name), lcpLen).get
+      val haveBounds = inputs.nonEmpty &&
+        inputs.forall(fm => fm.minValues.contains(name) && fm.maxValues.contains(name))
+      val (lo, hi) =
+        if (haveBounds)
+          (inputs.map(fm => dec(fm.minValues(name))).min,
+            inputs.map(fm => dec(fm.maxValues(name))).max)
+        else {
+          val r = df.agg(min(enc).cast(LongType).as("lo"), max(enc).cast(LongType).as("hi")).head()
+          if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+        }
+      ZOrder.rangeDim(enc, lo, hi, bits)
+    }
   }
 
   /** Adds `_zkey` and `_salt` (nonzero only for heavy hosts). */

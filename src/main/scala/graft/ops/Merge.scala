@@ -561,58 +561,29 @@ object Merge {
       // verbatim), so post-merge files carry TIGHT per-file key bounds and
       // the NEXT merge's touchedFiles interval index prunes — a hash
       // scatter would leave every output file spanning the whole key space
-      val steer: Option[(Column, String => Long)] = leadDt match {
-        case StringType =>
-          // an 8-char pack cannot see past a long SHARED prefix — web URLs
-          // all start "https://…", which pinned every packed key to one
-          // value and collapsed a 10 GB merge output into ONE file (found
-          // by the 10× soak). Strip the touched files' common bound prefix
-          // before packing, on both the row side and the metadata side
-          // (bounds are prefix-truncated at 64 chars, so their lcp is a
-          // prefix of every key's — sound). Keys outside the prefix (new
-          // inserts) only loosen bounds, never correctness.
-          val boundStrs = touched.flatMap(f =>
-            f.minValues.get(keyCols.head) ++ f.maxValues.get(keyCols.head))
-          def lcp2(a: String, b: String): String = {
-            val n = math.min(a.length, b.length); var i = 0
-            while (i < n && a.charAt(i) == b.charAt(i)) i += 1
-            a.substring(0, i)
-          }
-          val lcpLen = if (boundStrs.isEmpty) 0 else boundStrs.reduce(lcp2).length
-          Some((graft.functions.ZOrder.packedPrefix(
-              substring(col(keyCols.head), lcpLen + 1, 8), 8),
-            (s: String) => graft.functions.ZOrder.packPrefixScala(s.drop(lcpLen))))
-        case ByteType | ShortType | IntegerType | LongType =>
-          Some((col(keyCols.head).cast("long"), (s: String) => s.toLong))
-        case TimestampType =>
-          Some((unix_micros(col(keyCols.head)), (s: String) => s.toLong))
-        case TimestampNTZType =>
-          Some((unix_micros(col(keyCols.head).cast("timestamp")), (s: String) => s.toLong))
-        case DateType =>
-          Some((unix_date(col(keyCols.head)).cast("long"), (s: String) => s.toLong))
-        case DoubleType =>
-          // IEEE-754 sortable-bits: signed-order-preserving double → Long
-          // (negatives below positives), so double-keyed merges range-
-          // cluster like every other key type instead of hash-scattering
-          Some((graft.functions.SortableBits(col(keyCols.head)),
-            (s: String) => graft.functions.SortableBits.encode(s.toDouble)))
-        case FloatType =>
-          // bound strings are float decimal strings; re-parse as FLOAT then
-          // widen so both sides see the same double (a direct toDouble of
-          // "1.1" differs from (1.1f).toDouble — only file sizing would
-          // suffer, but consistency keeps the boundaries honest)
-          Some((graft.functions.SortableBits(col(keyCols.head).cast("double")),
-            (s: String) => graft.functions.SortableBits.encode(s.toFloat.toDouble)))
-        case dt: DecimalType if dt.precision <= 18 =>
-          // unscaled value fits a Long at p <= 18 and is order-preserving
-          // for a fixed scale; UnscaledValue is the (public-API-reachable)
-          // codegen'd kernel Spark itself aggregates small decimals with
-          Some((org.apache.spark.sql.graftshim.Shims.column(
-              org.apache.spark.sql.catalyst.expressions.UnscaledValue(
-                org.apache.spark.sql.graftshim.Shims.expression(col(keyCols.head)))),
-            (s: String) => new java.math.BigDecimal(s)
-              .setScale(dt.scale, java.math.RoundingMode.FLOOR).unscaledValue().longValue()))
-        case _ => None // wide decimals (p > 18): no Long-sized encoding — hash scatter
+      // (type table + shared-prefix strip live in OrderedEncoding — the
+      // same embedding generic Z-order clustering range-scales by, so one
+      // bit-identity contract covers every range-layout pass)
+      val steer: Option[(Column, String => Long)] = {
+        // an 8-char pack cannot see past a long SHARED prefix — web URLs
+        // all start "https://…", which pinned every packed key to one
+        // value and collapsed a 10 GB merge output into ONE file (found
+        // by the 10× soak). Strip the touched files' common bound prefix
+        // before packing, on both the row side and the metadata side
+        // (bounds are prefix-truncated, so their lcp is a prefix of every
+        // key's — sound). Keys outside the prefix (new inserts) only
+        // loosen bounds, never correctness.
+        val lcpLen = leadDt match {
+          case StringType =>
+            val boundStrs = touched.flatMap(f =>
+              f.minValues.get(keyCols.head) ++ f.maxValues.get(keyCols.head))
+            if (boundStrs.isEmpty) 0
+            else boundStrs.reduce(graft.functions.OrderedEncoding.lcp(_, _)).length
+          case _ => 0
+        }
+        // wide decimals (p > 18), binary, nested: no Long-sized encoding —
+        // forType returns None and the merge output hash-scatters instead
+        graft.functions.OrderedEncoding.forType(leadDt, col(keyCols.head), lcpLen)
       }
       val bds = steer.map { case (_, enc) =>
         RangeShuffle.boundariesFromFileMeta(touched, keyCols.head, nOut, enc)

@@ -37,7 +37,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // (Delta's `OPTIMIZE t WHERE … [ZORDER]` shape — the predicate text is
   // parsed by Spark's own expression parser in the command)
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER)(?:\s+(HILBERT))?)?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+(ZORDER)(?:\s+(HILBERT))?(?:\s+BY\s*\(([^)]+)\))?)?\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   // DV-file compaction (Iceberg's rewrite_position_delete_files niche):
@@ -95,9 +96,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRewriteDeletesCommand(path)
     case RebucketRe(path) if isPath(path) =>
       GraftRebucketCommand(path)
-    case OptimizeRe(path, where, zorder, hilbert) if isPath(path) =>
+    case OptimizeRe(path, where, zorder, hilbert, byCols) if isPath(path) =>
       GraftOptimizeCommand(path, zorder != null, hilbert != null,
-        Option(where).map(_.trim).filter(_.nonEmpty))
+        Option(where).map(_.trim).filter(_.nonEmpty),
+        Option(byCols).toSeq.flatMap(_.split(","))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
     case VacuumRe(path, retain) if isPath(path) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(10))
     case SetSpecRe(path, spec) if isPath(path) =>
@@ -140,7 +143,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * clustering rewrite. Returns (operation, snapshot_id); snapshot_id -1
   * when the pass was a no-op (nothing to compact / empty table). */
 case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean,
-    where: Option[String] = None)
+    where: Option[String] = None, byColumns: Seq[String] = Nil)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType)(),
@@ -153,16 +156,20 @@ case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean,
     // scoped pass never clears MoR tombstones — full-coverage gated)
     val pred = where.map(org.apache.spark.sql.functions.expr)
     if (zorder) {
-      // the Z-dims are the north rule's (lang, url-host, warc_ts) — fail
-      // with a real message instead of a mid-job unresolved-column error
-      // on other schemas (plain OPTIMIZE and VACUUM are schema-agnostic)
-      val needed = Seq("url", "warc_ts", "lang").filterNot(t.schema.fieldNames.contains)
-      if (needed.nonEmpty) throw new IllegalArgumentException(
-        s"OPTIMIZE ... ZORDER clusters on (lang, url-host, warc_ts) and needs columns " +
-          s"${needed.mkString(", ")}; for other schemas use the programmatic Cluster API")
+      // bare ZORDER clusters the north rule's (lang, url-host, warc_ts)
+      // page dims — fail with a real message instead of a mid-job
+      // unresolved-column error on other schemas; `ZORDER BY (c1, …)`
+      // clusters ANY schema on the named columns (validated in Cluster)
+      if (byColumns.isEmpty) {
+        val needed = Seq("url", "warc_ts", "lang").filterNot(t.schema.fieldNames.contains)
+        if (needed.nonEmpty) throw new IllegalArgumentException(
+          s"OPTIMIZE ... ZORDER clusters on (lang, url-host, warc_ts) and needs columns " +
+            s"${needed.mkString(", ")}; use ZORDER BY (col, ...) for other schemas")
+      }
       val curve = if (hilbert) "hilbert" else "zorder"
       val only = pred.map(p => t.planFiles(Some(p)))
-      val snap = Cluster.zorderRewrite(t, Cluster.ZDims(curve = curve), onlyFiles = only)
+      val snap = Cluster.zorderRewrite(t,
+        Cluster.ZDims(curve = curve, columns = byColumns), onlyFiles = only)
       Seq(Row(s"cluster-$curve", snap.map(_.id).getOrElse(-1L)))
     } else {
       val snap = Compact.run(t, predicate = pred)

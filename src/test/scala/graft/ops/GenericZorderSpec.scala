@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.table.GraftTable
+
+/** Generic multi-column clustering ([[Cluster]] with `ZDims.columns`):
+  * ZORDER/HILBERT over ANY schema's columns via their order-preserving Long
+  * embeddings, bounds from file metadata, salting for heavy key ties —
+  * asserted on row parity, per-file bound tightness (via planFiles pruning)
+  * and the SQL front door. */
+class GenericZorderSpec extends SparkSuite {
+
+  /** An unsorted multi-type table: scrambled long key, cycling date, shared-
+    * prefix string, double and small decimal — appended as many row-mixed
+    * files so nothing prunes before clustering. */
+  private def itemsDf(n: Int): DataFrame =
+    spark.range(n).select(
+      ((col("id") * 2654435761L) % 100000L).as("pk"),
+      date_add(lit(java.sql.Date.valueOf("2020-01-01")), (col("id") % 730L).cast("int")).as("d"),
+      concat(lit("https://sku.example.com/item/"),
+        lpad(((col("id") * 48271L) % 100000L).cast("string"), 6, "0")).as("url_s"),
+      ((col("id") % 9973L).cast("double") / 7.0).as("price"),
+      ((col("id") % 5000L).cast("decimal(12,2)") * 1.25).cast("decimal(12,2)").as("amt"),
+      timestamp_seconds(lit(1600000000L) + (col("id") % 86400L) * 365L).as("ts"))
+
+  test("generic 2-col zorder: parity + both dims prune planned files") {
+    val t = GraftTable.create(spark, tmpDir("graft-gz2"), itemsDf(1).schema)
+    t.append(itemsDf(40000).repartition(16))
+    val pre = t.read().localCheckpoint(true)
+    val all0 = t.files().size
+    assert(all0 >= 8)
+
+    val snap = Cluster.zorderRewrite(t,
+      Cluster.ZDims(columns = Seq("pk", "d")), targetFileBytes = 64L * 1024)
+    assert(snap.nonEmpty)
+    val all = t.files().size
+    assert(all > 4, s"need several files to show pruning, got $all")
+    assertSameRows(t.read(), pre, "generic cluster full scan")
+
+    for (pred <- Seq(
+        col("pk") between (10000L, 20000L),
+        col("d") < lit(java.sql.Date.valueOf("2020-03-01")))) {
+      val planned = t.planFiles(Some(pred)).size
+      assert(planned < all, s"$pred should prune: $planned vs $all")
+      assertSameRows(t.read(Some(pred)), pre.filter(pred), s"pred $pred")
+    }
+    assert(t.currentSnapshot.get.summary("zdims") == "pk,d")
+  }
+
+  test("string/double/decimal dims embed order-preserving: each prunes") {
+    val t = GraftTable.create(spark, tmpDir("graft-gz3"), itemsDf(1).schema)
+    t.append(itemsDf(30000).repartition(12))
+    val pre = t.read().localCheckpoint(true)
+    // 3 dims incl. a shared-prefix string ("https://sku.example.com/item/…"):
+    // the per-group lcp strip must leave the discriminating tail packed
+    assert(Cluster.zorderRewrite(t,
+      Cluster.ZDims(columns = Seq("url_s", "price", "amt")),
+      targetFileBytes = 64L * 1024).nonEmpty)
+    val all = t.files().size
+    assert(all > 4)
+    assertSameRows(t.read(), pre, "full scan")
+    for (pred <- Seq(
+        col("url_s").startsWith("https://sku.example.com/item/01"),
+        col("price") < 100.0,
+        col("amt") < new java.math.BigDecimal("500.00"))) {
+      val planned = t.planFiles(Some(pred)).size
+      assert(planned < all, s"$pred should prune: $planned vs $all")
+      assertSameRows(t.read(Some(pred)), pre.filter(pred), s"pred $pred")
+    }
+  }
+
+  test("hilbert curve over generic dims; case-insensitive column names") {
+    val t = GraftTable.create(spark, tmpDir("graft-gzh"), itemsDf(1).schema)
+    t.append(itemsDf(20000).repartition(8))
+    val pre = t.read().localCheckpoint(true)
+    assert(Cluster.zorderRewrite(t,
+      Cluster.ZDims(curve = "hilbert", columns = Seq("PK", "TS")),
+      targetFileBytes = 64L * 1024).nonEmpty)
+    assertSameRows(t.read(), pre, "hilbert full scan")
+    val all = t.files().size
+    val planned = t.planFiles(Some(col("pk") < 10000L)).size
+    assert(planned < all, s"pk pred should prune: $planned vs $all")
+    assert(t.currentSnapshot.get.summary("curve") == "hilbert")
+    assert(t.currentSnapshot.get.summary("zdims") == "pk,ts")
+  }
+
+  test("heavy single-value tie survives: parity and a committed rewrite") {
+    // 60% of rows tie on the only clustering column — heavy-tie detection
+    // salts them by a hash of the other columns; the pass must stay correct
+    val df = spark.range(20000).select(
+      when(col("id") % 5L < 3L, lit(7L)).otherwise(col("id") % 1000L).as("pk"),
+      date_add(lit(java.sql.Date.valueOf("2021-01-01")), (col("id") % 300L).cast("int")).as("d"),
+      concat(lit("r"), col("id")).as("url_s"),
+      col("id").cast("double").as("price"),
+      col("id").cast("decimal(12,2)").as("amt"),
+      timestamp_seconds(lit(1600000000L) + col("id")).as("ts"))
+    val t = GraftTable.create(spark, tmpDir("graft-gzskew"), df.schema)
+    t.append(df.repartition(8))
+    val pre = t.read().localCheckpoint(true)
+    assert(Cluster.zorderRewrite(t, Cluster.ZDims(columns = Seq("pk")),
+      targetFileBytes = 64L * 1024, saltThresholdRows = 2000L).nonEmpty)
+    assertSameRows(t.read(), pre, "skewed cluster")
+    assert(t.planFiles(Some(col("pk") === 999L)).size < t.files().size,
+      "tail keys still prune around the heavy tie")
+  }
+
+  test("SQL front door: OPTIMIZE ... ZORDER BY (cols) on a non-page schema") {
+    val root = tmpDir("graft-gzsql")
+    val t = GraftTable.create(spark, root, itemsDf(1).schema)
+    t.append(itemsDf(20000).repartition(8))
+    val pre = t.read().localCheckpoint(true)
+
+    val r = spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (pk, d)").collect()
+    assert(r.length == 1 && r(0).getString(0) == "cluster-zorder" && r(0).getLong(1) > 0)
+    val t2 = GraftTable.load(spark, root)
+    assertSameRows(t2.read(), pre, "sql zorder by")
+    // default 128 MB target rolls this tiny table into one file — pruning
+    // is asserted on the API tests above; here assert the recorded dims
+    assert(t2.currentSnapshot.get.summary("zdims") == "pk,d")
+
+    val rh = spark.sql(s"OPTIMIZE graft.`$root` ZORDER HILBERT BY (`pk`, `price`)").collect()
+    assert(rh(0).getString(0) == "cluster-hilbert" && rh(0).getLong(1) > 0)
+    assertSameRows(GraftTable.load(spark, root).read(), pre, "sql hilbert by")
+  }
+
+  test("bad columns fail loudly before any bytes move") {
+    val t = GraftTable.create(spark, tmpDir("graft-gzbad"), itemsDf(1).schema)
+    t.append(itemsDf(500).coalesce(1))
+    val before = t.currentSnapshot.get.id
+    val e1 = intercept[IllegalArgumentException] {
+      Cluster.zorderRewrite(t, Cluster.ZDims(columns = Seq("nope")))
+    }
+    assert(e1.getMessage.contains("nope"))
+
+    val adf = spark.range(100).select(col("id"), array(col("id")).as("arr"))
+    val ta = GraftTable.create(spark, tmpDir("graft-gzarr"), adf.schema)
+    ta.append(adf.coalesce(1))
+    val e2 = intercept[IllegalArgumentException] {
+      Cluster.zorderRewrite(ta, Cluster.ZDims(columns = Seq("arr")))
+    }
+    assert(e2.getMessage.contains("order-preserving"))
+    assert(t.currentSnapshot.get.id == before, "no commit on failure")
+  }
+
+  test("effective bits fit k dims into the 63-bit key") {
+    assert(Cluster.ZDims(columns = Seq("a", "b", "c", "d")).effectiveBits == 15)
+    assert(Cluster.ZDims(columns = Seq("a")).effectiveBits == 20)
+    assert(Cluster.ZDims().effectiveBits == 20)
+  }
+}

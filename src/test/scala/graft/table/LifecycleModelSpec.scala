@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{Cluster, Compact, Expire}
+import graft.ops.{Cluster, Compact, Expire, Rebucket}
 import graft.run.Synth
 
 /**
@@ -61,8 +61,36 @@ class LifecycleModelSpec extends SparkSuite {
       val steps = 10 + rnd.nextInt(4)
       val oplog = mutable.Buffer.empty[String]
       for (_ <- 0 until steps) {
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(13)
         oplog += (op match {
+          case 11 => // GENERIC multi-column cluster (ZDims.columns) — full
+            // rewrite through the order-preserving embeddings; composes with
+            // the bucketed round's per-dir groups and materializes like case 4
+            Cluster.zorderRewrite(tbl,
+              Cluster.ZDims(columns = Seq("url", "warc_ts")),
+              targetFileBytes = 1L << 20, runId = s"model-g$round-${oplog.size}")
+            val kept = rows.filterNot(r => tombstones.contains(r.url))
+            rows.clear(); rows ++= kept
+            tombstones.clear()
+            "clusterGeneric"
+          case 12 => // bucket-count evolution + incremental layout migration:
+            // flip bucket(4)↔bucket(8) (covers the zero-shuffle divisible
+            // grow AND the redistribute shrink), then REBUCKET the
+            // nonconforming slice; a full-coverage pass materializes
+            if (round != 1) "rebucketSkip(unbucketed)"
+            else {
+              val cur = tbl.partitionSpecs.find(_.transform == "bucket").get.param.get
+              val next = if (cur == 4) 8 else 4
+              tbl.setPartitionSpec(Some(s"bucket($next, url)"))
+              val full = tbl.nonconformingFiles().size == tbl.files().size
+              Rebucket.migrate(tbl, runId = s"model-rb$round-${oplog.size}")
+              if (full && tombstones.nonEmpty) {
+                val kept = rows.filterNot(r => tombstones.contains(r.url))
+                rows.clear(); rows ++= kept
+                tombstones.clear()
+              }
+              s"rebucket($cur->$next)"
+            }
           case 10 => // DV-file compaction: merges delete files, rows untouched
             tbl.rewriteDeleteFiles() match {
               case Some(_) => "rewriteDeletes"
@@ -162,6 +190,7 @@ class LifecycleModelSpec extends SparkSuite {
       // snapshot reconstructs read() exactly — appends, ANSI merges, MoR
       // deletes, materializing cluster rewrites, renames and expiry all
       // composed in one history
+      info(s"round $round ops: ${oplog.mkString(" → ")}")
       val md = tbl.metadata
       var base = md.currentSnapshot.get
       while (base.parentId.flatMap(md.snapshot).nonEmpty)
