@@ -156,20 +156,26 @@ case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean,
     // scoped pass never clears MoR tombstones — full-coverage gated)
     val pred = where.map(org.apache.spark.sql.functions.expr)
     if (zorder) {
-      // bare ZORDER clusters the north rule's (lang, url-host, warc_ts)
-      // page dims — fail with a real message instead of a mid-job
-      // unresolved-column error on other schemas; `ZORDER BY (c1, …)`
-      // clusters ANY schema on the named columns (validated in Cluster)
-      if (byColumns.isEmpty) {
+      // column precedence: `ZORDER BY (c1, …)` per-run override, else the
+      // table's declared `cluster-columns` property, else the north rule's
+      // (lang, url-host, warc_ts) page dims — the latter failing with a
+      // real message instead of a mid-job unresolved-column error on other
+      // schemas (BY-columns are validated in Cluster before any bytes move)
+      val cols =
+        if (byColumns.nonEmpty) byColumns
+        else t.metadata.properties.get(GraftTable.ClusterColumnsProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      if (cols.isEmpty) {
         val needed = Seq("url", "warc_ts", "lang").filterNot(t.schema.fieldNames.contains)
         if (needed.nonEmpty) throw new IllegalArgumentException(
           s"OPTIMIZE ... ZORDER clusters on (lang, url-host, warc_ts) and needs columns " +
-            s"${needed.mkString(", ")}; use ZORDER BY (col, ...) for other schemas")
+            s"${needed.mkString(", ")}; use ZORDER BY (col, ...) or set the " +
+            s"'${GraftTable.ClusterColumnsProp}' table property for other schemas")
       }
       val curve = if (hilbert) "hilbert" else "zorder"
       val only = pred.map(p => t.planFiles(Some(p)))
       val snap = Cluster.zorderRewrite(t,
-        Cluster.ZDims(curve = curve, columns = byColumns), onlyFiles = only)
+        Cluster.ZDims(curve = curve, columns = cols), onlyFiles = only)
       Seq(Row(s"cluster-$curve", snap.map(_.id).getOrElse(-1L)))
     } else {
       val snap = Compact.run(t, predicate = pred)

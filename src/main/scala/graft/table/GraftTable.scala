@@ -1990,6 +1990,14 @@ object GraftTable {
   val SortOrderProp = "write.sort-order"
   val MaxRecordsPerFileProp = "write.max-records-per-file"
 
+  /** Table property: comma-separated DEFAULT clustering columns (Delta's
+    * `CLUSTER BY` analog) — a bare `OPTIMIZE … ZORDER [HILBERT]` clusters on
+    * these instead of the built-in page dims, so a table declares its
+    * layout once and every maintenance run (incl. scheduled ones that know
+    * nothing about the schema) deep-clusters the same way. `ZORDER BY (…)`
+    * still overrides per-run. */
+  val ClusterColumnsProp = "cluster-columns"
+
   /** Stats-space marker: present (stamped by [[create]]) on every table
     * whose manifests store decimal bounds as SCALED decimal strings.
     * Absent = pre-fix manifests may hold raw unscaled parquet values —

@@ -145,6 +145,52 @@ class GenericZorderSpec extends SparkSuite {
     assert(t.currentSnapshot.get.id == before, "no commit on failure")
   }
 
+  test("declared cluster-columns property drives a bare OPTIMIZE ZORDER") {
+    val root = tmpDir("graft-gzprop")
+    val t = GraftTable.create(spark, root, itemsDf(1).schema)
+    t.append(itemsDf(10000).repartition(4))
+    val pre = t.read().localCheckpoint(true)
+    // Delta CLUSTER BY analog: a plain table property — maintenance jobs
+    // that know nothing about the schema then deep-cluster the same way
+    spark.sql(
+      s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('cluster-columns' = 'pk, d')")
+    val r = spark.sql(s"OPTIMIZE graft.`$root` ZORDER").collect()
+    assert(r(0).getString(0) == "cluster-zorder" && r(0).getLong(1) > 0)
+    val t2 = GraftTable.load(spark, root)
+    assert(t2.currentSnapshot.get.summary("zdims") == "pk,d")
+    assertSameRows(t2.read(), pre, "property-driven zorder")
+    // per-run BY still overrides the declared columns
+    val r2 = spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (price)").collect()
+    assert(r2(0).getLong(1) > 0)
+    assert(GraftTable.load(spark, root).currentSnapshot.get.summary("zdims") == "price")
+  }
+
+  test("generic embeddings + z-key stay inside whole-stage codegen") {
+    // spark.range input (a local Seq folds to LocalTableScan before codegen
+    // is planned); every per-type embedding and the interleave must sit in
+    // ONE codegen'd Project — this is the cluster rewrite's hot path
+    import graft.functions.{OrderedEncoding, ZOrder}
+    import org.apache.spark.sql.types._
+    val df = spark.range(1000).select(
+      col("id").as("l"),
+      col("id").cast("double").as("dd"),
+      col("id").cast("decimal(12,2)").as("dec"),
+      concat(lit("https://h/"), col("id")).as("s"),
+      timestamp_seconds(col("id")).as("ts"))
+    val dims = Seq(
+      OrderedEncoding.forType(LongType, col("l")).get._1,
+      OrderedEncoding.forType(DoubleType, col("dd")).get._1,
+      OrderedEncoding.forType(DecimalType(12, 2), col("dec")).get._1,
+      OrderedEncoding.forType(StringType, col("s"), 10).get._1,
+      OrderedEncoding.forType(TimestampType, col("ts")).get._1
+    ).zipWithIndex.map { case (c, i) => ZOrder.rangeDim(c, 0L, 1L << 40, 12).as(s"d$i") }
+    val q = df.select(dims: _*).select(ZOrder.zkey(12,
+      (0 until 5).map(i => col(s"d$i")): _*).as("z"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"embeddings must not break codegen:\n$plan")
+    assert(q.agg(count(lit(1))).head().getLong(0) == 1000L)
+  }
+
   test("effective bits fit k dims into the 63-bit key") {
     assert(Cluster.ZDims(columns = Seq("a", "b", "c", "d")).effectiveBits == 15)
     assert(Cluster.ZDims(columns = Seq("a")).effectiveBits == 20)
