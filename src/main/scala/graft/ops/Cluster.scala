@@ -78,8 +78,14 @@ object Cluster {
     * dim's top bits constant and never split files). */
   final case class ZBounds(hostMin: Long, hostMax: Long, tsMin: Long, tsMax: Long)
 
-  /** host extracted from url: "https://host/..." → host */
-  def hostCol(url: Column): Column = regexp_extract(url, "^[a-z]+://([^/]+)/", 1)
+  /** host extracted from url: "https://host/..." → host. Built from
+    * `substring_index` (codegen'd byte scans), NOT a regex: the extraction
+    * sits inside the z-key on EVERY row of a clustering rewrite (sample
+    * pass + rewrite pass), and the regex version was measured ~1.5-2×
+    * slower end-to-end on the whole pass (GzProbe). Semantics: text after
+    * the last "://" (whole string if absent), up to the first "/". */
+  def hostCol(url: Column): Column =
+    substring_index(substring_index(url, "://", -1), "/", 1)
 
   private def hostPacked: Column = ZOrder.packedPrefix(hostCol(col("url")), chars = 8)
 
@@ -91,9 +97,14 @@ object Cluster {
     ZBounds(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  /** Driver-side mirror of [[hostCol]] — MUST stay value-identical (it
+    * derives the host-dim bounds from file metadata, [[boundsFromMeta]]). */
   private def hostOf(url: String): String = {
-    val m = "^[a-z]+://([^/]+)/".r.findFirstMatchIn(if (url == null) "" else url)
-    m.map(_.group(1)).getOrElse("")
+    val s = if (url == null) "" else url
+    val i = s.lastIndexOf("://")
+    val rest = if (i < 0) s else s.substring(i + 3)
+    val j = rest.indexOf('/')
+    if (j < 0) rest else rest.substring(0, j)
   }
 
   /** ZBounds derived from file metadata alone (no scan): url min/max give

@@ -40,13 +40,17 @@ object GzProbe {
 
     // same table state per mode; warm the reader/codegen before timing
     input.count()
-    val modes = Seq(
+    val all = Seq(
       "page" -> Cluster.ZDims(),
       "generic2" -> Cluster.ZDims(columns = Seq("url", "warc_ts")),
       "generic3" -> Cluster.ZDims(columns = Seq("lang", "url", "warc_ts")),
       "hilbert3" -> Cluster.ZDims(curve = "hilbert",
         columns = Seq("lang", "url", "warc_ts")))
-    for ((name, dims) <- modes) {
+    // first mode pays JVM/codegen/write-path warmup: rotate via arg 3 so
+    // order effects are measurable, and report two passes per mode
+    val rot = args.lift(2).map(_.toInt).getOrElse(0) % all.size
+    val modes = all.drop(rot) ++ all.take(rot)
+    for ((name, dims) <- modes ++ modes.take(1)) {
       val root = java.nio.file.Files.createTempDirectory(s"gzprobe-$name").toString + "/t"
       val t = GraftTable.create(spark, root, Synth.pageSchema)
       t.append(input)

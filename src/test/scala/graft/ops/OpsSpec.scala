@@ -152,6 +152,25 @@ class ClusterSpec extends SparkSuite {
     assert(rows.max <= mean * 3, s"unbalanced boundaries: max=${rows.max} mean=$mean")
   }
 
+  test("hostCol (row side) and boundsFromMeta's driver mirror agree") {
+    import spark.implicits._
+    // the host-dim bounds are decoded from METADATA url strings with a
+    // Scala mirror of the column expression — any divergence silently
+    // mis-scales the dim; assert value identity over edge shapes
+    val urls = Seq(
+      "https://host-1.example.com/a/b", "http://h/", "ftp://x.y",
+      "no-scheme/path", "bare", "", "https://a//b://c/d", "https:///x")
+    val viaCol = urls.toDF("url")
+      .select(col("url"), Cluster.hostCol(col("url")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val hostOf = {
+      val m = Cluster.getClass.getDeclaredMethod("hostOf", classOf[String])
+      m.setAccessible(true)
+      (s: String) => m.invoke(Cluster, s).asInstanceOf[String]
+    }
+    for (u <- urls) assert(viaCol(u) == hostOf(u), s"host mismatch for '$u'")
+  }
+
   test("salting splits a pathologically hot host across partitions") {
     import spark.implicits._
     // one host dominating: without salt all its rows share a zkey prefix
