@@ -68,8 +68,16 @@ object ZOrder {
     // scale-up cannot overflow either
     val q = ((span + buckets - 1) / buckets).max(1).toLong
     val m = if (span < buckets) buckets / span.toLong else 1L
+    // MUST be integer division: Column./ is Spark's Divide, which casts
+    // both longs to DOUBLE — encoded values above 2^53 (sortable-bits
+    // doubles sit near 2^62) would quantize to 512-1024-wide steps and
+    // collapse narrow spans to ~2 distinct dim values. IntegralDivide
+    // (SQL `div`) truncates toward zero exactly like the driver-side
+    // Scala `/` computing the min/q offset.
+    val divided = Shims.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Shims.expression(c.cast(LongType)), Shims.expression(lit(q))))
     val base = least(lit((span min BigInt(buckets)).toLong), greatest(lit(0L),
-      c.cast(LongType)./(lit(q)).-(lit(min / q))))
+      divided - lit(min / q)))
     if (m == 1L) base else base * lit(m)
   }
 

@@ -79,13 +79,18 @@ object Cluster {
   final case class ZBounds(hostMin: Long, hostMax: Long, tsMin: Long, tsMax: Long)
 
   /** host extracted from url: "https://host/..." → host. Built from
-    * `substring_index` (codegen'd byte scans), NOT a regex: the extraction
-    * sits inside the z-key on EVERY row of a clustering rewrite (sample
-    * pass + rewrite pass), and the regex version was measured ~1.5-2×
-    * slower end-to-end on the whole pass (GzProbe). Semantics: text after
-    * the last "://" (whole string if absent), up to the first "/". */
-  def hostCol(url: Column): Column =
-    substring_index(substring_index(url, "://", -1), "/", 1)
+    * codegen'd byte scans (locate/substr/substring_index), NOT a regex:
+    * the extraction sits inside the z-key on EVERY row of a clustering
+    * rewrite (sample pass + rewrite pass). Keyed on the FIRST "://" — web
+    * corpora are full of urls embedding other urls in path/query
+    * ("…/redirect?u=http://other/…"), and a last-occurrence split would
+    * cluster those rows by the embedded host. Semantics: text after the
+    * first "://" (whole string if absent), up to the next "/". */
+  def hostCol(url: Column): Column = {
+    val i = locate("://", url) // 1-based, 0 when absent
+    val afterScheme = when(i === 0, url).otherwise(url.substr(i + lit(3), length(url)))
+    substring_index(afterScheme, "/", 1)
+  }
 
   private def hostPacked: Column = ZOrder.packedPrefix(hostCol(col("url")), chars = 8)
 
@@ -101,7 +106,7 @@ object Cluster {
     * derives the host-dim bounds from file metadata, [[boundsFromMeta]]). */
   private def hostOf(url: String): String = {
     val s = if (url == null) "" else url
-    val i = s.lastIndexOf("://")
+    val i = s.indexOf("://")
     val rest = if (i < 0) s else s.substring(i + 3)
     val j = rest.indexOf('/')
     if (j < 0) rest else rest.substring(0, j)
@@ -307,52 +312,11 @@ object Cluster {
       metas
     }
 
+    // pool sizing + fan-out + fail-fast drain live in GroupedRewrite (shared
+    // with Rebucket); width = each group's rewrite task fan-out
     val perGroup: Seq[(Seq[DataFileMeta], Seq[DataFileMeta])] =
-      if (groups.size == 1) Seq((rewriteGroup(groups.head._1, groups.head._2), groups.head._2))
-      else {
-        // groups are independent pipelines; run enough concurrently that
-        // their combined shuffle width covers the cluster. The default
-        // (jobParallelism=0) sizes the pool from the groups themselves:
-        // each group's rewrite fans out to ~bytes/targetFileBytes tasks, so
-        // a bucketed layout (one group per bucket dir — MANY small groups)
-        // needs cores/width concurrent groups, where a fixed pool of 4 was
-        // measured to cap cluster occupancy at 0.32 on 32 cores in the
-        // bucketed 10 GB soak. In-flight tasks stay ≈ defaultParallelism,
-        // so write-memory pressure matches a single cluster-wide job.
-        val poolSize = {
-          val wanted =
-            if (jobParallelism > 0) jobParallelism
-            else {
-              val cap = maxShufflePartitions(spark)
-              val widths = groups.map { case (_, g) =>
-                math.max(1L, math.min(
-                  math.ceil(g.map(_.bytes).sum.toDouble / targetFileBytes).toLong, cap.toLong))
-              }
-              val avgWidth = widths.sum.toDouble / widths.size
-              math.max(4, math.ceil(spark.sparkContext.defaultParallelism / avgWidth).toInt)
-            }
-          math.min(wanted, groups.size)
-        }
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          poolSize,
-          r => { val t = new Thread(r, "graft-cluster"); t.setDaemon(true); t })
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val fut = scala.concurrent.Future.sequence(groups.map { case (gi, g) =>
-          scala.concurrent.Future((rewriteGroup(gi, g), g))
-        })
-        try {
-          val r = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration.Inf)
-          pool.shutdown()
-          r
-        } catch { case e: Throwable =>
-          // fail fast but do NOT leave sibling group jobs writing into
-          // staging dirs a same-runId retry would delete from under them
-          pool.shutdownNow()
-          pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
-          throw e
-        }
-      }
+      GroupedRewrite.run(spark, "graft-cluster", jobParallelism, groups,
+        g => math.ceil(g.map(_.bytes).sum.toDouble / targetFileBytes).toLong)(rewriteGroup)
 
     // drop all-empty outputs (a fully-tombstoned partition group writes a
     // 0-row, bound-less file — unprunable manifest noise)
@@ -405,7 +369,7 @@ object Cluster {
       cols: Seq[String], bits: Int, df: DataFrame,
       inputs: Seq[DataFileMeta]): Seq[Column] = {
     import graft.functions.OrderedEncoding
-    cols.map { name =>
+    val prepared = cols.map { name =>
       val f = schema(name)
       // strings: strip the group's common bound prefix before packing (the
       // merge-soak fix) — capped so ≥8 packed chars stay inside the bound
@@ -421,14 +385,29 @@ object Cluster {
       val (enc, dec) = OrderedEncoding.forType(f.dataType, col(name), lcpLen).get
       val haveBounds = inputs.nonEmpty &&
         inputs.forall(fm => fm.minValues.contains(name) && fm.maxValues.contains(name))
+      (name, enc, dec, haveBounds)
+    }
+    // ONE combined column-pruned aggregate covers every column whose stats
+    // are missing in any input file (all-null columns, legacy files) — not
+    // one scan per column
+    val needScan = prepared.filterNot(_._4)
+    val scanned: Map[String, (Long, Long)] =
+      if (needScan.isEmpty) Map.empty
+      else {
+        val aggs = needScan.flatMap { case (name, enc, _, _) =>
+          Seq(min(enc).cast(LongType).as(s"lo_$name"), max(enc).cast(LongType).as(s"hi_$name"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        needScan.zipWithIndex.map { case ((name, _, _, _), i) =>
+          name -> (if (r.isNullAt(2 * i)) (0L, 0L) else (r.getLong(2 * i), r.getLong(2 * i + 1)))
+        }.toMap
+      }
+    prepared.map { case (name, enc, dec, haveBounds) =>
       val (lo, hi) =
         if (haveBounds)
           (inputs.map(fm => dec(fm.minValues(name))).min,
             inputs.map(fm => dec(fm.maxValues(name))).max)
-        else {
-          val r = df.agg(min(enc).cast(LongType).as("lo"), max(enc).cast(LongType).as("hi")).head()
-          if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-        }
+        else scanned(name)
       ZOrder.rangeDim(enc, lo, hi, bits)
     }
   }

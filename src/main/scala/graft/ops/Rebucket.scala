@@ -1,10 +1,5 @@
 package graft.ops
 
-import java.util.concurrent.Executors
-
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration.Duration
-
 import org.apache.spark.sql.functions.col
 
 import graft.run.{Lineage, Maintenance}
@@ -67,9 +62,15 @@ object Rebucket {
     val snap = table.currentSnapshot.getOrElse(return None)
     val inputs = table.nonconformingFiles()
     if (inputs.isEmpty) return None
-    val planStep = s"plan@${snap.id}"
+    // the plan key carries the ACTIVE SPEC too, not just the snapshot:
+    // setPartitionSpec is a metadata-only change (no snapshot advance), and
+    // a spec change between plan and resume re-derives DIFFERENT groups —
+    // replaying a staged group under the old indexing would commit stale
+    // outputs while removing files no rewrite contains (data loss)
+    val planStep = s"plan@${snap.id}@$sp"
     require(log.doneSteps.isEmpty || log.doneSteps.contains(planStep),
-      s"resume $runId: table advanced past planned snapshot; start a fresh run")
+      s"resume $runId: table advanced past the planned snapshot or the " +
+        "active bucket spec changed; start a fresh run")
     log = Maintenance.markDone(table, log, planStep)
 
     // one group per old partition tuple — generations never mix in a rewrite
@@ -127,9 +128,13 @@ object Rebucket {
           (df.coalesce(tasks), s"split k=$k")
         case None =>
           // the old layout says nothing about the new bucket: one hash
-          // exchange of this group's bytes; HashPartitioning(col, n) IS the
-          // bucket function, so each post-shuffle partition is bucket-pure
-          (df.repartition(n, col(sp.sourceColumn)), "redistribute")
+          // exchange of this group's bytes. Bucket purity survives any
+          // MULTIPLE of n — hash % (n·j) == p implies hash % n == p % n —
+          // so j partitions per bucket bound the per-task sort at
+          // ~targetFileBytes instead of groupBytes/n (the multi-pass
+          // external-sort spill trap on terabyte groups)
+          val j = math.max(1, math.ceil(bytes.toDouble / (n.toLong * targetFileBytes)).toInt)
+          (df.repartition(n * j, col(sp.sourceColumn)), s"redistribute j=$j")
       }
       spark.sparkContext.setJobDescription(
         s"rebucket $runId group $gi (${g.size} files, $how)")
@@ -142,47 +147,18 @@ object Rebucket {
       metas
     }
 
+    // pool sizing + fan-out + fail-fast drain live in GroupedRewrite
+    // (shared with Cluster); width = each group's rewrite task fan-out
     val perGroup: Seq[(Seq[DataFileMeta], Seq[DataFileMeta])] =
-      if (groups.size == 1) Seq((rewriteGroup(groups.head._1, groups.head._2), groups.head._2))
-      else {
-        // size the pool from the layout (same rule as Cluster): each group
-        // fans out to ~width tasks, so run defaultParallelism/width groups
-        // concurrently and in-flight tasks stay ≈ the cluster's task slots
-        val poolSize = {
-          val wanted =
-            if (jobParallelism > 0) jobParallelism
-            else {
-              val widths = groups.map { case (_, g) =>
-                val bytes = g.map(_.bytes).sum
-                splitFactor(g) match {
-                  case Some(k) => math.max(1L,
-                    math.ceil(bytes.toDouble / (k.toLong * targetFileBytes)).toLong)
-                  case None    => n.toLong
-                }
-              }
-              val avgWidth = widths.sum.toDouble / widths.size
-              math.max(4, math.ceil(spark.sparkContext.defaultParallelism / avgWidth).toInt)
-            }
-          math.min(wanted, groups.size)
+      GroupedRewrite.run(spark, "graft-rebucket", jobParallelism, groups, { g =>
+        val bytes = g.map(_.bytes).sum
+        splitFactor(g) match {
+          case Some(k) => math.max(1L,
+            math.ceil(bytes.toDouble / (k.toLong * targetFileBytes)).toLong)
+          case None    =>
+            n.toLong * math.max(1, math.ceil(bytes.toDouble / (n.toLong * targetFileBytes)).toInt)
         }
-        val pool = Executors.newFixedThreadPool(poolSize,
-          r => { val t = new Thread(r, "graft-rebucket"); t.setDaemon(true); t })
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val fut = Future.sequence(groups.map { case (gi, g) =>
-          Future((rewriteGroup(gi, g), g))
-        })
-        try {
-          val r = Await.result(fut, Duration.Inf)
-          pool.shutdown()
-          r
-        } catch { case e: Throwable =>
-          // fail fast but do NOT leave sibling group jobs writing into
-          // staging dirs a same-runId retry would delete from under them
-          pool.shutdownNow()
-          pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
-          throw e
-        }
-      }
+      })(rewriteGroup)
 
     // a fully-tombstoned group writes 0-row, bound-less files — drop them
     val added = perGroup.flatMap(_._1).filter(_.rows > 0)

@@ -61,6 +61,29 @@ class ZOrderSpec extends SparkSuite {
     assert(plan.contains("*(1) Project"), s"zkey must not break codegen:\n$plan")
   }
 
+  test("rangeDim keeps full resolution at high magnitudes and wide spans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // narrow span at 2^62 (where sortable-bits double encodings live): a
+    // floating-point division would quantize to 512-step units and collapse
+    // the dim to ~2 values; the integral-divide path must keep all 1000
+    val base = 1L << 62
+    val df = spark.range(1000).select((lit(base) + col("id")).as("v"))
+    val narrow = df.select(ZOrder.rangeDim(col("v"), base, base + 999, 20).as("d"))
+      .as[Long].collect()
+    assert(narrow.distinct.length == 1000, s"collapsed to ${narrow.distinct.length} values")
+    assert(narrow.min >= 0 && narrow.max <= (1L << 20) - 1)
+    assert(narrow.sorted.sameElements(narrow), "must be monotone in v")
+
+    // full-Long span (min<0<max, |span| > 2^63): must neither overflow (ANSI)
+    // nor leave the dim constant
+    val wide = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue).toDF("v")
+      .select(ZOrder.rangeDim(col("v"), Long.MinValue, Long.MaxValue, 20).as("d"))
+      .as[Long].collect()
+    assert(wide.distinct.length >= 3 && wide.sorted.sameElements(wide), wide.mkString(","))
+    assert(wide.forall(d => d >= 0 && d <= (1L << 20) - 1))
+  }
+
   test("prefixDim is order-preserving on ASCII strings") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

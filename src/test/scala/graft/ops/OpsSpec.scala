@@ -159,7 +159,8 @@ class ClusterSpec extends SparkSuite {
     // mis-scales the dim; assert value identity over edge shapes
     val urls = Seq(
       "https://host-1.example.com/a/b", "http://h/", "ftp://x.y",
-      "no-scheme/path", "bare", "", "https://a//b://c/d", "https:///x")
+      "no-scheme/path", "bare", "", "https://a//b://c/d", "https:///x",
+      "https://real.example.com/redirect?u=http://embedded.example.org/x")
     val viaCol = urls.toDF("url")
       .select(col("url"), Cluster.hostCol(col("url")).as("h")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -169,6 +170,11 @@ class ClusterSpec extends SparkSuite {
       (s: String) => m.invoke(Cluster, s).asInstanceOf[String]
     }
     for (u <- urls) assert(viaCol(u) == hostOf(u), s"host mismatch for '$u'")
+    // FIRST scheme wins: a url embedding another url in its query must
+    // cluster by the real host, not the embedded one
+    assert(viaCol("https://real.example.com/redirect?u=http://embedded.example.org/x")
+      == "real.example.com")
+    assert(viaCol("https://host-1.example.com/a/b") == "host-1.example.com")
   }
 
   test("salting splits a pathologically hot host across partitions") {

@@ -107,6 +107,29 @@ class RebucketSpec extends SparkSuite {
     assert(again(0).getLong(0) == -1L && again(0).getLong(1) == 0L, again.mkString)
   }
 
+  test("resume after a spec change fails loudly (stale staged groups)") {
+    // setPartitionSpec is metadata-only (NO snapshot advance), so the resume
+    // guard must key on the active spec too: groups re-derive differently
+    // under a new spec, and replaying a staged group under old indexing
+    // would commit stale outputs while removing unrewritten files
+    val t = GraftTable.create(spark, tmpDir("graft-rebucket-guard"), Synth.pageSchema,
+      Map(PartitionSpec.Property -> "bucket(4, url)"))
+    t.append(Synth.pages(spark, 400, partitions = 2))
+    t.setPartitionSpec(Some("bucket(8, url)"))
+    val runId = "rb-spec-guard"
+    val sp = t.partitionSpecs.find(_.transform == "bucket").get
+    val log = graft.run.Maintenance.start(t, runId, "rebucket")
+    graft.run.Maintenance.markDone(t, log, s"plan@${t.currentSnapshot.get.id}@$sp")
+    // spec changes under the in-flight run (same snapshot id!)
+    t.setPartitionSpec(Some("bucket(12, url)"))
+    val ex = intercept[IllegalArgumentException] { Rebucket.migrate(t, runId = runId) }
+    assert(ex.getMessage.contains("spec changed") || ex.getMessage.contains("fresh run"),
+      ex.getMessage)
+    // a FRESH run under the new spec is fine
+    assert(Rebucket.migrate(t).isDefined)
+    assert(t.bucketSpec().exists(_.numBuckets == 12))
+  }
+
   test("migrate without an active bucket transform fails loudly") {
     val t = GraftTable.create(spark, tmpDir("graft-rebucket-nospec"), Synth.pageSchema)
     t.append(Synth.pages(spark, 100, partitions = 1))
