@@ -38,7 +38,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // parsed by Spark's own expression parser in the command)
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+(ZORDER)(?:\s+(HILBERT))?(?:\s+BY\s*\(([^)]+)\))?)?\s*;?\s*""").r
+      """(?:\s+(ZORDER)(?:\s+(HILBERT))?(?:\s+BY\s*\(([^)]+)\))?(?:\s+(INCREMENTAL))?)?\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   // DV-file compaction (Iceberg's rewrite_position_delete_files niche):
@@ -51,6 +51,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // shuffle-free bucketed-scan gate flips back on (graft.ops.Rebucket)
   private val RebucketRe =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`\s+REBUCKET\s*;?\s*""".r
+  // Delta-style one-row table detail (Spark has no DETAIL grammar)
+  private val DescribeDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
   // partition-spec evolution (Spark has no such grammar): SET replaces the
   // active transform set, DROP unpartitions — outgoing generations keep
   // pruning via the spec history (GraftTable.setPartitionSpec)
@@ -96,11 +99,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRewriteDeletesCommand(path)
     case RebucketRe(path) if isPath(path) =>
       GraftRebucketCommand(path)
-    case OptimizeRe(path, where, zorder, hilbert, byCols) if isPath(path) =>
+    case DescribeDetailRe(path) if isPath(path) =>
+      GraftDescribeDetailCommand(path)
+    case OptimizeRe(path, where, zorder, hilbert, byCols, incr) if isPath(path) =>
       GraftOptimizeCommand(path, zorder != null, hilbert != null,
         Option(where).map(_.trim).filter(_.nonEmpty),
         Option(byCols).toSeq.flatMap(_.split(","))
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
+        incremental = incr != null)
     case VacuumRe(path, retain) if isPath(path) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(10))
     case SetSpecRe(path, spec) if isPath(path) =>
@@ -143,7 +149,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   * clustering rewrite. Returns (operation, snapshot_id); snapshot_id -1
   * when the pass was a no-op (nothing to compact / empty table). */
 case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean,
-    where: Option[String] = None, byColumns: Seq[String] = Nil)
+    where: Option[String] = None, byColumns: Seq[String] = Nil,
+    incremental: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType)(),
@@ -173,9 +180,18 @@ case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean,
             s"'${GraftTable.ClusterColumnsProp}' table property for other schemas")
       }
       val curve = if (hilbert) "hilbert" else "zorder"
-      val only = pred.map(p => t.planFiles(Some(p)))
-      val snap = Cluster.zorderRewrite(t,
-        Cluster.ZDims(curve = curve, columns = cols), onlyFiles = only)
+      val dims = Cluster.ZDims(curve = curve, columns = cols)
+      val snap =
+        if (incremental) {
+          // steady-state mode: rewrite only files no cluster pass produced —
+          // at 100 TB a full re-sort per ingest cycle is impossible; run
+          // periodic full rewrites to restore global order
+          if (where.isDefined) throw new IllegalArgumentException(
+            "OPTIMIZE ... INCREMENTAL already scopes to unclustered files; " +
+              "combine with WHERE via two separate statements")
+          Cluster.incremental(t, dims)
+        } else Cluster.zorderRewrite(t, dims,
+          onlyFiles = pred.map(p => t.planFiles(Some(p))))
       Seq(Row(s"cluster-$curve", snap.map(_.id).getOrElse(-1L)))
     } else {
       val snap = Compact.run(t, predicate = pred)
@@ -235,6 +251,40 @@ case class GraftRebucketCommand(path: String) extends LeafRunnableCommand {
       case Some(s) => Seq(Row(s.id, moved))
       case None    => Seq(Row(-1L, 0L))
     }
+  }
+}
+
+/** `DESCRIBE DETAIL graft.`path`` — Delta-style one-row table summary from
+  * metadata alone (driver-side O(live files) fold over the manifests —
+  * no data file is opened). */
+case class GraftDescribeDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("snapshot_id", LongType)(),
+    AttributeReference("num_files", LongType)(),
+    AttributeReference("num_rows", LongType)(),
+    AttributeReference("size_bytes", LongType)(),
+    AttributeReference("num_snapshots", LongType)(),
+    AttributeReference("partition_spec", StringType)(),
+    AttributeReference("cluster_columns", StringType)(),
+    AttributeReference("write_sort_order", StringType)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = GraftTable.load(session, path)
+    val md = t.metadata
+    val files = t.files()
+    Seq(Row(
+      "graft/parquet",
+      t.root,
+      md.currentSnapshot.map(_.id).getOrElse(-1L),
+      files.size.toLong,
+      files.map(_.rows).sum,
+      files.map(_.bytes).sum,
+      md.snapshots.size.toLong,
+      md.properties.getOrElse(graft.table.PartitionSpec.Property, ""),
+      md.properties.getOrElse(GraftTable.ClusterColumnsProp, ""),
+      md.properties.getOrElse(GraftTable.SortOrderProp, "")))
   }
 }
 

@@ -34,6 +34,53 @@ class SqlMaintenanceSpec extends SparkSuite {
     assert(t.read().agg(bit_xor(xxhash64(col("url"), col("text")))).head().getLong(0) === pre)
   }
 
+  test("OPTIMIZE ZORDER INCREMENTAL rewrites only unclustered files") {
+    val t = GraftTable.create(spark, tmpDir("sqlmaint-incr"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 3000, partitions = 8))
+    spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER").collect()
+    val clustered = t.files().map(_.path).toSet
+    t.append(Synth.pages(spark, 1000, partitions = 4, seed = 7))
+    val pre = t.read().agg(bit_xor(xxhash64(col("url"), col("text")))).head().getLong(0)
+
+    val r = spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER INCREMENTAL").collect()
+    assert(r.head.getString(0) === "cluster-zorder" && r.head.getLong(1) > 0)
+    val after = t.files().map(_.path).toSet
+    assert(clustered.subsetOf(after), "clustered files must not be rewritten")
+    assert(t.read().agg(bit_xor(xxhash64(col("url"), col("text")))).head().getLong(0) === pre)
+    // steady state: nothing left to do → -1
+    assert(spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER INCREMENTAL")
+      .collect().head.getLong(1) === -1L)
+    // WHERE + INCREMENTAL is ambiguous scoping — refused loudly
+    val ex = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE lang = 'de' ZORDER INCREMENTAL").collect()
+    }
+    assert(ex.getMessage.contains("INCREMENTAL"))
+  }
+
+  test("DESCRIBE DETAIL returns the one-row metadata summary") {
+    val root = tmpDir("sqlmaint-detail")
+    val t = GraftTable.create(spark, root, Synth.pageSchema,
+      Map(graft.table.PartitionSpec.Property -> "bucket(4, url)"))
+    t.append(Synth.pages(spark, 500, partitions = 2))
+    spark.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES ('cluster-columns' = 'url')")
+    val r = spark.sql(s"DESCRIBE DETAIL graft.`$root`").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("format") == "graft/parquet")
+    assert(row.getAs[String]("location") == root)
+    assert(row.getAs[Long]("num_files") == t.files().size.toLong)
+    assert(row.getAs[Long]("num_rows") == 500L)
+    assert(row.getAs[Long]("size_bytes") > 0L)
+    assert(row.getAs[Long]("snapshot_id") == t.currentSnapshot.get.id)
+    assert(row.getAs[String]("partition_spec") == "bucket(4, url)")
+    assert(row.getAs[String]("cluster_columns") == "url")
+    // no data file opened: answered from manifests (empty table works too)
+    val empty = tmpDir("sqlmaint-detail-empty")
+    GraftTable.create(spark, empty, Synth.pageSchema)
+    val e = spark.sql(s"DESCRIBE DETAIL graft.`$empty`").collect().head
+    assert(e.getAs[Long]("num_files") == 0L && e.getAs[Long]("num_rows") == 0L)
+  }
+
   test("OPTIMIZE WHERE scopes the pass to predicate-matching files only") {
     val t = GraftTable.create(spark, tmpDir("sqlmaint-where"), Synth.pageSchema)
     // two disjoint lang populations, each as many small files
