@@ -51,6 +51,15 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
         case "refs"       => table.refsDf
         case "deletes"    => table.deletesDf()
         case "partitions" => table.partitionsDf()
+        case "lineage"    =>
+          // per-output-file maintenance lineage rows (run/Lineage.record) —
+          // the audit trail for "where did this file come from"; empty-safe
+          // before the first maintenance pass
+          if (graft.table.FileIO.exists(table.metricsDir))
+            session.read.parquet(table.metricsDir)
+          else session.createDataFrame(
+            new java.util.ArrayList[Row](),
+            org.apache.spark.sql.Encoders.product[graft.run.Lineage.LineageRow].schema)
       }).queryExecution.analyzed
     case u: UnresolvedRelation if graftPath(u).isDefined && !u.isStreaming =>
       readPlan(graftPath(u).get, None, None)
@@ -60,7 +69,7 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def metaTable(u: UnresolvedRelation): Option[(String, String)] =
     if (u.multipartIdentifier.length == 3 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-        Set("snapshots", "files", "refs", "deletes", "partitions")
+        Set("snapshots", "files", "refs", "deletes", "partitions", "lineage")
           .contains(u.multipartIdentifier(2).toLowerCase))
       Some((u.multipartIdentifier(1), u.multipartIdentifier(2).toLowerCase))
     else None

@@ -107,6 +107,26 @@ class SqlRelationSpec extends SparkSuite {
     assert(urows.length === 1 && urows.head.getString(0) === "<unpartitioned>")
   }
 
+  test("metadata table: graft.`path`.lineage exposes maintenance audit rows") {
+    val t = GraftTable.create(spark, tmpDir("sqlrel-lineage"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 1500, partitions = 8))
+    // before any maintenance: empty but QUERYABLE (schema present)
+    val empty = spark.sql(s"SELECT run_id, op FROM graft.`${t.root}`.lineage")
+    assert(empty.count() === 0L)
+
+    spark.sql(s"OPTIMIZE graft.`${t.root}`").collect()
+    val rows = spark.sql(
+      s"""SELECT op, out_path, rows, source_files, snapshot_id
+         |FROM graft.`${t.root}`.lineage""".stripMargin).collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0) == "compact"))
+    // per-output rows plus one op-summary row (out_path = "")
+    val summary = rows.filter(_.getString(1) == "")
+    assert(summary.length === 1)
+    assert(summary.head.getLong(2) === 1500L, "summary row counts every output row")
+    assert(rows.forall(_.getLong(4) === t.currentSnapshot.get.id))
+    assert(rows.forall(r => r.getSeq[String](3).nonEmpty), "sources recorded per output")
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves the schema; old files read NULL") {
     val t = mk(100)
     spark.sql(s"ALTER TABLE graft.`${t.root}` ADD COLUMNS (quality DOUBLE, source STRING)")
