@@ -914,6 +914,36 @@ object SparkEntry {
         .localCheckpoint(true)
       graft.table.FileIO.deleteRecursively(root)
       out
+    }),
+
+    // q49: declared clustering + steady-state maintenance — the table owns
+    // its layout (`cluster-columns` property), a bare OPTIMIZE ZORDER
+    // deep-clusters it, a second ingest wave is folded in INCREMENTALLY
+    // (already-clustered files untouched — at 100 TB the only affordable
+    // mode), and the key predicate prunes afterwards; rows replay
+    // relationally as the plain union
+    "q49_zorder_incremental" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft-q49").toString + "/t"
+      val tbl = graft.table.GraftTable.create(s, root, ord.schema,
+        Map(graft.table.GraftTable.ClusterColumnsProp -> "o_custkey"))
+      tbl.append(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0).repartition(4))
+      s.sql(s"OPTIMIZE graft.`$root` ZORDER").collect() // property-driven dims
+      val clustered = tbl.files().map(_.path).toSet
+      tbl.append(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1).repartition(4))
+      s.sql(s"OPTIMIZE graft.`$root` ZORDER INCREMENTAL").collect()
+      val after = tbl.files().map(_.path).toSet
+      val held = clustered.subsetOf(after) &&
+        tbl.currentSnapshot.get.summary("zdims") == "o_custkey"
+      val out = tbl.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
+          round(sum("price"), 2).as("price_sum"))
+        .withColumn("incr_held", lit(held))
+        .localCheckpoint(true)
+      graft.table.FileIO.deleteRecursively(root)
+      out
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1439,5 +1469,15 @@ object SparkEntry {
         |       true AS pruned_held
         |FROM lineitem
         |WHERE l_partkey < 400 AND l_shipdate < TIMESTAMP '1997-01-01'
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    // q49: full + incremental clustering are both row-preserving — the
+    // two-wave ingest replays as the plain per-status rollup (the
+    // untouched-files property is asserted engine-side via incr_held)
+    "q49_zorder_incremental" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS price_sum,
+        |       true AS incr_held
+        |FROM orders GROUP BY 1""".stripMargin)
 }
