@@ -936,7 +936,7 @@ object SparkEntry {
       s.sql(s"OPTIMIZE graft.`$root` ZORDER INCREMENTAL").collect()
       val after = tbl.files().map(_.path).toSet
       val held = clustered.subsetOf(after) &&
-        tbl.currentSnapshot.get.summary("zdims") == "o_custkey"
+        tbl.currentSnapshot.get.summary.get("zdims").contains("o_custkey")
       val out = tbl.read().groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
           round(sum("price"), 2).as("price_sum"))

@@ -172,20 +172,7 @@ object Cluster {
     val schema = table.schema
     val commitUuid = s"cluster-$runId"
 
-    // generic clustering columns: canonicalize against the schema with the
-    // session resolver (case-insensitive by default, like every SQL-facing
-    // column lookup) and demand an order-preserving encoding UP FRONT — a
-    // bad column must fail loudly before any bytes move
-    val clusterCols: Seq[String] = dims.columns.map { c =>
-      val resolver = spark.sessionState.analyzer.resolver
-      val f = schema.fields.find(f => resolver(f.name, c)).getOrElse(throw
-        new IllegalArgumentException(s"ZORDER BY column '$c' not in schema " +
-          schema.fieldNames.mkString("(", ", ", ")")))
-      require(graft.functions.OrderedEncoding.forType(f.dataType, col(f.name)).isDefined,
-        s"ZORDER BY column '${f.name}': ${f.dataType.simpleString} has no " +
-          "order-preserving encoding (wide decimals, binary and nested types don't)")
-      f.name
-    }
+    val clusterCols: Seq[String] = canonicalColumns(table, dims)
 
     // hidden partitioning: cluster WITHIN each partition tuple — the global
     // range exchange interleaves partition values across every task, and
@@ -352,9 +339,50 @@ object Cluster {
       targetFileBytes: Long = 128L * 1024 * 1024,
       runId: String = java.util.UUID.randomUUID.toString,
       minFiles: Int = 2): Option[Snapshot] = {
-    val unclustered = table.files().filterNot(_.commitUuid.startsWith("cluster-"))
-    if (unclustered.size < minFiles) None
-    else zorderRewrite(table, dims, targetFileBytes, runId, onlyFiles = Some(unclustered))
+    // validate/canonicalize UP FRONT: a typo'd column must fail loudly even
+    // when there is nothing to rewrite (a scheduled no-op would otherwise
+    // hide the mistake until the first real pass)
+    val cols = canonicalColumns(table, dims)
+    val wantZdims = if (cols.nonEmpty) cols.mkString(",") else "lang,host,warc_ts"
+    // a file only counts as clustered if its cluster commit used THESE dims
+    // and curve — after the user changes cluster-columns, files ordered on
+    // the old layout are stale and must rewrite. Commits whose snapshot has
+    // expired can't be checked and keep the old treated-as-clustered
+    // behavior; the periodic full rewrite restores certainty.
+    val staleRuns = table.metadata.snapshots
+      .filter(s => s.operation == "cluster" &&
+        (s.summary.getOrElse("zdims", "") != wantZdims ||
+          s.summary.getOrElse("curve", "") != dims.curve))
+      .flatMap(_.summary.get("run-id")).toSet
+    val (stale, fresh) = table.files()
+      .filter(f => !f.commitUuid.startsWith("cluster-") ||
+        staleRuns.exists(r => f.commitUuid.startsWith(s"cluster-$r-")))
+      .partition(_.commitUuid.startsWith("cluster-"))
+    // minFiles is a churn guard for lone fresh appends; a LAYOUT change
+    // (any stale file) always proceeds — re-ordering even one file is the
+    // entire point
+    if (stale.isEmpty && fresh.size < minFiles) None
+    else zorderRewrite(table, dims, targetFileBytes, runId,
+      onlyFiles = Some(stale ++ fresh))
+  }
+
+  /** Canonicalize generic clustering columns against the table schema with
+    * the session resolver (case-insensitive by default, like every
+    * SQL-facing column lookup) and demand an order-preserving encoding UP
+    * FRONT — a bad column must fail loudly before any bytes move. Nil for
+    * the page-dims default. */
+  private[ops] def canonicalColumns(table: GraftTable, dims: ZDims): Seq[String] = {
+    val schema = table.schema
+    dims.columns.map { c =>
+      val resolver = table.spark.sessionState.analyzer.resolver
+      val f = schema.fields.find(f => resolver(f.name, c)).getOrElse(throw
+        new IllegalArgumentException(s"ZORDER BY column '$c' not in schema " +
+          schema.fieldNames.mkString("(", ", ", ")")))
+      require(graft.functions.OrderedEncoding.forType(f.dataType, col(f.name)).isDefined,
+        s"ZORDER BY column '${f.name}': ${f.dataType.simpleString} has no " +
+          "order-preserving encoding (wide decimals, binary and nested types don't)")
+      f.name
+    }
   }
 
   /** Generic Z dims: each clustering column maps through its

@@ -36,9 +36,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // WHERE scopes the pass to files whose stats intersect the predicate
   // (Delta's `OPTIMIZE t WHERE … [ZORDER]` shape — the predicate text is
   // parsed by Spark's own expression parser in the command)
+  // INCREMENTAL is its own trailing group (not nested in ZORDER's): with it
+  // nested, `OPTIMIZE … WHERE p INCREMENTAL` would silently swallow the
+  // keyword into the predicate text; standalone it parses and the command
+  // rejects the combination loudly
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+(ZORDER)(?:\s+(HILBERT))?(?:\s+BY\s*\(([^)]+)\))?(?:\s+(INCREMENTAL))?)?\s*;?\s*""").r
+      """(?:\s+(ZORDER)(?:\s+(HILBERT))?(?:\s+BY\s*\(([^)]+)\))?)?(?:\s+(INCREMENTAL))?\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   // DV-file compaction (Iceberg's rewrite_position_delete_files niche):
@@ -162,6 +166,9 @@ case class GraftOptimizeCommand(path: String, zorder: Boolean, hilbert: Boolean,
     // any subset is row-preserving, so scoping is always sound (and a
     // scoped pass never clears MoR tombstones — full-coverage gated)
     val pred = where.map(org.apache.spark.sql.functions.expr)
+    if (incremental && !zorder) throw new IllegalArgumentException(
+      "OPTIMIZE ... INCREMENTAL applies to ZORDER clustering " +
+        "(compaction is already incremental by nature)")
     if (zorder) {
       // column precedence: `ZORDER BY (c1, …)` per-run override, else the
       // table's declared `cluster-columns` property, else the north rule's
@@ -263,8 +270,14 @@ case class GraftDescribeDetailCommand(path: String) extends LeafRunnableCommand 
     AttributeReference("location", StringType)(),
     AttributeReference("snapshot_id", LongType)(),
     AttributeReference("num_files", LongType)(),
-    AttributeReference("num_rows", LongType)(),
+    // PHYSICAL parquet rows — merge-on-read deletes hide rows at scan time
+    // without touching files, so live `count(*)` can be lower; the
+    // delete-side columns below carry that signal instead of silently
+    // overstating a "row count"
+    AttributeReference("num_data_rows", LongType)(),
     AttributeReference("size_bytes", LongType)(),
+    AttributeReference("num_position_delete_entries", LongType)(),
+    AttributeReference("num_equality_delete_files", LongType)(),
     AttributeReference("num_snapshots", LongType)(),
     AttributeReference("partition_spec", StringType)(),
     AttributeReference("cluster_columns", StringType)(),
@@ -273,14 +286,19 @@ case class GraftDescribeDetailCommand(path: String) extends LeafRunnableCommand 
   override def run(session: SparkSession): Seq[Row] = {
     val t = GraftTable.load(session, path)
     val md = t.metadata
-    val files = t.files()
+    // pin every count to ONE snapshot: a concurrent commit between two
+    // metadata reads must not pair the old snapshot id with new counts
+    val snap = md.currentSnapshot.map(_.id)
+    val files = snap.map(id => t.files(Some(id))).getOrElse(Seq.empty)
     Seq(Row(
       "graft/parquet",
       t.root,
-      md.currentSnapshot.map(_.id).getOrElse(-1L),
+      snap.getOrElse(-1L),
       files.size.toLong,
       files.map(_.rows).sum,
       files.map(_.bytes).sum,
+      snap.map(id => t.positionDeletes(Some(id)).map(_.rows).sum).getOrElse(0L),
+      snap.map(id => t.tombstones(Some(id)).size.toLong).getOrElse(0L),
       md.snapshots.size.toLong,
       md.properties.getOrElse(graft.table.PartitionSpec.Property, ""),
       md.properties.getOrElse(GraftTable.ClusterColumnsProp, ""),

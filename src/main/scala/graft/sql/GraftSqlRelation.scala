@@ -53,10 +53,13 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
         case "partitions" => table.partitionsDf()
         case "lineage"    =>
           // per-output-file maintenance lineage rows (run/Lineage.record) —
-          // the audit trail for "where did this file come from"; empty-safe
-          // before the first maintenance pass
-          if (graft.table.FileIO.exists(table.metricsDir))
-            session.read.parquet(table.metricsDir)
+          // the audit trail for "where did this file come from". Gate on a
+          // READABLE parquet file, not dir existence: a pass killed mid-write
+          // leaves metrics/ holding only _temporary, and read.parquet on it
+          // would fail schema inference forever
+          if (graft.table.FileIO
+              .listFilesRecursively(table.metricsDir, ".parquet").nonEmpty)
+            graft.run.Lineage.metrics(session, table)
           else session.createDataFrame(
             new java.util.ArrayList[Row](),
             org.apache.spark.sql.Encoders.product[graft.run.Lineage.LineageRow].schema)

@@ -55,6 +55,35 @@ class SqlMaintenanceSpec extends SparkSuite {
       spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE lang = 'de' ZORDER INCREMENTAL").collect()
     }
     assert(ex.getMessage.contains("INCREMENTAL"))
+    // INCREMENTAL without ZORDER must be rejected, not swallowed into the
+    // WHERE predicate as an alias
+    val ex2 = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`${t.root}` WHERE lang = 'de' INCREMENTAL").collect()
+    }
+    assert(ex2.getMessage.contains("ZORDER"), ex2.getMessage)
+    // a typo'd column fails loudly even in the steady state (nothing to do)
+    val ex3 = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER BY (lagn) INCREMENTAL").collect()
+    }
+    assert(ex3.getMessage.contains("lagn"), ex3.getMessage)
+  }
+
+  test("INCREMENTAL reclusters files ordered on STALE dims after a layout change") {
+    val t = GraftTable.create(spark, tmpDir("sqlmaint-stale"), Synth.pageSchema)
+    t.append(Synth.pages(spark, 2000, partitions = 4))
+    spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER BY (url)").collect()
+    val pre = t.read().agg(bit_xor(xxhash64(col("url"), col("text")))).head().getLong(0)
+    // the table's declared layout changes: every url-ordered file is stale
+    spark.sql(
+      s"ALTER TABLE graft.`${t.root}` SET TBLPROPERTIES ('cluster-columns' = 'warc_ts')")
+    val r = spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER INCREMENTAL").collect()
+    assert(r.head.getLong(1) > 0,
+      "stale-dims files must rewrite, not report steady-state")
+    assert(t.currentSnapshot.get.summary("zdims") === "warc_ts")
+    assert(t.read().agg(bit_xor(xxhash64(col("url"), col("text")))).head().getLong(0) === pre)
+    // now everything is ordered on the declared dims → true steady state
+    assert(spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER INCREMENTAL")
+      .collect().head.getLong(1) === -1L)
   }
 
   test("DESCRIBE DETAIL returns the one-row metadata summary") {
@@ -69,16 +98,27 @@ class SqlMaintenanceSpec extends SparkSuite {
     assert(row.getAs[String]("format") == "graft/parquet")
     assert(row.getAs[String]("location") == root)
     assert(row.getAs[Long]("num_files") == t.files().size.toLong)
-    assert(row.getAs[Long]("num_rows") == 500L)
+    assert(row.getAs[Long]("num_data_rows") == 500L)
     assert(row.getAs[Long]("size_bytes") > 0L)
     assert(row.getAs[Long]("snapshot_id") == t.currentSnapshot.get.id)
     assert(row.getAs[String]("partition_spec") == "bucket(4, url)")
     assert(row.getAs[String]("cluster_columns") == "url")
+    assert(row.getAs[Long]("num_position_delete_entries") == 0L)
+
+    // MoR deletes: physical rows stay, the delete-side columns say why
+    val victims = t.read().select("url").orderBy("url").limit(20)
+      .collect().map(_.getString(0)).toSet
+    assert(t.deleteWherePositional(col("url").isInCollection(victims)).isDefined)
+    val d2 = spark.sql(s"DESCRIBE DETAIL graft.`$root`").collect().head
+    assert(d2.getAs[Long]("num_data_rows") == 500L, "physical rows unchanged")
+    assert(d2.getAs[Long]("num_position_delete_entries") == 20L)
+    assert(t.read().count() == 480L)
+
     // no data file opened: answered from manifests (empty table works too)
     val empty = tmpDir("sqlmaint-detail-empty")
     GraftTable.create(spark, empty, Synth.pageSchema)
     val e = spark.sql(s"DESCRIBE DETAIL graft.`$empty`").collect().head
-    assert(e.getAs[Long]("num_files") == 0L && e.getAs[Long]("num_rows") == 0L)
+    assert(e.getAs[Long]("num_files") == 0L && e.getAs[Long]("num_data_rows") == 0L)
   }
 
   test("OPTIMIZE WHERE scopes the pass to predicate-matching files only") {
