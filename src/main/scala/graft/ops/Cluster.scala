@@ -254,9 +254,17 @@ object Cluster {
       // hosts from a groupBy over the sample, so the driver receives
       // O(nPart + heavy hosts) values — the previous collect() held up to
       // 2M Row[] (~200 MB of z+host arrays) on the driver.
+      // sample BELOW the key projection: Bernoulli sampling picks the same
+      // rows regardless of what is projected above it, but Catalyst does
+      // not push a non-trivial projection under Sample — with the select
+      // first, the z-key (host extraction + packing + bit interleave) ran
+      // on EVERY row of the group just to keep ~fraction of the results.
+      // Sampling first computes the key only for sampled rows (~1-3% at
+      // bench scale); column pruning still reaches the scan (ColumnPruning
+      // inserts the narrow projection below Sample).
       val sampled = df
-        .select(zC.as("z"), saltGroupC.as("g"))
         .sample(withReplacement = false, fraction, seed = 42)
+        .select(zC.as("z"), saltGroupC.as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (heavy: Seq[Any], bds: Array[Long]) =
         try {

@@ -149,7 +149,10 @@ object Compact {
           val commitUuid = s"compact-$runId-g$i"
           val dir = s"${table.dataDir}/$commitUuid"
           val done = log.doneSteps.contains(s"group$i") && FileIO.exists(s"$dir/_SUCCESS")
-          if (!done) {
+          // writeDataFiles already collects the fresh footers — reuse them
+          // (the old shape wrote, discarded the metas, then re-read every
+          // footer; only the RESUME branch still needs the re-read)
+          val metas = if (!done) {
             FileIO.deleteRecursively(dir) // partial attempt from a crashed run
             spark.sparkContext.setJobDescription(s"compact $runId group $i (${group.size} files)")
             // apply live MoR deletes to the rewritten rows: equality
@@ -159,8 +162,7 @@ object Compact {
             val df = table.applyTombstones(table.withPositionDeletes(
               spark.read.schema(schema).parquet(group.map(table.absPath): _*), group))
             table.writeDataFiles(df.coalesce(1), commitUuid)
-          }
-          val metas = graft.table.StatsCollector.collect(
+          } else graft.table.StatsCollector.collect(
             spark, schema, table.root, FileIO.listFilesRecursively(dir, ".parquet"), commitUuid)
           synchronized { log = Maintenance.markDone(table, log, s"group$i") }
           (metas, group)

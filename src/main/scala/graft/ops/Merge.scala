@@ -296,7 +296,7 @@ object Merge {
         s"MERGE UPDATE must not assign key column $c (rewrite the row via DELETE + INSERT)"))
     val src0 = if (hasDeleted) source else source.withColumn("_deleted", lit(false))
     val keyC = keyCols.map(col)
-    val src =
+    val srcUncached =
       if (latestWins) {
         // latest change per key tuple: greatest version wins; delete beats
         // upsert on ties
@@ -305,6 +305,20 @@ object Merge {
         src0.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
       } else src0 // ANSI: cardinality is checked against MATCHED keys below
+    // ONE materialization of the normalized source: touched-file planning,
+    // the ANSI cardinality check and the full-outer rewrite join all
+    // consume it, and uncached each re-executed the whole source plan —
+    // for the SQL door that plan embeds the touched-file `_matched` join,
+    // for latest-wins the dedup window — so every merge paid the source
+    // 3x. The change set is the small side of a merge by design, so one
+    // MEMORY_AND_DISK materialization beats re-scanning it (released in
+    // the finally below; sources the caller already persisted, e.g.
+    // CdcApply's folded batch, are left alone).
+    val srcOwnCache = srcUncached.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val src =
+      if (srcOwnCache) srcUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else srcUncached
+    try {
 
     val nmbsSetCols: Set[String] = notMatchedBySourceSet.map(_._2.keySet).getOrElse(Set.empty)
     nmbsSetCols.foreach(c => require(cols.contains(c), s"NOT MATCHED BY SOURCE assigns unknown column $c"))
@@ -641,6 +655,12 @@ object Merge {
     Lineage.record(spark, table, runId, committed.id, "merge", added,
       added.map(o => o.path -> touched).toMap, (System.nanoTime() - t0) / 1000000)
     committed
+    } finally {
+      // release the one-merge source cache and the job label (a stale
+      // description would mislabel every later job in the session's UI)
+      if (srcOwnCache) { src.unpersist(); () }
+      spark.sparkContext.setJobDescription(null)
+    }
   }
 
   /**
