@@ -43,6 +43,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_recon_agg")(spark, "/root/testdata/sf0.001")
 
+
+  /** Delete a per-query temp table dir INCLUDING its createTempDirectory
+    * parent — deleting only the `/t` child leaked one empty parent dir
+    * under /tmp per bench invocation (ENOSPC risk noted in CLAUDE.md). */
+  private def rmTempTree(path: String): Unit =
+    graft.table.FileIO.deleteRecursively(path.substring(0, path.lastIndexOf('/')))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (reference operator mappings) ---------------------
     // A1/A2: recon aggregates (count/sum per group) — ReconEntity.java:94-137
@@ -348,7 +355,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
           round(sum("o_totalprice"), 2).as("price_sum"))
         .localCheckpoint(true) // pin: the temp table dir is deleted below
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -374,7 +381,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("key_sum"),
           count("c_nationkey").as("n_nation"), round(sum("c_acctbal"), 2).as("bal_sum"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -397,7 +404,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("key_sum"),
           round(sum("c_acctbal"), 2).as("bal_sum"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -424,7 +431,7 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("price_sum"),
           countDistinct("o_orderpriority").as("n_prio"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(out)
+      rmTempTree(out)
       res
     }),
 
@@ -469,7 +476,7 @@ object SparkEntry {
         countDistinct(col("c_mktsegment")).as("n_seg_d"),
         count(when(col("c_name") === upper(col("c_name")), 1)).as("n_upper"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -503,7 +510,7 @@ object SparkEntry {
           round(sum("c_acctbal"), 2).as("bal_sum"),
           countDistinct(col("c_mktsegment")).as("n_seg"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -537,7 +544,7 @@ object SparkEntry {
           round(sum("bonus"), 2).as("bonus_sum"),
           sum(length(col("cname"))).as("name_len_sum"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -565,7 +572,7 @@ object SparkEntry {
         max("price").cast("double").as("price_max"),
         min("o_orderdate").as("date_min"), max("o_orderdate").as("date_max"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -597,7 +604,7 @@ object SparkEntry {
           sum("c_custkey").as("key_sum"),
           round(sum("c_acctbal"), 2).as("bal_sum"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -626,7 +633,7 @@ object SparkEntry {
       val out = agg(s.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 'base'"), "base")
         .unionByName(agg(s.sql(s"SELECT * FROM graft.`$root`"), "head"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -658,7 +665,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
           round(sum("price"), 2).as("price_sum"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -682,7 +689,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"),
           round(sum("price"), 2).as("price_sum"))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -712,7 +719,7 @@ object SparkEntry {
           round(sum(coalesce(col("margin"), lit(0.0))), 4).as("margin_sum"))
         .withColumn("constraint_held", lit(refused))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -744,7 +751,7 @@ object SparkEntry {
           round(sum("price"), 2).as("price_sum"))
         .withColumn("mor_held", lit(noRewrites && dvCleared))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -774,7 +781,7 @@ object SparkEntry {
           round(sum("price"), 2).as("price_sum"))
         .withColumn("rewrite_held", lit(held))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -803,7 +810,7 @@ object SparkEntry {
           round(sum("ps"), 2).as("price_total"))
         .withColumn("bucket_held", lit(held))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -839,7 +846,7 @@ object SparkEntry {
         count(when(col("c_mktsegment") === "BUCKETED", 1)).as("n_bucketed"))
         .withColumn("gate_held", lit(held))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -883,8 +890,8 @@ object SparkEntry {
         countDistinct(col("c_mktsegment")).as("n_seg"))
         .withColumn("gate_held", lit(held))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(srcRoot)
-      graft.table.FileIO.deleteRecursively(tgtRoot)
+      rmTempTree(srcRoot)
+      rmTempTree(tgtRoot)
       out
     }),
 
@@ -912,7 +919,7 @@ object SparkEntry {
           round(sum("l_extendedprice"), 2).as("price_sum"))
         .withColumn("pruned_held", lit(held))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }),
 
@@ -942,7 +949,7 @@ object SparkEntry {
           round(sum("price"), 2).as("price_sum"))
         .withColumn("incr_held", lit(held))
         .localCheckpoint(true)
-      graft.table.FileIO.deleteRecursively(root)
+      rmTempTree(root)
       out
     }))
 

@@ -333,6 +333,24 @@ object Merge {
     val planSrc =
       if (src.columns.contains("_noop")) src.filter(!coalesce(col("_noop"), lit(false)))
       else src
+    // ANSI duplicate-key probe launched CONCURRENTLY with touched-file
+    // planning (guide §2.6 — overlap independent jobs): both consume only
+    // the persisted source, so the probe's aggregate back-fills executor
+    // slots behind the planning scan's tail instead of running as a second
+    // sequential pass. Await sits at the original check site below.
+    val dupsCountF: Option[scala.concurrent.Future[Long]] =
+      if (latestWins) None
+      else {
+        val noopFlag =
+          if (src.columns.contains("_noop")) coalesce(col("_noop"), lit(false)) else lit(false)
+        val dupsDf = src.groupBy(keyC: _*)
+          .agg(count(lit(1)).as("_cnt"),
+            sum(when(noopFlag, 0L).otherwise(1L)).as("_modifying"))
+          .filter(col("_cnt") > 1 && col("_modifying") >= 1L)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        Some(scala.concurrent.Future(dupsDf.count()))
+      }
     val keyTouched = touchedFiles(table, planSrc.select(keyC: _*), keyCols)
     // NOT MATCHED BY SOURCE widens the rewrite to every file that may hold
     // a row its condition matches (the whole table when unconditional —
@@ -386,7 +404,10 @@ object Merge {
         .agg(count(lit(1)).as("_cnt"),
           sum(when(noopFlag, 0L).otherwise(1L)).as("_modifying"))
         .filter(col("_cnt") > 1 && col("_modifying") >= 1L)
-      if (dups.count() > 0) {
+      val dupCount = dupsCountF.map(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        .getOrElse(dups.count())
+      if (dupCount > 0) {
         val offending = dups.select(keyC: _*).join(
           base.select(keyC: _*), keyCols, "left_semi")
         for (ex <- offending.limit(1).collect().headOption)
@@ -596,8 +617,16 @@ object Merge {
           case _ => 0
         }
         // wide decimals (p > 18), binary, nested: no Long-sized encoding —
-        // forType returns None and the merge output hash-scatters instead
-        graft.functions.OrderedEncoding.forType(leadDt, col(keyCols.head), lcpLen)
+        // forType returns None and the merge output hash-scatters instead.
+        // BooleanType is encodable but its 2-value key space degenerates
+        // equi-depth boundaries to <=2 populated partitions — a
+        // boolean-leading merge would funnel its whole sort through 1-2
+        // tasks; hash scatter keeps the rewrite parallel (range bounds on
+        // a 2-value lead key carry no pruning power anyway)
+        leadDt match {
+          case BooleanType => None
+          case _ => graft.functions.OrderedEncoding.forType(leadDt, col(keyCols.head), lcpLen)
+        }
       }
       val bds = steer.map { case (_, enc) =>
         RangeShuffle.boundariesFromFileMeta(touched, keyCols.head, nOut, enc)
