@@ -866,8 +866,13 @@ object SparkEntry {
       val b = graft.table.GraftTable.create(s, tgtRoot, cust.schema,
         Map(graft.table.PartitionSpec.Property -> "bucket(8, c_custkey)"))
       val prop = graft.streaming.StreamIngest.batchProperty(s"$tgtRoot-ckpt")
+      // no localCheckpoint on the batches: applyBatch persists the FOLDED
+      // rows before probing/merging, so an eager checkpoint here was one
+      // extra full materialization of every changelog event per batch
+      // (the plan captures the source snapshot's immutable file list at
+      // changes() time, so lazy evaluation reads identical data)
       graft.streaming.CdcApply.applyBatch(
-        b, a.changes(0).localCheckpoint(true), 0L, prop, Seq("c_custkey"))
+        b, a.changes(0), 0L, prop, Seq("c_custkey"))
       val from = a.currentSnapshot.get.id
       val m = cust.filter(pmod(col("c_custkey"), lit(6)) === 0)
         .withColumn("op", when(pmod(col("c_custkey"), lit(4)) === 0, "D").otherwise("U"))
@@ -881,7 +886,7 @@ object SparkEntry {
            |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 25.0
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
       graft.streaming.CdcApply.applyBatch(
-        b, a.changes(from).localCheckpoint(true), 1L, prop, Seq("c_custkey"))
+        b, a.changes(from), 1L, prop, Seq("c_custkey"))
       val held = b.bucketSpec().isDefined
       val out = b.read().agg(
         count(lit(1)).as("n_rows"),

@@ -170,9 +170,14 @@ object Cluster {
     val inputs = onlyFiles.getOrElse(table.files())
     if (inputs.isEmpty) return None
     val schema = table.schema
-    val commitUuid = s"cluster-$runId"
 
     val clusterCols: Seq[String] = canonicalColumns(table, dims)
+    val zdimsStr =
+      if (clusterCols.nonEmpty) clusterCols.mkString(",") else "lang,host,warc_ts"
+    // layout tag in the commit uuid: INCREMENTAL verifies a file's
+    // clustering layout from its NAME, surviving snapshot expiry (see
+    // [[layoutTag]])
+    val commitUuid = s"cluster-z${layoutTag(zdimsStr, dims.curve)}-$runId"
 
     // hidden partitioning: cluster WITHIN each partition tuple — the global
     // range exchange interleaves partition values across every task, and
@@ -266,6 +271,16 @@ object Cluster {
         .sample(withReplacement = false, fraction, seed = 42)
         .select(zC.as("z"), saltGroupC.as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // diagnostic plan artifact (optimization evidence; off by default)
+      sys.env.get("SPARK_GRAFT_EXPLAIN_DIR").foreach { d =>
+        scala.util.Try {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$d/cluster_sample_g$gi.txt"),
+            sampled.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+        }
+      }
       val (heavy: Seq[Any], bds: Array[Long]) =
         try {
           val hh = sampled.groupBy("g").count()
@@ -319,8 +334,7 @@ object Cluster {
     val removed = inputs.map(_.path).toSet
     val committed = table.replaceFiles(removed, added, "cluster",
       Map("run-id" -> runId,
-        "zdims" -> (if (clusterCols.nonEmpty) clusterCols.mkString(",")
-                    else "lang,host,warc_ts"),
+        "zdims" -> zdimsStr,
         "bits" -> dims.effectiveBits.toString, "curve" -> dims.curve),
       expectedSnapshotId = Some(snap.id),
       // a full rewrite read every file with tombstones applied → clear them
@@ -362,9 +376,18 @@ object Cluster {
         (s.summary.getOrElse("zdims", "") != wantZdims ||
           s.summary.getOrElse("curve", "") != dims.curve))
       .flatMap(_.summary.get("run-id")).toSet
+    // tagged commit uuids (`cluster-z<8hex>-…`) carry their layout in the
+    // NAME, so freshness survives snapshot expiry; legacy untagged files
+    // keep the snapshot-based verdict (expired → treated as clustered —
+    // the pre-existing, documented gap, now closed for all new rewrites)
+    val tag = layoutTag(wantZdims, dims.curve)
     val (stale, fresh) = table.files()
-      .filter(f => !f.commitUuid.startsWith("cluster-") ||
-        staleRuns.exists(r => f.commitUuid.startsWith(s"cluster-$r-")))
+      .filter { f =>
+        val cu = f.commitUuid
+        if (!cu.startsWith("cluster-")) true // fresh append → rewrite set
+        else if (cu.startsWith("cluster-z")) !cu.startsWith(s"cluster-z$tag-")
+        else staleRuns.exists(r => cu.startsWith(s"cluster-$r-"))
+      }
       .partition(_.commitUuid.startsWith("cluster-"))
     // minFiles is a churn guard for lone fresh appends; a LAYOUT change
     // (any stale file) always proceeds — re-ordering even one file is the
@@ -373,6 +396,19 @@ object Cluster {
     else zorderRewrite(table, dims, targetFileBytes, runId,
       onlyFiles = Some(stale ++ fresh))
   }
+
+  /** 8-hex tag of a clustering layout (dims + curve), embedded in cluster
+    * commit uuids (`cluster-z<tag>-<runId>-p<g>`) so INCREMENTAL can verify
+    * a file's layout from its NAME even after the producing snapshot is
+    * expired — r5 review: expiry made stale layouts unverifiable and they
+    * were silently treated as fresh. The `z` sentinel distinguishes tagged
+    * uuids from legacy ones (UUID run-ids never start with 'z'); a 32-bit
+    * tag collision between two layouts OF ONE TABLE is ~2^-32 and would
+    * only skip a rewrite, never corrupt data. */
+  private[ops] def layoutTag(zdims: String, curve: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$zdims|$curve".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
 
   /** Canonicalize generic clustering columns against the table schema with
     * the session resolver (case-insensitive by default, like every

@@ -667,7 +667,18 @@ object Merge {
       val touchedRows = touched.map(_.rows).sum
       val rollRecords = if (nOut <= 1 || touchedRows == 0) 0L
         else math.max(1L, touchedRows / nOut)
-      table.writeDataFiles(out.sortWithinPartitions(keyC: _*), commitUuid,
+      val rewriteFrame = out.sortWithinPartitions(keyC: _*)
+      // diagnostic plan artifact (optimization evidence; off by default)
+      sys.env.get("SPARK_GRAFT_EXPLAIN_DIR").foreach { d =>
+        scala.util.Try {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$d/merge_rewrite.txt"),
+            rewriteFrame.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+        }
+      }
+      table.writeDataFiles(rewriteFrame, commitUuid,
         maxRecordsPerFile = rollRecords)
       Maintenance.markDone(table, log, "rewrite")
     }

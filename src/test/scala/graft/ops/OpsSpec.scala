@@ -106,6 +106,28 @@ class ClusterSpec extends SparkSuite {
     assert(Cluster.incremental(t, Cluster.ZDims(), targetFileBytes = 256L * 1024).isEmpty)
   }
 
+  test("incremental sees a layout change even after the cluster snapshot expired") {
+    val root = tmpDir("graft-incr-exp")
+    val t = GraftTable.create(spark, root, Synth.pageSchema)
+    t.append(Synth.pages(spark, 4000, partitions = 4))
+    Cluster.zorderRewrite(t, Cluster.ZDims(columns = Seq("lang")),
+      targetFileBytes = 256L * 1024)
+    val oldLayout = t.files().map(_.path).toSet
+    // steady state under the SAME layout stays a no-op (tag match by name)
+    assert(Cluster.incremental(t, Cluster.ZDims(columns = Seq("lang")),
+      targetFileBytes = 256L * 1024).isEmpty)
+    // expire history: the cluster commit's summary (zdims) is gone — the
+    // r5 gap made the old files unverifiable and silently "fresh"
+    Expire.expire(t, retainLast = 1)
+    val snap = Cluster.incremental(t, Cluster.ZDims(columns = Seq("warc_ts")),
+      targetFileBytes = 256L * 1024)
+    assert(snap.nonEmpty,
+      "a cluster-columns change must rewrite old-layout files even when " +
+        "their producing snapshot has been expired")
+    assert(t.files().map(_.path).toSet.intersect(oldLayout).isEmpty,
+      "every old-layout file must be rewritten")
+  }
+
   test("boundary sample is budget-capped; huge nOut splits via record rolling") {
     // the driver-side sample may never scale with table/file count: at the
     // 100 TB shape (8e5 output files, 1e10 rows) the old 400×nOut sample
