@@ -340,19 +340,22 @@ object Changelog {
           "store sorted entries as array<struct<key,value>> instead"))
     // EVERY helper column name must be free, or the join/explode would
     // collide with a user column (silent corruption, not just an error)
-    if (Seq(Fp1, Fp2, "_cl_n", "_cl_i", "_cl_rem", "_cl_add")
+    if (Seq(Fp1, Fp2, "_cl_n", "_cl_i", "_cl_t")
         .exists(sch.fieldNames.contains))
       return (rem.exceptAll(add), add.exceptAll(rem))
     val cols = sch.fieldNames.toSeq
     val (f1, f2) = rowFingerprints(sch)
     def hashed(df: DataFrame): DataFrame = df.withColumn(Fp1, f1).withColumn(Fp2, f2)
-    val remCnt = hashed(rem).groupBy(Fp1, Fp2).agg(count(lit(1)).as("_cl_rem"))
-    val addCnt = hashed(add).groupBy(Fp1, Fp2).agg(count(lit(1)).as("_cl_add"))
-    // unique per (fp1, fp2) on both sides, so the image join below never
-    // multiplies; non-zero deltas only — unchanged rows cancel right here
-    val delta = remCnt.join(addCnt, Seq(Fp1, Fp2), "full_outer")
-      .select(col(Fp1), col(Fp2),
-        (coalesce(col("_cl_rem"), lit(0L)) - coalesce(col("_cl_add"), lit(0L))).as("_cl_n"))
+    // ONE aggregate over the side-tagged union replaces the previous
+    // per-side count aggregates + full-outer join of the counted sets:
+    // delta = Σtag = rem − add per fingerprint, with unchanged rows
+    // cancelling right here — one fingerprint shuffle instead of two plus
+    // a join exchange (guide §2.4: share the exchange). Uniqueness per
+    // (fp1, fp2) is by construction of the groupBy, so the image join
+    // below never multiplies.
+    val tagged = hashed(rem).select(col(Fp1), col(Fp2), lit(1L).as("_cl_t"))
+      .unionByName(hashed(add).select(col(Fp1), col(Fp2), lit(-1L).as("_cl_t")))
+    val delta = tagged.groupBy(Fp1, Fp2).agg(sum(col("_cl_t")).as("_cl_n"))
       .filter(col("_cl_n") =!= 0L)
     // AQE broadcast-sizes the (small) delta side at runtime, so the image
     // scan joins without shuffling its full rows; dropDuplicates shuffles
