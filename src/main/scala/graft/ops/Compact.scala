@@ -161,7 +161,8 @@ object Compact {
             // files are applied here and cleared by replaceFiles
             val df = table.applyTombstones(table.withPositionDeletes(
               spark.read.schema(schema).parquet(group.map(table.absPath): _*), group))
-            table.writeDataFiles(df.coalesce(1), commitUuid)
+            try table.writeDataFiles(df.coalesce(1), commitUuid)
+            finally spark.sparkContext.setJobDescription(null) // pool threads are reused across groups
           } else graft.table.StatsCollector.collect(
             spark, schema, table.root, FileIO.listFilesRecursively(dir, ".parquet"), commitUuid)
           synchronized { log = Maintenance.markDone(table, log, s"group$i") }

@@ -39,7 +39,10 @@ private[ops] object GroupedRewrite {
       rewriteGroup: (Int, Seq[DataFileMeta]) => Seq[DataFileMeta])
       : Seq[(Seq[DataFileMeta], Seq[DataFileMeta])] = {
     if (groups.size == 1)
-      return Seq((rewriteGroup(groups.head._1, groups.head._2), groups.head._2))
+      // inline on the caller thread — clear the group's job description
+      // afterwards or it leaks onto every later job of the session
+      try return Seq((rewriteGroup(groups.head._1, groups.head._2), groups.head._2))
+      finally spark.sparkContext.setJobDescription(null)
     val poolSize = {
       val wanted =
         if (jobParallelism > 0) jobParallelism

@@ -58,7 +58,12 @@ object Rebucket {
     val n = sp.param.get
 
     var log = Maintenance.start(table, runId, "rebucket")
-    log.committedSnapshotId.foreach(id => return table.metadata.snapshot(id))
+    // resume short-circuit: the migration already committed. If its
+    // snapshot has since been EXPIRED, returning None here would be
+    // indistinguishable from "nothing to do" (r5 advice) — report the
+    // current snapshot instead: the committed work is part of its history.
+    log.committedSnapshotId.foreach(id =>
+      return table.metadata.snapshot(id).orElse(table.currentSnapshot))
     val snap = table.currentSnapshot.getOrElse(return None)
     val inputs = table.nonconformingFiles()
     if (inputs.isEmpty) return None

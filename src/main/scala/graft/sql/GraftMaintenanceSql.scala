@@ -42,7 +42,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // rejects the combination loudly
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?""" +
-      """(?:\s+(ZORDER)(?:\s+(HILBERT))?(?:\s+BY\s*\(([^)]+)\))?)?(?:\s+(INCREMENTAL))?\s*;?\s*""").r
+      """(?:\s+(ZORDER)(?:\s+(HILBERT))?(?:\s+BY\s*\(([^)]*)\))?)?(?:\s+(INCREMENTAL))?\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*""".r
   // DV-file compaction (Iceberg's rewrite_position_delete_files niche):
@@ -98,6 +98,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // schema named `graft`
   private def isPath(p: String): Boolean = p.contains("/")
 
+  /** `ZORDER BY (…)` column list: comma-split with one optional backtick
+    * pair per token. Quoted identifiers CONTAINING commas, dots or
+    * backticks cannot be recovered after the regex split — rejected loudly
+    * rather than silently mis-parsed into wrong column names (r5 advice);
+    * the empty list gets a targeted error instead of falling through to
+    * the delegate parser's unrelated message. */
+  private def parseZorderCols(byCols: String): Seq[String] = {
+    if (byCols == null) return Seq.empty
+    val cols = byCols.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+      val s =
+        if (t.length >= 2 && t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1)
+        else t
+      if (s.contains("`") || s.contains(","))
+        throw new IllegalArgumentException(
+          s"OPTIMIZE … ZORDER BY: clustering identifier '$t' contains quoting the " +
+            "maintenance parser does not support (commas or embedded backticks); " +
+            "rename the column or cluster programmatically via Cluster.ZDims")
+      s
+    }
+    if (cols.isEmpty)
+      throw new IllegalArgumentException(
+        "OPTIMIZE … ZORDER BY (): the clustering column list is empty — name at " +
+          "least one column, or drop the BY clause to use the table's cluster-columns property")
+    cols
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RewriteDeletesRe(path) if isPath(path) =>
       GraftRewriteDeletesCommand(path)
@@ -108,8 +134,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OptimizeRe(path, where, zorder, hilbert, byCols, incr) if isPath(path) =>
       GraftOptimizeCommand(path, zorder != null, hilbert != null,
         Option(where).map(_.trim).filter(_.nonEmpty),
-        Option(byCols).toSeq.flatMap(_.split(","))
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
+        parseZorderCols(byCols),
         incremental = incr != null)
     case VacuumRe(path, retain) if isPath(path) =>
       GraftVacuumCommand(path, Option(retain).map(_.toInt).getOrElse(10))

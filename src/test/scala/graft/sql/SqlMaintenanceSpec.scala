@@ -66,6 +66,17 @@ class SqlMaintenanceSpec extends SparkSuite {
       spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER BY (lagn) INCREMENTAL").collect()
     }
     assert(ex3.getMessage.contains("lagn"), ex3.getMessage)
+    // an EMPTY column list gets a targeted message, not the delegate
+    // parser's unrelated syntax error
+    val ex4 = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER BY ()").collect()
+    }
+    assert(ex4.getMessage.contains("clustering column list is empty"), ex4.getMessage)
+    // quoting the comma-split cannot recover is rejected, not mis-parsed
+    val ex5 = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft.`${t.root}` ZORDER BY (`a``b`)").collect()
+    }
+    assert(ex5.getMessage.contains("does not support"), ex5.getMessage)
   }
 
   test("INCREMENTAL reclusters files ordered on STALE dims after a layout change") {
