@@ -52,6 +52,26 @@ object PlanDump {
       println(s"[plandump] wrote $outDir/$name.txt")
     }
     for (q <- args.tail) q match {
+      case "internal:changelog_diff" =>
+        // q35's table build + merge, then the changes() frame whose plan
+        // carries the CoW commit's slimDiff shape (the delta aggregate)
+        import org.apache.spark.sql.functions.{col, lit, pmod, when}
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val root = java.nio.file.Files.createTempDirectory("graft-plandump-cl").toString + "/t"
+        val tbl = graft.table.GraftTable.create(spark, root, cust.schema)
+        tbl.append(cust.coalesce(8))
+        val from = tbl.currentSnapshot.get.id
+        val m = cust.filter(pmod(col("c_custkey"), lit(6)) === 0)
+          .withColumn("op", when(pmod(col("c_custkey"), lit(4)) === 0, "D").otherwise("U"))
+        m.createOrReplaceTempView("pdsrc")
+        spark.sql(
+          s"""MERGE INTO graft.`$root` t USING pdsrc s ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED AND s.op = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal + 25.0""".stripMargin).collect()
+        write("internal_changelog_diff", formatted(tbl.changes(from)))
+        graft.table.FileIO.deleteRecursively(
+          root.substring(0, root.lastIndexOf('/')))
       case "internal:dedup_exact" =>
         import org.apache.spark.sql.functions.col
         val d = spark.read.parquet(s"$dir/documents.parquet")
