@@ -305,16 +305,25 @@ object Merge {
         src0.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
       } else src0 // ANSI: cardinality is checked against MATCHED keys below
-    // ONE materialization of the normalized source: touched-file planning,
-    // the ANSI cardinality check and the full-outer rewrite join all
-    // consume it, and uncached each re-executed the whole source plan —
-    // for the SQL door that plan embeds the touched-file `_matched` join,
-    // for latest-wins the dedup window — so every merge paid the source
-    // 3x. The change set is the small side of a merge by design, so one
-    // MEMORY_AND_DISK materialization beats re-scanning it (released in
+    // ONE materialization of the normalized source for ANSI merges:
+    // touched-file planning, the ANSI cardinality check and the full-outer
+    // rewrite join all consume it, and uncached each re-executed the whole
+    // source plan — for the SQL door that plan embeds the touched-file
+    // `_matched` join, so every SQL MERGE paid the lowering 3x. ANSI
+    // sources are clause-filtered change sets (small by design), so one
+    // MEMORY_AND_DISK materialization beats re-deriving them (released in
     // the finally below; sources the caller already persisted, e.g.
     // CdcApply's folded batch, are left alone).
-    val srcOwnCache = srcUncached.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    //
+    // latest-wins merges deliberately DON'T cache: their source is
+    // typically a raw scan-shaped change frame with full payload columns,
+    // and caching it as deserialized rows costs more than the vectorized
+    // re-scan it saves (measured in the 10 GB soak: merge task-seconds
+    // 2.2x, wall +45% with the cache). Instead their planning pass scans
+    // the PRE-dedup keys (below), so the version window runs ONCE — in
+    // the join — and planning stays a column-pruned key scan.
+    val srcOwnCache = !latestWins &&
+      srcUncached.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val src =
       if (srcOwnCache) srcUncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else srcUncached
@@ -330,8 +339,15 @@ object Merge {
     // not WIDEN the rewrite: a file is only touched by keys some clause
     // fires for — untouched files keep their noop-matched rows by simply
     // not being rewritten
+    // latest-wins planning scans the PRE-dedup source: the version window
+    // keeps exactly one row per key tuple, so the key SET is identical,
+    // and planning on src0 turns the planning pass into a column-pruned
+    // key scan instead of a full execution of the dedup window (which
+    // then runs exactly once, inside the rewrite join). Duplicate keys
+    // are harmless to touchedFiles (it distincts file ids).
     val planSrc =
-      if (src.columns.contains("_noop")) src.filter(!coalesce(col("_noop"), lit(false)))
+      if (latestWins) src0
+      else if (src.columns.contains("_noop")) src.filter(!coalesce(col("_noop"), lit(false)))
       else src
     // ANSI duplicate-key probe launched CONCURRENTLY with touched-file
     // planning (guide §2.6 — overlap independent jobs): both consume only
