@@ -28,10 +28,13 @@ import org.apache.spark.sql.types._
  *    matching the canonical bound encoding); dates → epoch days;
  *  - double/float → IEEE-754 sortable bits ([[SortableBits]]);
  *  - decimal (p ≤ 18) → unscaled long (fixed scale keeps order);
+ *  - decimal (18 < p ≤ 38) → nearest-double sortable bits (monotone, not
+ *    injective — exactly what range layouts need; near-ties collapse into
+ *    one partition, never invert);
  *  - boolean → 0/1.
- * Wide decimals (p > 18), binary and nested types have no Long-sized
- * order embedding → None (callers fall back: hash scatter for merges,
- * a loud error for user-requested clustering columns).
+ * Binary and nested types have no Long-sized order embedding → None
+ * (callers fall back: hash scatter for merges, a loud error for
+ * user-requested clustering columns).
  */
 object OrderedEncoding {
 
@@ -65,6 +68,18 @@ object OrderedEncoding {
             org.apache.spark.sql.catalyst.expressions.UnscaledValue(Shims.expression(c))),
           (s: String) => new java.math.BigDecimal(s)
             .setScale(d.scale, java.math.RoundingMode.FLOOR).unscaledValue().longValue()))
+      case _: DecimalType => // wide decimals (18 < p <= 38) — r5 advice
+        // no 64-bit unscaled embedding exists past p=18, but decimal →
+        // double is MONOTONE (round-to-nearest never inverts order; near
+        // ties only collapse), and a range layout needs monotonicity, not
+        // injectivity: rows with equal encodings ride the same partition
+        // and per-file bounds stay tight (parquet stats use the true
+        // decimal values). Collapsed spans degrade gracefully to the
+        // scatter fallback via the boundary-count guard in Merge. Row side
+        // and bound-string decode go through the same nearest-double
+        // (Spark's Cast(decimal→double) == BigDecimal.doubleValue).
+        Some((SortableBits(c.cast("double")),
+          (s: String) => SortableBits.encode(new java.math.BigDecimal(s).doubleValue())))
       case BooleanType =>
         Some((c.cast("long"), (s: String) => if (s.toBoolean) 1L else 0L))
       case _ => None

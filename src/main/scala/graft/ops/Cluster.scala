@@ -424,7 +424,7 @@ object Cluster {
           schema.fieldNames.mkString("(", ", ", ")")))
       require(graft.functions.OrderedEncoding.forType(f.dataType, col(f.name)).isDefined,
         s"ZORDER BY column '${f.name}': ${f.dataType.simpleString} has no " +
-          "order-preserving encoding (wide decimals, binary and nested types don't)")
+          "order-preserving encoding (binary and nested types don't)")
       f.name
     }
   }

@@ -632,8 +632,9 @@ object Merge {
             else boundStrs.reduce(graft.functions.OrderedEncoding.lcp(_, _)).length
           case _ => 0
         }
-        // wide decimals (p > 18), binary, nested: no Long-sized encoding —
-        // forType returns None and the merge output hash-scatters instead.
+        // binary, nested: no Long-sized encoding — forType returns None and
+        // the merge output hash-scatters instead (wide decimals p <= 38
+        // steer via the monotone nearest-double embedding since r6).
         // BooleanType is encodable but its 2-value key space degenerates
         // equi-depth boundaries to <=2 populated partitions — a
         // boolean-leading merge would funnel its whole sort through 1-2

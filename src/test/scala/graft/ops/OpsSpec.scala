@@ -445,6 +445,46 @@ class MergeSpec extends SparkSuite {
       s"expected pruning on the second merge: ${touched.size}/${t.files().size}")
   }
 
+  test("merge output of a WIDE-DECIMAL key is range-clustered; the next merge prunes") {
+    // decimals past p=18 previously fell back to hash scatter (no 64-bit
+    // unscaled embedding): every post-merge file spanned the whole key
+    // space and the NEXT merge's touchedFiles planning degenerated to a
+    // full rewrite. The monotone nearest-double embedding restores range
+    // steering (r5 advice / r6 change).
+    import org.apache.spark.sql.types._
+    val dt = DecimalType(38, 4)
+    val schema = StructType(Seq(
+      StructField("acct", dt, nullable = false),
+      StructField("payload", StringType)))
+    val t = GraftTable.create(spark, tmpDir("graft-dec-range"), schema)
+    import spark.implicits._
+    def pay(i: Int) = Seq.tabulate(8)(j => (i * 31 + j * 7919).toHexString).mkString("-")
+    def dec(i: Int) = new java.math.BigDecimal(i).movePointLeft(1).setScale(4)
+    // four key-disjoint files covering [0.0, 800.0)
+    for (b <- 0 until 4)
+      t.append((b * 2000 until (b + 1) * 2000).map(i => (dec(i), pay(i)))
+        .toDF("acct", "payload").selectExpr("cast(acct as decimal(38,4)) as acct", "payload")
+        .coalesce(1))
+    assert(t.files().size === 4)
+    val src = (0 until 8000 by 7).map(i => (dec(i), "updated"))
+      .toDF("acct", "payload").selectExpr("cast(acct as decimal(38,4)) as acct", "payload")
+    Merge.into(t, src, Seq("acct"), latestWins = false, targetFileBytes = 24 * 1024)
+    val out = t.files().filter(_.commitUuid.startsWith("merge-"))
+    assert(out.size > 1, s"expected several merge output files, got ${out.size}")
+    // per-file bounds (scaled decimal strings) must be (near-)disjoint
+    val sorted = out.map(f => (new java.math.BigDecimal(f.minValues("acct")),
+        new java.math.BigDecimal(f.maxValues("acct"))))
+      .sortBy(_._1)
+    for (Seq((_, hi), (lo2, _)) <- sorted.sliding(2))
+      assert(hi.compareTo(lo2) <= 0, s"post-merge decimal bounds overlap: $sorted")
+    // a narrow follow-up change set now touches a strict subset of files
+    val narrow = (0 until 500 by 11).map(i => (dec(i), "again"))
+      .toDF("acct", "payload").selectExpr("cast(acct as decimal(38,4)) as acct", "payload")
+    val touched = Merge.touchedFiles(t, narrow.select("acct"), Seq("acct"))
+    assert(touched.size < t.files().size,
+      s"expected pruning on the second merge: ${touched.size}/${t.files().size}")
+  }
+
   test("merge output of a DOUBLE key is range-clustered via sortable bits") {
     // doubles (and decimals) previously fell back to hash scatter: every
     // post-merge file spanned the whole key space. Negative keys included —
